@@ -1,0 +1,358 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Host-engine relational operators exercised by the harness (SURVEY.md §2.5):
+  * scans, filter/project, hash/broadcast joins, partial+final aggregation,
+  * grouping sets (rollup/cube), distinct, windows, sorts/top-k, set ops, and
+  * the scalar function library (string/date/json).
+  *
+  * Determinism contract with the DuckDB oracle:
+  *  - every double-valued aggregate is computed over DECIMAL casts and the
+  *    exact decimal result is cast to DOUBLE at the end, so the value is
+  *    bit-identical regardless of partitioning / accumulation order;
+  *  - every query has a total ORDER BY;
+  *  - dialect result-type differences (year(), row_number(), sum(int)) are
+  *    cast explicitly on the DuckDB side to match Spark's types.
+  *
+  * Scale notes (100 TB): `nation`/`region`/`supplier` are broadcast; fact-fact
+  * joins (lineitem⋈orders) shuffle on the join key, which is also the natural
+  * bucketing key; AQE handles skew.
+  */
+object HostQueries {
+
+  // Narrow decimal widths so every intermediate stays inside BOTH engines'
+  // 38-digit decimal limit (DuckDB silently falls back to inexact DOUBLE
+  // arithmetic past 38; Spark truncates scale) — exactness is what makes the
+  // oracle hash-compare deterministic under any partitioning.
+  private def dec2(c: String): Column = col(c).cast("decimal(12,2)")
+  private def dec4(c: String): Column = col(c).cast("decimal(6,4)")
+  /** revenue term used across TPC-H-style queries, decimal-exact */
+  private def revenueExpr: Column =
+    sum(dec2("l_extendedprice") * (lit(1) - dec4("l_discount"))).cast("double")
+  private val RevenueSql =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- q01: TPC-H Q1 style pricing summary (filter + wide agg) ----------
+    QueryDef("q01_pricing_summary",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec2("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec2("l_extendedprice") * (lit(1) - dec4("l_discount"))).cast("double").as("sum_disc_price"),
+          sum(dec2("l_extendedprice") * (lit(1) - dec4("l_discount")) * (lit(1) + dec4("l_tax")))
+            .cast("decimal(30,6)").cast("double").as("sum_charge"),
+          (sum(dec2("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec2("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(dec4("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_charge,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+          CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- q02: TPC-H Q5 style revenue by nation (4-way join, bcast dims) ---
+    QueryDef("q02_revenue_by_nation",
+      (s, d) => T.lineitem(s, d)
+        .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(revenueExpr.as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name"),
+      Some(s"""
+        SELECT r_name, n_name, $RevenueSql AS revenue, COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name""")),
+
+    // ---- q03: TPC-H Q3 style top-k revenue orders ------------------------
+    QueryDef("q03_top_revenue_orders",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast("timestamp"))
+        .join(T.orders(s, d).filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(T.customer(s, d).filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenueExpr.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      Some(s"""
+        SELECT l_orderkey, o_orderdate, $RevenueSql AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")),
+
+    // ---- q04: TPC-H Q4 style EXISTS (left-semi join w/ extra condition) ---
+    QueryDef("q04_order_priority",
+      (s, d) => {
+        val o = T.orders(s, d); val l = T.lineitem(s, d)
+        o.join(l, col("l_orderkey") === col("o_orderkey") &&
+                  col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ---- q05: window row_number / per-customer top-3 orders ---------------
+    QueryDef("q05_customer_order_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T.orders(s, d)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+          .orderBy("o_custkey", "rnk")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+          FROM orders) t
+        WHERE rnk <= 3
+        ORDER BY o_custkey, rnk""")),
+
+    // ---- q06: running total window (unbounded preceding frame) ------------
+    QueryDef("q06_running_totals",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.orders(s, d)
+          .withColumn("running_spend", sum(dec2("o_totalprice")).over(w).cast("double"))
+          .select("o_custkey", "o_orderkey", "running_spend")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        FROM orders
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- q07: set operations (INTERSECT / EXCEPT / UNION ALL) -------------
+    QueryDef("q07_setops",
+      (s, d) => {
+        val rich  = T.customer(s, d).filter(col("c_acctbal") > 1000).select("c_custkey")
+        val buyer = T.orders(s, d).select(col("o_custkey").as("c_custkey"))
+        val both     = rich.intersect(buyer).withColumn("tag", lit("both"))
+        val balOnly  = rich.except(buyer).withColumn("tag", lit("only_bal"))
+        both.unionAll(balOnly)
+          .select("tag", "c_custkey")
+          .orderBy("tag", "c_custkey")
+      },
+      Some("""
+        SELECT 'both' AS tag, c_custkey FROM (
+          SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+          INTERSECT SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'only_bal' AS tag, c_custkey FROM (
+          SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+          EXCEPT SELECT o_custkey FROM orders)
+        ORDER BY tag, c_custkey""")),
+
+    // ---- q08: anti join (customers without orders) ------------------------
+    QueryDef("q08_customers_without_orders",
+      (s, d) => T.customer(s, d)
+        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---- q09: ROLLUP grouping sets -----------------------------------------
+    QueryDef("q09_rollup_nation_revenue",
+      (s, d) => {
+        // Dataset-API rollup over a join chain trips Spark's ambiguous-
+        // self-join check on the grouping columns; SQL resolution doesn't.
+        T.orders(s, d).createOrReplaceTempView("g_orders")
+        T.customer(s, d).createOrReplaceTempView("g_customer")
+        broadcast(T.nation(s, d)).createOrReplaceTempView("g_nation")
+        broadcast(T.region(s, d)).createOrReplaceTempView("g_region")
+        s.sql("""
+          SELECT COALESCE(r_name,'ALL') AS region_name,
+                 COALESCE(n_name,'ALL') AS nation_name,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend,
+                 COUNT(*) AS n_orders
+          FROM g_orders
+          JOIN g_customer ON o_custkey = c_custkey
+          JOIN g_nation   ON c_nationkey = n_nationkey
+          JOIN g_region   ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP(r_name, n_name)
+          ORDER BY region_name, nation_name""")
+      },
+      Some("""
+        SELECT COALESCE(r_name,'ALL') AS region_name, COALESCE(n_name,'ALL') AS nation_name,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend,
+          COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY region_name, nation_name""")),
+
+    // ---- q10: date functions + agg -----------------------------------------
+    QueryDef("q10_orders_by_year",
+      (s, d) => T.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(dec2("o_totalprice")).cast("double").as("total_price"))
+        .orderBy("yr", "o_orderstatus"),
+      Some("""
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr, o_orderstatus,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    // ---- q11: JSON extraction over events ----------------------------------
+    QueryDef("q11_event_json",
+      (s, d) => T.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("k")).as("sum_k"),
+             max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          CAST(MAX(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---- q12: time-bucketed event aggregation (streaming-window analog) ----
+    QueryDef("q12_daily_event_stats",
+      (s, d) => T.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day", "event_type"),
+      Some("""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+          COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    // ---- q13: CUBE grouping sets --------------------------------------------
+    QueryDef("q13_cube_status_priority",
+      (s, d) => T.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority"),
+      Some("""
+        SELECT COALESCE(o_orderstatus,'ALL') AS status,
+               COALESCE(o_orderpriority,'ALL') AS priority,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // ---- q14: multi distinct aggregation ------------------------------------
+    QueryDef("q14_distinct_parts_suppliers",
+      (s, d) => T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+          COUNT(DISTINCT l_partkey) AS n_parts,
+          COUNT(DISTINCT l_suppkey) AS n_supps,
+          COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // ---- q15: join + agg + top-k --------------------------------------------
+    QueryDef("q15_top_parts_by_quantity",
+      (s, d) => T.lineitem(s, d)
+        .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey", "p_name")
+        .agg(sum(dec2("l_quantity")).cast("double").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("p_partkey"))
+        .limit(20),
+      Some("""
+        SELECT p_partkey, p_name,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_partkey, p_name
+        ORDER BY total_qty DESC, p_partkey
+        LIMIT 20""")),
+
+    // ---- q16: agg-subquery join (above-nation-average customers) ------------
+    QueryDef("q16_above_avg_customers",
+      (s, d) => {
+        val c = T.customer(s, d)
+        val natAvg = c.groupBy("c_nationkey")
+          .agg((sum(dec2("c_acctbal")).cast("double") / count(lit(1))).as("nation_avg"))
+        c.join(natAvg, Seq("c_nationkey"))
+          .filter(col("c_acctbal") > col("nation_avg"))
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        JOIN (SELECT c_nationkey,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS nation_avg
+              FROM customer GROUP BY c_nationkey) na
+          USING (c_nationkey)
+        WHERE c_acctbal > nation_avg
+        ORDER BY c_custkey"""))
+  )
+}
