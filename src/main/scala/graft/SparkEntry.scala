@@ -11,7 +11,8 @@ object SparkEntry {
     queries_.flatten
 
   private def queries_ : Seq[Seq[QueryDef]] = Seq(
-    graft.queries.HostQueries.all
+    graft.queries.HostQueries.all,
+    graft.queries.PipelineQueries.all
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `array<float>` columns.
+  *
+  * Numeric determinism: components are cast to double (exact) and folded
+  * strictly left-to-right with `aggregate`, so dot products are bit-identical
+  * to any engine that folds in index order (the DuckDB oracle mirrors this
+  * with `list_reduce`); sqrt/divide are correctly-rounded IEEE ops. That makes
+  * cosine similarity hash-comparable across engines — no tolerance needed.
+  *
+  * Scale design (100 TB):
+  *  - brute-force kNN broadcasts the (small) query set and scans the corpus
+  *    once — no shuffle at all until the final per-query top-k;
+  *  - the blocked near-dup join shuffles both sides on the blocking key and
+  *    is quadratic only within a block;
+  *  - the LSH variant (random hyperplanes) buckets the corpus so candidate
+  *    generation is a hash join on (table, bucket-signature), then verifies
+  *    exact cosine on candidates only.
+  */
+object Similarity {
+
+  /** Exact cast to double — float arithmetic differs between engines. */
+  def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Left-to-right fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** cosine = dot / (normA * normB); callers should pre-compute norms when
+    * one side is reused (see knnBruteForce). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Corpus with vector cast + pre-computed norm: (idCol, v, nrm). */
+  def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+
+  /** Brute-force cosine top-k: for every query vector, the k nearest corpus
+    * vectors. The query side MUST be broadcast-size (it is sent to every
+    * task); the corpus streams through map-side only, and the single shuffle
+    * is the per-query top-k (rank window over q_id).
+    * Output: (q_id, id, sim, rnk). */
+  def knnBruteForce(corpus: DataFrame, corpusId: String, queries: DataFrame,
+                    queryId: String, vecCol: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, corpusId, vecCol)
+    val q = broadcast(withNorm(queries, queryId, vecCol)
+      .select(col(queryId).as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val sims = c.crossJoin(q)
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(corpusId))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col(corpusId).as("id"), col("sim"), col("rnk"))
+  }
+
+  /** Exact cosine near-duplicate pairs within a blocking key (e.g. a coarse
+    * cluster/label/partition-date): quadratic only inside each block, and the
+    * block join is an ordinary shuffled equi-join — the standard exact
+    * pattern when a natural blocking key exists.
+    * Output: (id_a, id_b, sim) with id_a < id_b, sim >= minSim. */
+  def cosineNearDupBlocked(df: DataFrame, idCol: String, vecCol: String,
+                           blockCol: String, minSim: Double): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    e.as("a").join(e.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** Deterministic pseudo-gaussian hyperplanes for LSH, generated driver-side
+    * from a fixed seed and embedded as literals (tables × planes × dim). */
+  private def planes(tables: Int, planesPerTable: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, planesPerTable, dim) {
+      // sum of 4 uniforms ~ gaussian enough for hyperplane LSH
+      (rnd.nextDouble() + rnd.nextDouble() + rnd.nextDouble() + rnd.nextDouble()) - 2.0
+    }
+  }
+
+  private def bucketKey(v: Column, tablePlanes: Array[Array[Double]]): Column = {
+    val bits = tablePlanes.zipWithIndex.map { case (p, j) =>
+      val proj = aggregate(
+        zip_with(v, array(p.map(lit): _*), (x, h) => x * h),
+        lit(0.0), (acc, t) => acc + t)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate NN via random-hyperplane LSH: per table, corpus and queries
+    * hash to a signed-projection bucket; candidates are bucket collisions in
+    * any table; exact cosine is computed on candidates only and the top-k
+    * kept. Recall < 1 by design (see the spec, which measures it against
+    * [[knnBruteForce]]); throughput at scale is what the bucketing buys.
+    * Output: (q_id, id, sim, rnk) like knnBruteForce. */
+  def annLshTopK(corpus: DataFrame, corpusId: String, queries: DataFrame,
+                 queryId: String, vecCol: String, k: Int, dim: Int,
+                 tables: Int = 8, planesPerTable: Int = 8,
+                 seed: Long = 42L): DataFrame = {
+    val pl = planes(tables, planesPerTable, dim, seed)
+    def bucketed(df: DataFrame, idAs: String, vAs: String, nAs: String) = {
+      val base = withNorm(df, if (idAs == "q_id") queryId else corpusId, vecCol)
+        .withColumnRenamed(if (idAs == "q_id") queryId else corpusId, idAs)
+        .withColumnRenamed("v", vAs).withColumnRenamed("nrm", nAs)
+      base.select(col(idAs), col(vAs), col(nAs), explode(array(
+        pl.zipWithIndex.map { case (tp, t) =>
+          struct(lit(t).as("t"), bucketKey(col(vAs), tp).as("bk"))
+        }: _*)).as("tb"))
+        .select(col(idAs), col(vAs), col(nAs),
+          col("tb.t").as("t"), col("tb.bk").as("bk"))
+    }
+    val cb = bucketed(corpus, "id", "v", "nrm")
+    val qb = bucketed(queries, "q_id", "qv", "qn")
+    val cand = cb.join(qb, Seq("t", "bk"))
+      .select("q_id", "id", "v", "nrm", "qv", "qn")
+      .dropDuplicates("q_id", "id")
+    val sims = cand.withColumn("sim",
+      dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "id", "sim", "rnk")
+  }
+}

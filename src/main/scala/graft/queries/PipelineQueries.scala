@@ -1,0 +1,272 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators as driver-checkable queries (SURVEY.md
+  * §7.5, the beyond-reference tier): dedup (exact / n-gram Jaccard /
+  * MinHash-LSH / SimHash), embedding similarity (brute-force kNN / blocked
+  * near-dup / LSH ANN), text analysis (tokens, quality, language-ID,
+  * fingerprints), as-of join, sessionization, multimodal plumbing.
+  *
+  * Queries with `oracle = Some(sql)` are hash-compared against DuckDB — the
+  * SQL mirrors the Spark expression tree operation-for-operation (same fold
+  * order for float work, same integer/decimal types) so results are
+  * bit-identical. Approximate operators (MinHash, SimHash, LSH ANN) get
+  * rows-only driver checks plus exactness/recall ScalaTest specs against
+  * their exact counterparts.
+  */
+object PipelineQueries {
+
+  /** Shared DuckDB fragments, kept in lockstep with TextOps/Similarity. */
+  private val ToksSql = "string_split_regex(trim(text), '\\s+')"
+  private val StopSql = TextOps.Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x,y) -> x+y)"
+  private def normSql(v: String) =
+    s"sqrt(list_reduce(list_transform(range(1, len($v)+1), i -> $v[i]*$v[i]), (x,y) -> x+y))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- p01: exact dedup groups by content fingerprint --------------------
+    QueryDef("p01_dedup_exact",
+      (s, d) => Dedup.exactGroups(T.documents(s, d), "doc_id", "text")
+        .orderBy("fp"),
+      Some("""
+        SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    // ---- p02: per-document text statistics & quality score -----------------
+    QueryDef("p02_doc_quality",
+      (s, d) => T.documents(s, d).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_units"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextOps.meanTokenLen(col("text")).as("mean_token_len"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents)
+        SELECT doc_id,
+          len(toks) AS n_tokens,
+          len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_units,
+          CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+            / CAST(greatest(len(text), 1) AS DOUBLE) AS punct_ratio,
+          CAST(len(list_filter(toks, x -> x IN $StopSql)) AS DOUBLE)
+            / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+          CAST(list_reduce(list_transform(toks, x -> len(x)), (a,b) -> a+b) AS DOUBLE)
+            / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_token_len,
+          least(CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+           + least(CAST(len(list_filter(toks, x -> x IN $StopSql)) AS DOUBLE)
+                     / CAST(greatest(len(toks), 1) AS DOUBLE) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+           + (CAST(1.0 AS DOUBLE)
+              - least(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                        / CAST(greatest(len(text), 1) AS DOUBLE) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)
+            AS quality
+        FROM t ORDER BY doc_id""")),
+
+    // ---- p03: language-ID heuristic vs the synthetic label -----------------
+    QueryDef("p03_langid",
+      (s, d) => T.documents(s, d)
+        .withColumn("pred_lang", TextOps.langIdPredict(col("text")))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang"),
+      Some(s"""
+        SELECT lang,
+          CASE WHEN CAST(len(list_filter($ToksSql, x -> x IN $StopSql)) AS DOUBLE)
+                      / CAST(greatest(len($ToksSql), 1) AS DOUBLE) >= CAST(0.02 AS DOUBLE)
+               THEN 'en' ELSE 'unk' END AS pred_lang,
+          COUNT(*) AS n
+        FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""")),
+
+    // ---- p04: exact word-3-gram Jaccard near-dup pairs ---------------------
+    QueryDef("p04_jaccard_pairs",
+      (s, d) => Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
+        n = 3, minJaccard = 0.5).orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+        sets AS (SELECT doc_id,
+            list_distinct(list_transform(range(0, len(tk)-2),
+              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shs
+          FROM t WHERE len(tk) >= 3),
+        posts AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
+        sizes AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS sz FROM sets),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM posts a JOIN posts b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, inter, uni, jaccard FROM (
+          SELECT id_a, id_b, i AS inter, sa.sz + sb.sz - i AS uni,
+                 i / (sa.sz + sb.sz - i) AS jaccard
+          FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id)
+        WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
+
+    // ---- p05: MinHash-LSH near-dup pairs, exactly verified (no SQL oracle:
+    // xxhash64 is Spark-side; spec cross-checks against p04) ----------------
+    QueryDef("p05_minhash_pairs",
+      (s, d) => Dedup.minhashLshPairs(T.documents(s, d), "doc_id", "text",
+        n = 3, minJaccard = 0.5).orderBy("id_a", "id_b"),
+      None),
+
+    // ---- p06: SimHash near-dup pairs (rows-only; spec-verified) ------------
+    QueryDef("p06_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(T.documents(s, d), "doc_id", "text",
+        maxHamming = 3).orderBy("id_a", "id_b"),
+      None),
+
+    // ---- p07: brute-force cosine top-k (bit-exact vs DuckDB) ---------------
+    QueryDef("p07_knn_cosine",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.knnBruteForce(e, "vec_id",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        sims AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+            ${dotSql("c.v", "q.v")} / (c.nrm * q.nrm) AS sim
+          FROM n c, n q WHERE q.vec_id < 5)
+        SELECT q_id, vec_id, sim, rnk FROM (
+          SELECT q_id, vec_id, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+              AS INTEGER) AS rnk
+          FROM sims)
+        WHERE rnk <= 10 ORDER BY q_id, rnk""")),
+
+    // ---- p08: exact blocked cosine near-dup join (blocking key = label) ----
+    QueryDef("p08_cosine_blocked",
+      (s, d) => Similarity.cosineNearDupBlocked(T.embeddings(s, d),
+        "vec_id", "embedding", "label", minSim = 0.3).orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM e)
+        SELECT id_a, id_b, sim FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        WHERE sim >= 0.3 ORDER BY id_a, id_b""")),
+
+    // ---- p09: LSH approximate NN (rows-only; recall measured in spec) ------
+    QueryDef("p09_ann_lsh",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.annLshTopK(e, "vec_id", e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, dim = 64)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("q_id", "rnk")
+      },
+      None),
+
+    // ---- p10: winnowing fingerprints (rolling-hash mirror in DuckDB) -------
+    QueryDef("p10_winnowing",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"), TextOps.charCodes(col("text")).as("ch"))
+        .select(col("doc_id"), TextOps.kgramHashes(col("ch")).as("kgrams"))
+        .select(col("doc_id"), TextOps.winnowFromKgrams(col("kgrams")).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          array_min(col("fps")).as("fp_min"),
+          array_max(col("fps")).as("fp_max"),
+          aggregate(col("fps"), lit(0L), (a, b) => a + b).as("fp_sum"))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH c AS (SELECT doc_id,
+            list_transform(range(1, strlen(text)+1), i -> CAST(unicode(text[i]) AS BIGINT)) AS ch
+          FROM documents),
+        kg AS (SELECT doc_id,
+            CASE WHEN len(ch) >= 8 THEN
+              list_transform(range(0, len(ch)-7),
+                i -> list_reduce(ch[i+1:i+8], (a,b) -> (a*31+b) % 1000000000000037))
+            ELSE [] END AS kgrams
+          FROM c),
+        fp AS (SELECT doc_id,
+            CASE WHEN len(kgrams) >= 4 THEN
+              list_sort(list_distinct(list_transform(range(0, len(kgrams)-3),
+                i -> list_min(kgrams[i+1:i+4]))))
+            ELSE list_sort(list_distinct(kgrams)) END AS fps
+          FROM kg)
+        SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+          list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+          list_reduce(fps, (a,b) -> a+b) AS fp_sum
+        FROM fp ORDER BY doc_id""")),
+
+    // ---- p11: as-of join (latest signup at or before each event) -----------
+    QueryDef("p11_asof_signup",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id", "ts")
+          .agg(max(col("event_id")).as("signup_event_id"))
+          .withColumn("signup_ts", col("ts"))
+        AsofJoin.asofJoin(
+          ev.select("event_id", "user_id", "ts"), signups,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          payload = Seq("signup_event_id", "signup_ts"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH s AS (SELECT user_id, ts, MAX(event_id) AS signup_event_id
+                   FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, e.ts,
+               s.signup_event_id, s.ts AS signup_ts
+        FROM events e ASOF LEFT JOIN s
+          ON e.user_id = s.user_id AND e.ts >= s.ts
+        ORDER BY e.event_id""")),
+
+    // ---- p12: gap-based sessionization (30-min gap) ------------------------
+    QueryDef("p12_sessionize",
+      (s, d) => Sessions.sessionStats(T.events(s, d), "user_id", "ts",
+        tieBreak = "event_id", gapMicros = 1800000000L)
+        .orderBy("user_id", "session_id"),
+      Some("""
+        WITH g AS (SELECT user_id, event_id, ts,
+            CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        se AS (SELECT user_id, ts,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM g)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS t_start, MAX(ts) AS t_end
+        FROM se GROUP BY 1, 2 ORDER BY user_id, session_id""")),
+
+    // ---- p13: multimodal binary plumbing (byte length + fingerprint) -------
+    QueryDef("p13_media_bytes",
+      (s, d) => Multimodal.attachBinary(T.documents(s, d), "text", "image")
+        .select(col("doc_id"),
+          length(col("content")).cast("long").as("n_bytes"),
+          md5(col("text")).as("fp"),
+          col("meta.kind").as("kind"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS fp, 'image' AS kind
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- p14: stubbed decode + feature extraction via mapPartitions --------
+    // (rows-only: the mapPartitions path has no SQL equivalent; determinism
+    // and shape are spec-verified)
+    QueryDef("p14_media_decode",
+      (s, d) => {
+        val media = Multimodal.attachBinary(
+          T.documents(s, d).select("doc_id", "text"), "text", "image")
+        val decoded = Multimodal.decodeMeta(media, "content")
+        Multimodal.extractFeatures(decoded, "content", dim = 8)
+          .select(col("doc_id"), col("decoded_width"), col("decoded_height"),
+            element_at(col("features"), 1).as("f0"),
+            size(col("features")).as("feat_dim"))
+          .orderBy("doc_id")
+      },
+      None)
+  )
+}

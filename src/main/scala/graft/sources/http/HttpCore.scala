@@ -1,0 +1,148 @@
+package graft.sources.http
+
+import java.net.URI
+import java.net.http.{HttpClient => JHttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.{Charset, StandardCharsets}
+import java.time.Duration
+import java.util.concurrent.ConcurrentHashMap
+
+/** Retry/redirect/timeout policy. Defaults mirror the reference's operational
+  * constants (erpl-web `src/include/http_client.hpp:90-97`): 30 s timeout,
+  * 3 retries starting at 100 ms with ×4 exponential backoff, 10 redirects.
+  */
+final case class HttpPolicy(
+    timeoutMs: Long = 30000,
+    retries: Int = 3,
+    retryWaitMs: Long = 100,
+    retryBackoff: Double = 4.0,
+    maxRedirects: Int = 10,
+    cacheTtlMs: Long = 30000)
+
+final case class HttpAuth(
+    bearer: Option[String] = None,
+    basicUser: Option[String] = None,
+    basicPassword: Option[String] = None) {
+  def headerValue: Option[String] = bearer.map("Bearer " + _).orElse(
+    basicUser.map { u =>
+      val raw = u + ":" + basicPassword.getOrElse("")
+      "Basic " + java.util.Base64.getEncoder.encodeToString(raw.getBytes(StandardCharsets.UTF_8))
+    })
+}
+
+final case class HttpResult(
+    status: Int,
+    url: String,
+    headers: Map[String, String],
+    contentType: String,
+    body: Array[Byte]) {
+  /** Body as UTF-8 text after charset conversion (see [[Charsets]]). */
+  def text: String = Charsets.toUtf8(body, contentType)
+}
+
+/** Charset handling per the reference (`src/charset_converter.cpp:7-93`):
+  * convert textual payloads to UTF-8 based on the Content-Type charset;
+  * ISO-8859-1/-15 and windows-1252 recognized, UTF-8 default; binary
+  * content types pass through untouched (callers use `body` directly). */
+object Charsets {
+  def fromContentType(ct: String): Charset = {
+    val lower = Option(ct).getOrElse("").toLowerCase
+    val cs = lower.split(';').map(_.trim).find(_.startsWith("charset="))
+      .map(_.stripPrefix("charset=").trim.stripPrefix("\"").stripSuffix("\""))
+    cs match {
+      case Some("iso-8859-1")  => StandardCharsets.ISO_8859_1
+      case Some("iso-8859-15") => Charset.forName("ISO-8859-15")
+      case Some("windows-1252") | Some("cp1252") => Charset.forName("windows-1252")
+      case Some(other) if Charset.isSupported(other) => Charset.forName(other)
+      case _ => StandardCharsets.UTF_8
+    }
+  }
+  def toUtf8(body: Array[Byte], contentType: String): String =
+    new String(body, fromContentType(contentType))
+}
+
+/** Blocking HTTP client with retry/backoff and a TTL response cache for GETs.
+  *
+  * One instance per JVM-side component (driver planning, or per executor via
+  * `@transient lazy val` in partition readers — the client is NOT serialized;
+  * connection pooling/keep-alive comes from the underlying
+  * `java.net.http.HttpClient`). Sleep schedule matches the reference:
+  * wait × backoff^(attempt-1).
+  */
+class HttpCore(val policy: HttpPolicy = HttpPolicy()) {
+
+  private val client: JHttpClient = JHttpClient.newBuilder()
+    .followRedirects(JHttpClient.Redirect.NORMAL)
+    .connectTimeout(Duration.ofMillis(policy.timeoutMs))
+    .build()
+
+  private case class CacheEntry(at: Long, result: HttpResult)
+  private val cache = new ConcurrentHashMap[String, CacheEntry]()
+
+  def get(url: String, headers: Map[String, String] = Map.empty,
+          auth: HttpAuth = HttpAuth(), useCache: Boolean = true): HttpResult = {
+    if (useCache) {
+      val e = cache.get(url)
+      if (e != null && System.currentTimeMillis() - e.at < policy.cacheTtlMs)
+        return e.result
+    }
+    val r = request("GET", url, None, headers, auth)
+    if (useCache && r.status == 200)
+      cache.put(url, CacheEntry(System.currentTimeMillis(), r))
+    r
+  }
+
+  def request(method: String, url: String, body: Option[(String, String)],
+              headers: Map[String, String] = Map.empty,
+              auth: HttpAuth = HttpAuth()): HttpResult = {
+    var attempt = 0
+    var last: Either[Throwable, HttpResult] = Left(new RuntimeException("unsent"))
+    while (attempt <= policy.retries) {
+      if (attempt > 0) {
+        val sleep = (policy.retryWaitMs *
+          math.pow(policy.retryBackoff, (attempt - 1).toDouble)).toLong
+        Thread.sleep(sleep)
+      }
+      try {
+        val r = send(method, url, body, headers, auth)
+        // retry server-side errors; return everything else
+        if (r.status < 500 || attempt == policy.retries) return r
+        last = Right(r)
+      } catch {
+        case e: Exception => last = Left(e)
+      }
+      attempt += 1
+    }
+    last match {
+      case Right(r) => r
+      case Left(e)  => throw new RuntimeException(s"HTTP $method $url failed after ${policy.retries} retries", e)
+    }
+  }
+
+  private def send(method: String, url: String, body: Option[(String, String)],
+                   headers: Map[String, String], auth: HttpAuth): HttpResult = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(policy.timeoutMs))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    auth.headerValue.foreach(v => b.header("Authorization", v))
+    body match {
+      case Some((content, ct)) =>
+        b.header("Content-Type", ct)
+        b.method(method, HttpRequest.BodyPublishers.ofString(content))
+      case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+    }
+    val resp: HttpResponse[Array[Byte]] =
+      client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    val hs = {
+      val m = scala.collection.mutable.Map[String, String]()
+      resp.headers().map().forEach((k, vs) => m.put(k.toLowerCase, String.join(", ", vs)))
+      m.toMap
+    }
+    HttpResult(resp.statusCode(), url, hs, hs.getOrElse("content-type", ""), resp.body())
+  }
+}
+
+object HttpCore {
+  /** Per-JVM shared instance (executors re-create it after deserialization —
+    * never ship a client over the wire). */
+  lazy val shared = new HttpCore()
+}
