@@ -107,11 +107,14 @@ object EdmTypes {
     case _                            => StringType
   }
 
+  private val DecimalArgsRe = """Edm\.Decimal\((\d+),(\d+)\)""".r
+
   /** DECIMAL with the reference's clamping: p into [1,38], s into [0,p],
     * default (18,0) (`odata_edm.hpp:2111-2118`). */
   def decimal(t: String, precision: Option[Int] = None, scale: Option[Int] = None): DecimalType = {
-    val p0 = precision.getOrElse(18)
-    val s0 = scale.getOrElse(0)
+    val parsed = DecimalArgsRe.findFirstMatchIn(t)
+    val p0 = precision.orElse(parsed.map(_.group(1).toInt)).getOrElse(18)
+    val s0 = scale.orElse(parsed.map(_.group(2).toInt)).getOrElse(0)
     val p = math.max(1, math.min(38, p0))
     val s = math.max(0, math.min(p, s0))
     DecimalType(p, s)

@@ -55,6 +55,7 @@ final case class ODataConf(
     skip: Option[Long] = None,
     pageSize: Option[Int] = None,
     parallelism: Int = 1,
+    partitionRows: Long = 100000L,
     bearer: Option[String] = None,
     user: Option[String] = None,
     password: Option[String] = None) {
@@ -73,6 +74,7 @@ object ODataConf {
       skip = o.get("skip").map(_.toLong),
       pageSize = o.get("pagesize").map(_.toInt),
       parallelism = o.getOrElse("parallelism", "1").toInt,
+      partitionRows = o.getOrElse("partitionrows", "100000").toLong,
       bearer = o.get("bearertoken"),
       user = o.get("user"),
       password = o.get("password"))
@@ -225,8 +227,9 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
       // Beyond-reference parallel scan: probe $count, then $skip/$top ranges.
       countRows() match {
         case Some(total) if total > 0 =>
+          // at least partitionRows rows per range; cap at `parallelism`
           val nParts = math.min(conf.parallelism.toLong,
-            math.max(1L, total / 1000L + 1L)).toInt
+            math.max(1L, (total + conf.partitionRows - 1) / conf.partitionRows)).toInt
           val per = (total + nParts - 1) / nParts
           (0 until nParts).map { i =>
             val skipBase = conf.skip.getOrElse(0L) + offset.map(_.toLong).getOrElse(0L)

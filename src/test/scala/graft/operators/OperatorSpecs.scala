@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Correctness specs for the approximate / non-SQL-expressible operators:
+  * MinHash-LSH vs exact Jaccard, SimHash behavior on perturbed docs, ANN
+  * recall vs brute force, as-of join vs a hand oracle, multimodal
+  * determinism. Near-duplicates are synthesized by perturbing the driver
+  * corpus (test-side only; inputs themselves are never regenerated). */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** documents + a near-dup of each doc 0..9 (drop last 2 words) and an exact
+    * dup of doc 0. */
+  private lazy val corpus = {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text").cache()
+    val near = docs.filter($"doc_id" < 10)
+      .select(($"doc_id" + 10000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 2), ' ')").as("text"))
+    val exact = docs.filter($"doc_id" === 0)
+      .select(($"doc_id" + 20000).as("doc_id"), $"text")
+    docs.unionByName(near).unionByName(exact).cache()
+  }
+
+  test("dedupExact keeps one row per distinct text (min id)") {
+    val out = Dedup.dedupExact(corpus, "doc_id", "text")
+    assert(out.count() == corpus.count() - 1) // one exact dup removed
+    assert(out.filter($"doc_id" === 20000).count() == 0)
+    assert(out.filter($"doc_id" === 0).count() == 1)
+  }
+
+  test("minhash-LSH finds every pair exact Jaccard finds (high threshold)") {
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "synthesized near-dups should produce pairs")
+    // verification makes precision exact; recall at j>=0.7 with b=16,r=4
+    // is >0.998 per the LSH curve — on this corpus it must be total
+    assert(lsh == exact, s"missing=${exact -- lsh} spurious=${lsh -- exact}")
+  }
+
+  test("minhash signatures of identical texts are identical") {
+    val sets = Dedup.shingleSets(corpus.filter($"doc_id".isin(0, 20000)), "doc_id", "text", 3)
+    val sigs = sets.select(col("id"), Dedup.shingleFps($"shingles").as("fps"))
+      .select(col("id"), Dedup.minhashSignature($"fps", 64).as("sig"))
+      .collect().map(_.getSeq[Long](1))
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("simhash: identical texts collide; perturbed docs are close") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // the exact dup pair must appear at hamming 0
+    assert(pairs.exists(p => p._1 == 0 && p._2 == 20000 && p._3 == 0))
+  }
+
+  test("jaccardPairs maxDocFreq cap drops hot shingles but keeps output shape") {
+    val capped = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.7, maxDocFreq = Some(50))
+    assert(capped.columns.toSeq == Seq("id_a", "id_b", "inter", "uni", "jaccard"))
+    capped.collect() // runs
+  }
+}
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(sf() + "/embeddings.parquet").cache()
+
+  test("knnBruteForce: self is rank 1 with sim ~ 1") {
+    val out = Similarity.knnBruteForce(emb, "vec_id",
+      emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    (0L until 3L).foreach { q =>
+      val top = out.filter(_._1 == q).minBy(_._4)
+      assert(top._2 == q && math.abs(top._3 - 1.0) < 1e-9)
+    }
+    assert(out.count(_._1 == 0L) == 5)
+  }
+
+  test("annLshTopK: every returned neighbor is genuine (sim matches brute force); rank-1 self found") {
+    val bf = Similarity.knnBruteForce(emb, "vec_id", emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", 10)
+      .select($"q_id", $"id", $"sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ann = Similarity.annLshTopK(emb, "vec_id", emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 10, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // self-match always in the same bucket -> rank 1 per query
+    (0L until 5L).foreach { q =>
+      assert(ann.exists(a => a._1 == q && a._2 == q && a._4 == 1), s"self missing for $q")
+    }
+    // any (q,id) that brute force also ranked must carry the identical sim
+    ann.foreach { case (q, id, sim, _) =>
+      bf.get((q, id)).foreach(bfSim => assert(bfSim == sim))
+    }
+  }
+
+  test("cosineNearDupBlocked only pairs within a block") {
+    val out = Similarity.cosineNearDupBlocked(emb, "vec_id", "embedding", "label", 0.0)
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.collect().foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)))
+      assert(r.getLong(0) < r.getLong(1))
+    }
+  }
+}
+
+class AsofJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("asof semantics: latest right <= left time, per key, inclusive") {
+    val left = Seq(
+      (1, 10L), (1, 20L), (1, 30L), (2, 15L), (3, 5L)
+    ).toDF("k", "t")
+    val r2 = Seq((1, 10L, "a"), (1, 25L, "b"), (2, 99L, "z")).toDF("k", "rt", "v")
+    val out = AsofJoin.asofJoin(left, r2, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getAs[String]("v")))
+    assert(out.toSeq == Seq(
+      (1, 10L, "a"),   // inclusive: rt == t
+      (1, 20L, "a"),
+      (1, 30L, "b"),
+      (2, 15L, null),  // right is in the future
+      (3, 5L, null)))  // no right rows for key
+  }
+}
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(sf() + "/documents.parquet")
+    .select("doc_id", "text").limit(50)
+
+  test("attachBinary produces binary content + typed meta struct") {
+    val m = Multimodal.attachBinary(docs, "text", "image")
+    assert(m.schema("content").dataType.typeName == "binary")
+    assert(m.schema("meta").dataType.typeName == "struct")
+    val row = m.select("text", "content").head()
+    assert(new String(row.getAs[Array[Byte]]("content"), "UTF-8") == row.getString(0))
+  }
+
+  test("decodeMeta + extractFeatures are deterministic across runs and partitionings") {
+    val m = Multimodal.attachBinary(docs, "text", "image")
+    def run(parts: Int) =
+      Multimodal.extractFeatures(
+        Multimodal.decodeMeta(m.repartition(parts), "content"), "content", 8)
+        .select("doc_id", "decoded_width", "decoded_height", "features")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getSeq[Float](3))).sortBy(_._1).toSeq
+    assert(run(1) == run(7))
+  }
+
+  test("stub codec shapes: resize stride, frame sampling") {
+    val bytes = Array.tabulate[Byte](100)(_.toByte)
+    assert(Multimodal.StubCodec.resize(bytes, 10).length == 10)
+    val frames = Multimodal.StubCodec.sampleFrames(bytes, 4)
+    assert(frames.size == 4 && frames.head.length == 25)
+    assert(Multimodal.StubCodec.features(bytes, 8).length == 8)
+  }
+}
+
+class SessionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("session splits exactly at gap > threshold") {
+    val ev = Seq(
+      (1L, 0L), (1L, 1000L), (1L, 5000L), // gap 4000 > 3000 -> new session
+      (2L, 0L)
+    ).map { case (u, ms) => (u, new java.sql.Timestamp(ms), ms) }
+      .toDF("user_id", "ts", "event_id")
+    val out = Sessions.sessionize(ev, "user_id", "ts", "event_id", gapMicros = 3000000L)
+      .select("user_id", "event_id", "session_id").orderBy("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0L, 1L), (1L, 1000L, 1L), (1L, 5000L, 2L), (2L, 0L, 1L)))
+  }
+}
+
+class TextOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("shingles: distinct word n-grams; short docs empty") {
+    val df = Seq((1, "a b c d"), (2, "a b")).toDF("id", "text")
+    val out = Dedup.shingleSets(df, "id", "text", 3).collect()
+    assert(out.length == 1)
+    assert(out(0).getSeq[String](1).toSet == Set("a b c", "b c d"))
+  }
+
+  test("quality score is in [0,1] and rewards stopwords") {
+    val df = Seq((1, "the cat is on the mat and it is fine"),
+      (2, "zzz qqq xxx www")).toDF("id", "text")
+    val out = df.select(TextOps.qualityScore($"text").as("q")).collect().map(_.getDouble(0))
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(0) > out(1))
+  }
+
+  test("winnowing: shared fingerprints between overlapping texts") {
+    val df = Seq((1, "the quick brown fox jumps over the lazy dog"),
+      (2, "xx the quick brown fox jumps over something"),
+      (3, "completely different words here entirely")).toDF("id", "text")
+    val fps = df
+      .select($"id", TextOps.charCodes($"text").as("ch"))
+      .select($"id", TextOps.kgramHashes($"ch").as("kg"))
+      .select($"id", TextOps.winnowFromKgrams($"kg").as("fps"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1) & fps(2)).nonEmpty)
+    assert((fps(1) & fps(3)).isEmpty)
+  }
+}

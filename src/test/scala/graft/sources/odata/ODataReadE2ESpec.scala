@@ -1,0 +1,116 @@
+package graft.sources.odata
+
+import graft.SparkSpecBase
+import graft.testkit.ODataStub
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+/** End-to-end: Spark DataFrame reads against the in-process OData stub —
+  * the port's equivalent of the reference's sqllogictests against live
+  * Northwind (SURVEY.md §5), asserting both results AND what reached the
+  * server (pushdown observability, §7.2's success criteria). */
+class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
+
+  var v4: ODataStub = _
+  var v2: ODataStub = _
+
+  override def beforeAll(): Unit = {
+    v4 = new ODataStub(v2 = false).start()
+    v2 = new ODataStub(v2 = true).start()
+    super.beforeAll()
+  }
+  override def afterAll(): Unit = {
+    if (v4 != null) v4.stop()
+    if (v2 != null) v2.stop()
+    super.afterAll()
+  }
+
+  private def read(stub: ODataStub, extra: (String, String)*) = {
+    var r = spark.read.format("odata")
+      .option("url", stub.serviceUrl + "/Customers")
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  test("v4: schema inferred from $metadata; full scan pages via nextLink") {
+    val df = read(v4)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("CustomerID", "CompanyName", "Country", "Revenue", "Founded"))
+    assert(df.schema("Revenue").dataType.typeName == "long")
+    assert(df.schema("Founded").dataType.typeName == "timestamp")
+    assert(df.count() == 20)
+    // pagination: 20 rows / pageSize 5 -> at least 4 data requests
+    assert(v4.requests.count(_.contains("__page=")) >= 3)
+  }
+
+  test("v4: filter/select/limit pushed down to the server") {
+    v4.requests.clear()
+    val df = read(v4)
+      .filter(col("Country") === "Germany")
+      .select("CustomerID", "Revenue")
+      .limit(3)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getString(0).startsWith("C")))
+    val dataReqs = v4.requests.filter(r => r.contains("/Customers?"))
+    assert(dataReqs.exists(_.contains("Country eq 'Germany'")),
+      s"no \\$$filter in: $dataReqs")
+    assert(dataReqs.exists(_.contains("$select=CustomerID,Revenue")),
+      s"no \\$$select in: $dataReqs")
+    assert(dataReqs.exists(_.contains("$top=3")), s"no \\$$top in: $dataReqs")
+  }
+
+  test("v4: numeric comparison filter pushed; residual filters still correct") {
+    v4.requests.clear()
+    val df = read(v4).filter(col("Revenue") > 15000L)
+    assert(df.count() == 5) // revenues 16000..20000
+    assert(v4.requests.exists(_.contains("Revenue gt 15000")))
+  }
+
+  test("v4: offset pushes $skip") {
+    v4.requests.clear()
+    val df = read(v4).orderBy("CustomerID").offset(15)
+    // offset pushdown only fires when Spark plans it against the source;
+    // validate rows either way
+    assert(df.count() == 5)
+  }
+
+  test("v2: d.results envelope, string Int64, /Date()/ timestamps decode") {
+    val df = read(v2)
+    val rows = df.orderBy("CustomerID").collect()
+    assert(rows.length == 20)
+    assert(rows(0).getAs[Long]("Revenue") == 1000L) // "1000" string -> long
+    val ts = rows(0).getAs[java.sql.Timestamp]("Founded")
+    assert(ts.toInstant.toString.startsWith("2000-01-01")) // /Date(946684800000)/
+  }
+
+  test("v2: $format=json forced and filter pushed with v2 dialect") {
+    v2.requests.clear()
+    val df = read(v2).filter(col("Country") === "France")
+    assert(df.count() == 7)
+    val dataReqs = v2.requests.filter(_.contains("/Customers?"))
+    assert(dataReqs.exists(_.contains("$format=json")), s"no format in $dataReqs")
+    assert(dataReqs.exists(_.contains("Country eq 'France'")))
+  }
+
+  test("parallel scan: $count probe + $skip/$top range partitions") {
+    v4.requests.clear()
+    val df = read(v4, "parallelism" -> "4", "partitionRows" -> "5")
+    assert(df.count() == 20)
+    assert(v4.requests.exists(_.contains("/Customers/$count")),
+      s"no count probe in ${v4.requests}")
+    val ranged = v4.requests.filter(r => r.contains("$skip=") && r.contains("$top="))
+    assert(ranged.size >= 2, s"expected ranged partitions, got: ${v4.requests}")
+  }
+
+  test("explain shows pushed filters reached the scan description") {
+    val df = read(v4).filter(col("Country") === "Mexico").select("CustomerID")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("odata "), plan)
+  }
+
+  test("options top/skip behave like the reference named params") {
+    val df = read(v4, "top" -> "4", "skip" -> "2")
+    assert(df.count() == 4)
+  }
+}

@@ -1,0 +1,227 @@
+package graft.testkit
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
+/** In-process OData v2/v4 stub server (zero egress — SURVEY.md §5 port
+  * strategy): serves a `$metadata` EDMX document and a `Customers` entity set
+  * with server-side `$filter`/`$select`/`$top`/`$skip`/`$count` evaluation and
+  * nextLink pagination, and records every request URL so tests can assert
+  * what was pushed down.
+  */
+class ODataStub(v2: Boolean, pageSize: Int = 5) {
+
+  val requests = mutable.ListBuffer[String]()
+
+  /** 20 deterministic customers. */
+  val rows: Seq[Map[String, Any]] = (0 until 20).map { i =>
+    Map(
+      "CustomerID" -> s"C${"%02d".format(i)}",
+      "CompanyName" -> s"Company $i",
+      "Country" -> (if (i % 3 == 0) "Germany" else if (i % 3 == 1) "France" else "Mexico"),
+      "Revenue" -> (1000L * (i + 1)),
+      "Founded" -> (946684800000L + i * 86400000L)) // 2000-01-01 + i days
+  }
+
+  private var server: HttpServer = _
+  def port: Int = server.getAddress.getPort
+  def serviceUrl: String = s"http://localhost:$port/svc"
+
+  def start(): this.type = {
+    server = HttpServer.create(new InetSocketAddress("localhost", 0), 0)
+    server.createContext("/", new Handler)
+    server.setExecutor(null)
+    server.start()
+    this
+  }
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private val metadataXml: String = {
+    val dtType = if (v2) "Edm.DateTime" else "Edm.DateTimeOffset"
+    val versionAttr = if (v2) "" else """Version="4.0""""
+    val dsAttr = if (v2) """m:DataServiceVersion="2.0" xmlns:m="http://schemas.microsoft.com/ado/2007/08/dataservices/metadata"""" else ""
+    s"""<?xml version="1.0" encoding="utf-8"?>
+       |<edmx:Edmx xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx" $versionAttr>
+       |  <edmx:DataServices $dsAttr>
+       |    <Schema xmlns="http://docs.oasis-open.org/odata/ns/edm" Namespace="Stub">
+       |      <EntityType Name="Customer">
+       |        <Key><PropertyRef Name="CustomerID"/></Key>
+       |        <Property Name="CustomerID" Type="Edm.String" Nullable="false"/>
+       |        <Property Name="CompanyName" Type="Edm.String"/>
+       |        <Property Name="Country" Type="Edm.String"/>
+       |        <Property Name="Revenue" Type="Edm.Int64"/>
+       |        <Property Name="Founded" Type="$dtType"/>
+       |      </EntityType>
+       |      <EntityContainer Name="Container">
+       |        <EntitySet Name="Customers" EntityType="Stub.Customer"/>
+       |      </EntityContainer>
+       |    </Schema>
+       |  </edmx:DataServices>
+       |</edmx:Edmx>""".stripMargin
+  }
+
+  private class Handler extends HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val path = ex.getRequestURI.getPath
+      val rawQ = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val decoded = path + (if (rawQ.isEmpty) "" else "?" + URLDecoder.decode(rawQ, StandardCharsets.UTF_8))
+      requests.synchronized { requests += decoded }
+      try route(ex, path, parseQuery(rawQ)) catch {
+        case e: Exception => respond(ex, 500, "text/plain", e.toString)
+      }
+    }
+  }
+
+  private def parseQuery(raw: String): Map[String, String] =
+    raw.split('&').filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+      URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+        URLDecoder.decode(v, StandardCharsets.UTF_8)
+    }.toMap
+
+  private def route(ex: HttpExchange, path: String, q: Map[String, String]): Unit =
+    path match {
+      case "/svc/$metadata" =>
+        respond(ex, 200, "application/xml", metadataXml)
+      case "/svc/Customers/$count" =>
+        val filtered = applyFilter(rows, q.get("$filter"))
+        respond(ex, 200, "text/plain", filtered.size.toString)
+      case "/svc/Customers" =>
+        serveRows(ex, q)
+      case "/svc" | "/svc/" =>
+        respond(ex, 200, "application/json", """{"value":[{"name":"Customers","url":"Customers"}]}""")
+      case _ => respond(ex, 404, "text/plain", s"not found: $path")
+    }
+
+  private def serveRows(ex: HttpExchange, q: Map[String, String]): Unit = {
+    var data = applyFilter(rows, q.get("$filter"))
+    q.get("$skip").map(_.toInt).foreach(n => data = data.drop(n))
+    val explicitTop = q.get("$top").map(_.toInt)
+    explicitTop.foreach(n => data = data.take(n))
+    // nextLink pagination for unlimited scans
+    val page = q.getOrElse("__page", "0").toInt
+    val (slice, hasMore) =
+      if (explicitTop.isDefined) (data, false)
+      else (data.slice(page * pageSize, (page + 1) * pageSize),
+        data.size > (page + 1) * pageSize)
+    val select = q.get("$select").map(_.split(',').map(_.trim).toSeq)
+    val items = slice.map(r => jsonObj(r, select)).mkString("[", ",", "]")
+    val nextLink =
+      if (!hasMore) None
+      else {
+        val keep = q.filter { case (k, _) => k.startsWith("$") }
+          .map { case (k, v) => s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }
+        Some(s"$serviceUrl/Customers?${(keep ++ Seq(s"__page=${page + 1}")).mkString("&")}")
+      }
+    val body =
+      if (v2)
+        s"""{"d":{"results":$items${nextLink.map(l => s""","__next":"$l"""").getOrElse("")}}}"""
+      else
+        s"""{"value":$items${nextLink.map(l => s""","@odata.nextLink":"$l"""").getOrElse("")}}"""
+    respond(ex, 200, "application/json", body)
+  }
+
+  private def jsonObj(r: Map[String, Any], select: Option[Seq[String]]): String = {
+    val fields = Seq("CustomerID", "CompanyName", "Country", "Revenue", "Founded")
+      .filter(f => select.forall(_.contains(f)))
+    fields.map { f =>
+      val v = r(f) match {
+        case s: String => "\"" + s + "\""
+        case l: Long if f == "Founded" =>
+          if (v2) s""""/Date($l)/""""
+          else "\"" + java.time.Instant.ofEpochMilli(l).toString + "\""
+        case l: Long =>
+          if (v2) "\"" + l.toString + "\"" else l.toString // v2 serializes Int64 as string
+        case other => other.toString
+      }
+      s""""$f":$v"""
+    }.mkString("{", ",", "}")
+  }
+
+  // ---- tiny $filter evaluator (eq/ne/gt/ge/lt/le, and/or, startswith) ------
+  private def applyFilter(data: Seq[Map[String, Any]], filter: Option[String]): Seq[Map[String, Any]] =
+    filter match {
+      case None => data
+      case Some(f) => data.filter(r => evalFilter(f.trim, r))
+    }
+
+  def evalFilter(expr: String, row: Map[String, Any]): Boolean = {
+    val e = stripParens(expr.trim)
+    splitTop(e, " or ") match {
+      case Some((l, r)) => evalFilter(l, row) || evalFilter(r, row)
+      case None => splitTop(e, " and ") match {
+        case Some((l, r)) => evalFilter(l, row) && evalFilter(r, row)
+        case None => evalComparison(e, row)
+      }
+    }
+  }
+
+  private def stripParens(s: String): String = {
+    var e = s.trim
+    while (e.startsWith("(") && e.endsWith(")") && balanced(e.substring(1, e.length - 1)))
+      e = e.substring(1, e.length - 1).trim
+    e
+  }
+  private def balanced(s: String): Boolean = {
+    var d = 0
+    s.foreach { c =>
+      if (c == '(') d += 1 else if (c == ')') d -= 1
+      if (d < 0) return false
+    }
+    d == 0
+  }
+  private def splitTop(s: String, op: String): Option[(String, String)] = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length - op.length + 1) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr && c == '(') depth += 1
+      else if (!inStr && c == ')') depth -= 1
+      if (!inStr && depth == 0 && s.regionMatches(i, op, 0, op.length))
+        return Some((s.take(i), s.drop(i + op.length)))
+      i += 1
+    }
+    None
+  }
+
+  private def evalComparison(e: String, row: Map[String, Any]): Boolean = {
+    if (e.startsWith("startswith(")) {
+      val inner = e.stripPrefix("startswith(").stripSuffix(")")
+      val Array(f, v) = inner.split(",", 2).map(_.trim)
+      return row(f).toString.startsWith(v.stripPrefix("'").stripSuffix("'"))
+    }
+    if (e.startsWith("not ")) return !evalFilter(e.stripPrefix("not "), row)
+    val m = "^(\\w+) (eq|ne|gt|ge|lt|le) (.+)$".r.findFirstMatchIn(e)
+      .getOrElse(throw new IllegalArgumentException(s"bad filter: $e"))
+    val (field, op, litRaw) = (m.group(1), m.group(2), m.group(3).trim)
+    val actual = row.get(field).orNull
+    if (litRaw == "null")
+      return if (op == "eq") actual == null else actual != null
+    val cmp: Int = actual match {
+      case s: String => s.compareTo(litRaw.stripPrefix("'").stripSuffix("''").stripSuffix("'"))
+      case l: Long   => l.compareTo(litRaw.toLong)
+      case i: Int    => i.toLong.compareTo(litRaw.toLong)
+      case null      => return false
+      case other     => other.toString.compareTo(litRaw)
+    }
+    op match {
+      case "eq" => cmp == 0
+      case "ne" => cmp != 0
+      case "gt" => cmp > 0
+      case "ge" => cmp >= 0
+      case "lt" => cmp < 0
+      case "le" => cmp <= 0
+    }
+  }
+
+  private def respond(ex: HttpExchange, status: Int, ct: String, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ct)
+    ex.sendResponseHeaders(status, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+}
