@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{VecDot, VecNorm}
+
+/** Session extensions registering graft's native expressions as SQL
+  * functions. Enable with
+  * `spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions`).
+  * Usable from SQL (`SELECT vec_dot(a, b)`) and the DataFrame API
+  * (`call_function("vec_dot", a, b)`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecNorm(children.head)))
+  }
+}

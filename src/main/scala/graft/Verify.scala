@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.ts is nanosecond parquet; read as long, Tables.events converts
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -38,9 +38,13 @@ object Dedup {
     * wordShinglesFromTokens reads a materialized array, not a re-evaluated
     * `split()` subtree (see the staging warning in TextOps). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+    spread(df).select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      // filter on the TOKEN count, not size(shingles): a size(shingles) > 0
+      // predicate gets pushed below the projections by Catalyst and inlines
+      // the whole shingle expression (5 split() copies) into the Filter,
+      // doubling the per-row work. size(toks) >= n is equivalent.
+      .filter(size(col("toks")) >= n)
       .select(col("id"), TextOps.wordShinglesFromTokens(col("toks"), n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
 
   /** Exact n-gram Jaccard near-duplicate pairs via a shingle inverted index.
     *
@@ -54,7 +58,7 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    minJaccard: Double, maxDocFreq: Option[Long] = None): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
+    val sets = shingleSets(df, idCol, textCol, n).cache()
     val posts0 = sets.select(col("id"), explode(col("shingles")).as("sh"))
     val posts = maxDocFreq match {
       case Some(cap) =>
@@ -81,21 +85,28 @@ object Dedup {
     * Long range under ANSI mode: a,f < 2^31 so a*f+b < 2^62 + 2^31. */
   private val MinhashP = 2147483647L
 
-  /** Shingle xxhash64 fingerprints folded into [0, 2^31) — stage as a column
-    * before [[minhashSignature]] (read k times, once per component). */
-  def shingleFps(shingles: Column): Column =
-    transform(shingles, s => pmod(xxhash64(s), lit(1L << 31)))
+  /** Fixed per-component universal-hash multipliers (deterministic across
+    * runs and cluster layouts). */
+  private def minhashA(i: Int): Long = (0x9E3779B9L * (2L * i + 1)) % (MinhashP - 2) + 1
+  private def minhashB(i: Int): Long = (0xC2B2AE3DL * (i + 1L)) % MinhashP
 
-  /** k-component MinHash signature from a materialized fingerprint column.
-    * The i-th component is min over shingles of ((a_i*f + b_i) mod p) with
-    * fixed per-component multipliers — deterministic across runs and cluster
-    * layouts. */
-  def minhashSignature(fps: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i => {
-      val a = pmod(lit(0x9E3779B9L) * (i * 2 + 1), lit(MinhashP - 2)) + lit(1L)
-      val b = pmod(lit(0xC2B2AE3DL) * (i + 1), lit(MinhashP))
-      array_min(transform(fps, f => pmod(a * f + b, lit(MinhashP))))
-    })
+  /** k-component MinHash signatures computed as RELATIONAL AGGREGATION over
+    * the exploded posting list — k `min(...)` aggregates over
+    * `(a_i*f + b_i) mod p` per doc — rather than nested array lambdas.
+    * Array higher-order functions run interpreted in Spark and Catalyst
+    * re-inlines single-lexical-reference subexpressions into lambdas (the
+    * fingerprint array would be recomputed k times per row); a hash aggregate
+    * is whole-stage-codegen'd and combines map-side, so this is both the
+    * fast and the 100 TB-scalable form. Returns (id, sig: array<long>[k]). */
+  def minhashSigTable(sets: DataFrame, k: Int): DataFrame = {
+    val posts = sets.select(col("id"), explode(col("shingles")).as("sh"))
+      .select(col("id"), pmod(xxhash64(col("sh")), lit(1L << 31)).as("f"))
+    val aggs = (0 until k).map { i =>
+      min(pmod(col("f") * lit(minhashA(i)) + lit(minhashB(i)), lit(MinhashP))).as(s"m$i")
+    }
+    posts.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** MinHash-LSH near-duplicate pairs, exactly verified.
     *
@@ -113,8 +124,7 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sets = shingleSets(df, idCol, textCol, n).cache()
-    val sig = sets.select(col("id"), shingleFps(col("shingles")).as("fps"))
-      .select(col("id"), minhashSignature(col("fps"), k).as("sig"))
+    val sig = minhashSigTable(sets, k)
     val bandRows = sig.select(col("id"), explode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bh")))
@@ -137,23 +147,23 @@ object Dedup {
       .select("id_a", "id_b", "inter", "uni", "jaccard")
   }
 
-  /** 64-bit SimHash from a materialized token-hash array column: bit j of the
-    * signature is the sign of the sum over distinct tokens of (+1/-1 per bit
-    * j of xxhash64(token)). `fps` must be a column reference — it is read 64
-    * times (once per bit) and an inline expression would be re-evaluated each
-    * time (HOF lambdas are interpreted, no CSE). */
-  def simhashFromFps(fps: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(63)), j => {
-        val vote = aggregate(fps, lit(0L),
-          (acc, f) => acc + call_function("shiftrightunsigned", f, j).bitwiseAND(lit(1L)) * 2 - 1)
-        when(vote > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
-
-  /** Token xxhash64 fingerprints to stage as a column for [[simhashFromFps]]. */
-  def tokenFps(text: Column): Column =
-    transform(array_distinct(TextOps.tokens(text)), t => xxhash64(t))
+  /** 64-bit SimHash signatures, again as relational aggregation (see
+    * [[minhashSigTable]] for why): explode distinct tokens, xxhash64 each
+    * (codegen'd), then 64 `sum(±1 per bit)` aggregates per doc; bit j of the
+    * signature is the sign of vote j. Returns (id, sig: long). */
+  def simhashSigTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val posts = spread(df)
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(array_distinct(col("toks"))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("f"))
+    val votes = (0 until 64).map { j =>
+      sum(shiftrightunsigned(col("f"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j")
+    }
+    posts.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
 
   /** SimHash near-duplicate pairs within `maxHamming` (< 16-bit-band recall
     * bound: guaranteed complete for maxHamming <= 3 by pigeonhole over 4
@@ -161,8 +171,7 @@ object Dedup {
     * Output: (id_a, id_b, hamming). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), tokenFps(col(textCol)).as("fps"))
-      .select(col("id"), simhashFromFps(col("fps")).as("sig"))
+    val sigs = simhashSigTable(df, idCol, textCol)
     val chunks = sigs.select(col("id"), col("sig"), explode(
       transform(sequence(lit(0), lit(3)),
         c => struct(c.as("ci"),

@@ -23,15 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact cast to double — float arithmetic differs between engines. */
-  def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Exact cast to double (codegen'd elementwise Cast) — float arithmetic
+    * differs between engines, doubles are exact images of floats. */
+  def toDoubleVec(v: Column): Column = v.cast("array<double>")
 
-  /** Left-to-right fold dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Native codegen dot product (graft.functions.VecDot): strict
+    * left-to-right summation, bit-identical to a sequential fold. Requires
+    * GraftExtensions on the session (all graft entry points register it). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  def l2Norm(a: Column): Column = call_function("vec_norm", a)
 
   /** cosine = dot / (normA * normB); callers should pre-compute norms when
     * one side is reused (see knnBruteForce). */
@@ -39,7 +40,7 @@ object Similarity {
 
   /** Corpus with vector cast + pre-computed norm: (idCol, v, nrm). */
   def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol), toDoubleVec(col(vecCol)).as("v"))
+    spread(df).select(col(idCol), toDoubleVec(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
 
   /** Brute-force cosine top-k: for every query vector, the k nearest corpus

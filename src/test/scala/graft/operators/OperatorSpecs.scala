@@ -45,10 +45,9 @@ class DedupSpec extends SparkSpecBase {
 
   test("minhash signatures of identical texts are identical") {
     val sets = Dedup.shingleSets(corpus.filter($"doc_id".isin(0, 20000)), "doc_id", "text", 3)
-    val sigs = sets.select(col("id"), Dedup.shingleFps($"shingles").as("fps"))
-      .select(col("id"), Dedup.minhashSignature($"fps", 64).as("sig"))
-      .collect().map(_.getSeq[Long](1))
-    assert(sigs(0) == sigs(1))
+    val sigs = Dedup.minhashSigTable(sets, 64)
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(sigs.length == 2 && sigs(0) == sigs(1))
   }
 
   test("simhash: identical texts collide; perturbed docs are close") {

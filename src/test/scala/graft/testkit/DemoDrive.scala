@@ -12,6 +12,7 @@ object DemoDrive {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.catalog.nw", "graft.sources.odata.ODataCatalog")
       .config("spark.sql.catalog.nw.url", stub.serviceUrl)
       .getOrCreate()

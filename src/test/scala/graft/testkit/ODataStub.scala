@@ -25,6 +25,11 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
       "Founded" -> (946684800000L + i * 86400000L)) // 2000-01-01 + i days
   }
 
+  /** ODP delta queue: each pushDelta() becomes one delta batch; token Tk =
+    * "k batches already consumed". */
+  val deltas = mutable.ListBuffer[Seq[Map[String, Any]]]()
+  def pushDelta(rows: Seq[Map[String, Any]]): Unit = deltas.synchronized { deltas += rows }
+
   private var server: HttpServer = _
   def port: Int = server.getAddress.getPort
   def serviceUrl: String = s"http://localhost:$port/svc"
@@ -56,6 +61,7 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
        |      </EntityType>
        |      <EntityContainer Name="Container">
        |        <EntitySet Name="Customers" EntityType="Stub.Customer"/>
+       |        <EntitySet Name="OdpCustomers" EntityType="Stub.Customer"/>
        |      </EntityContainer>
        |    </Schema>
        |  </edmx:DataServices>
@@ -91,10 +97,38 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
         respond(ex, 200, "text/plain", filtered.size.toString)
       case "/svc/Customers" =>
         serveRows(ex, q)
+      case "/svc/OdpCustomers" =>
+        serveOdp(ex, q)
       case "/svc" | "/svc/" =>
         respond(ex, 200, "application/json", """{"value":[{"name":"Customers","url":"Customers"}]}""")
       case _ => respond(ex, 404, "text/plain", s"not found: $path")
     }
+
+  /** ODP endpoint: initial load returns the snapshot + a delta link; a
+    * `!deltatoken=Tk` request returns batches k.. and the advanced token.
+    * `Prefer: odata.track-changes` is acknowledged via Preference-Applied. */
+  private def serveOdp(ex: HttpExchange, q: Map[String, String]): Unit = {
+    val token = q.get("!deltatoken")
+    val (slice, consumed) = deltas.synchronized {
+      token match {
+        case None => (rows, 0)
+        case Some(t) =>
+          val k = t.stripPrefix("T").toInt
+          (deltas.drop(k).flatten.toSeq, deltas.size)
+      }
+    }
+    val newToken = s"T${if (token.isEmpty) 0 else consumed}"
+    val items = slice.map(r => jsonObj(r, None)).mkString("[", ",", "]")
+    val link = s"$serviceUrl/OdpCustomers?!deltatoken=$newToken"
+    val body =
+      if (v2) s"""{"d":{"results":$items,"__delta":"$link"}}"""
+      else s"""{"value":$items,"@odata.deltaLink":"$link"}"""
+    Option(ex.getRequestHeaders.getFirst("Prefer")).foreach { p =>
+      if (p.contains("odata.track-changes"))
+        ex.getResponseHeaders.set("Preference-Applied", "odata.track-changes")
+    }
+    respond(ex, 200, "application/json", body)
+  }
 
   private def serveRows(ex: HttpExchange, q: Map[String, String]): Unit = {
     var data = applyFilter(rows, q.get("$filter"))
