@@ -1,0 +1,152 @@
+package graft.sources.deltashare
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.sources.http.{HttpAuth, HttpCore}
+import graft.sources.odata.ODataJson
+import scala.jdk.CollectionConverters._
+
+/** Delta Sharing client — the port of the reference's delta-share scan
+  * (`src/delta_share_scan.cpp`, 293 LoC + client 851 LoC; SURVEY.md §3.3):
+  * profile JSON → REST discovery → `queryTable` POST returning NDJSON
+  * (protocol / metaData / file lines with presigned URLs) → parallel Parquet
+  * read.
+  *
+  * Where the reference hand-rolls a lock-free work queue claiming one file
+  * per thread (`delta_share_scan.cpp:203-265`), Spark's Parquet source
+  * already parallelizes per file and row-group — `spark.read.parquet(urls)`
+  * IS the scan. Presigned-URL expiry forces eager listing, same as the
+  * reference's InitGlobal.
+  *
+  * Presigned `https://` URLs are not a Hadoop filesystem; [[read]] fetches
+  * them executor-side in parallel into `downloadDir` (shared storage on a
+  * real cluster) and reads the local copies. `file://` URLs are read
+  * directly.
+  */
+final case class DeltaShareProfile(endpoint: String, bearerToken: Option[String]) {
+  def auth: HttpAuth = HttpAuth(bearer = bearerToken)
+}
+
+object DeltaShareProfile {
+  /** Profile file: {"shareCredentialsVersion":1,"endpoint":...,"bearerToken":...} */
+  def fromFile(path: String): DeltaShareProfile = fromJson(Files.readString(Paths.get(path)))
+  def fromJson(json: String): DeltaShareProfile = {
+    val n = ODataJson.parse(json)
+    DeltaShareProfile(
+      n.get("endpoint").asText.stripSuffix("/"),
+      Option(n.get("bearerToken")).map(_.asText))
+  }
+}
+
+final case class DeltaShareFile(url: String, id: String, size: Long)
+final case class DeltaShareTableMeta(schema: StructType, partitionColumns: Seq[String])
+
+class DeltaShareClient(profile: DeltaShareProfile, http: HttpCore = HttpCore.shared) {
+
+  private def getJson(path: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    val r = http.get(profile.endpoint + path, auth = profile.auth, useCache = false)
+    if (r.status != 200) throw new RuntimeException(s"GET $path -> HTTP ${r.status}")
+    val root = ODataJson.parse(r.text)
+    Option(root.get("items")).map(it =>
+      it.elements().asScala.toSeq).getOrElse(Seq.empty)
+  }
+
+  def listShares(): Seq[String] = getJson("/shares").map(_.get("name").asText)
+  def listSchemas(share: String): Seq[String] =
+    getJson(s"/shares/$share/schemas").map(_.get("name").asText)
+  def listTables(share: String, schema: String): Seq[String] =
+    getJson(s"/shares/$share/schemas/$schema/tables").map(_.get("name").asText)
+
+  /** NDJSON protocol+metaData lines (reference `delta_share_scan.cpp:54-122`). */
+  def tableMetadata(share: String, schema: String, table: String): DeltaShareTableMeta = {
+    val r = http.get(
+      s"${profile.endpoint}/shares/$share/schemas/$schema/tables/$table/metadata",
+      auth = profile.auth, useCache = false)
+    if (r.status != 200) throw new RuntimeException(s"metadata -> HTTP ${r.status}")
+    parseMetadata(r.text)
+  }
+
+  private def parseMetadata(ndjson: String): DeltaShareTableMeta = {
+    val lines = ndjson.linesIterator.filter(_.nonEmpty).map(ODataJson.parse).toSeq
+    val meta = lines.flatMap(l => Option(l.get("metaData"))).headOption
+      .getOrElse(throw new RuntimeException("no metaData line in response"))
+    val schemaString = meta.get("schemaString").asText
+    val schema = DataType.fromJson(schemaString).asInstanceOf[StructType]
+    val parts = Option(meta.get("partitionColumns"))
+      .map(_.elements().asScala.toSeq.map(_.asText)).getOrElse(Seq.empty)
+    DeltaShareTableMeta(schema, parts)
+  }
+
+  /** POST query → NDJSON list of presigned file URLs
+    * (`delta_share_client.cpp:31,55-56`). */
+  def queryTable(share: String, schema: String, table: String,
+                 limitHint: Option[Long] = None): (DeltaShareTableMeta, Seq[DeltaShareFile]) = {
+    val body = limitHint.map(l => s"""{"limitHint":$l}""").getOrElse("{}")
+    val r = http.request("POST",
+      s"${profile.endpoint}/shares/$share/schemas/$schema/tables/$table/query",
+      Some((body, "application/json")), auth = profile.auth)
+    if (r.status != 200) throw new RuntimeException(s"query -> HTTP ${r.status}")
+    val lines = r.text.linesIterator.filter(_.nonEmpty).map(ODataJson.parse).toSeq
+    val meta = parseMetadata(r.text)
+    val files = lines.flatMap(l => Option(l.get("file"))).map { f =>
+      DeltaShareFile(f.get("url").asText,
+        Option(f.get("id")).map(_.asText).getOrElse(""),
+        Option(f.get("size")).map(_.asLong).getOrElse(0L))
+    }
+    (meta, files)
+  }
+}
+
+object DeltaShare {
+
+  /** Discovery listings as DataFrames (reference `delta_share_show_*`). */
+  def showShares(spark: SparkSession, profile: DeltaShareProfile): DataFrame = {
+    import spark.implicits._
+    new DeltaShareClient(profile).listShares().toDF("share")
+  }
+  def showSchemas(spark: SparkSession, profile: DeltaShareProfile, share: String): DataFrame = {
+    import spark.implicits._
+    new DeltaShareClient(profile).listSchemas(share).map((share, _)).toDF("share", "schema")
+  }
+  def showTables(spark: SparkSession, profile: DeltaShareProfile, share: String, schema: String): DataFrame = {
+    import spark.implicits._
+    new DeltaShareClient(profile).listTables(share, schema)
+      .map((share, schema, _)).toDF("share", "schema", "table")
+  }
+
+  /** Read a shared table. `file://` URLs go straight to the Parquet source;
+    * presigned http(s) URLs are downloaded executor-side in parallel (one
+    * task per file — the distributed analog of the reference's thread-per-
+    * file claim loop) into `downloadDir`, then read locally. */
+  def read(spark: SparkSession, profile: DeltaShareProfile,
+           share: String, schema: String, table: String,
+           downloadDir: Option[String] = None): DataFrame = {
+    val client = new DeltaShareClient(profile)
+    val (meta, files) = client.queryTable(share, schema, table)
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    val paths: Seq[String] =
+      if (files.forall(_.url.startsWith("file:"))) files.map(_.url)
+      else {
+        val dir = downloadDir.getOrElse(
+          Files.createTempDirectory("delta-share").toString)
+        Files.createDirectories(Paths.get(dir))
+        val bearer = profile.bearerToken
+        spark.sparkContext.parallelize(files.map(f => (f.url, f.id)), files.size)
+          .map { case (url, id) =>
+            // executor-side: rebuild the client (never serialized), stream to
+            // the shared download dir; id-keyed name dedupes re-reads
+            val target = Paths.get(dir, s"$id.parquet")
+            if (!Files.exists(target)) {
+              val resp = HttpCore.shared.get(url, auth = HttpAuth(bearer = bearer), useCache = false)
+              if (resp.status != 200)
+                throw new RuntimeException(s"presigned GET $url -> ${resp.status}")
+              Files.write(target, resp.body)
+            }
+            target.toString
+          }.collect().toSeq
+      }
+    spark.read.schema(meta.schema).parquet(paths: _*)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.sources.http
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import org.apache.spark.sql.SparkSession
+import graft.sources.odata.ODataJson
+
+/** Secret registry + OAuth2 — the port of the reference's secret surface
+  * (SURVEY.md §2.7; `src/secret_functions.cpp`, `src/oauth2_flow_v2.cpp`).
+  *
+  * Secrets live in Spark conf under `spark.graft.secret.<name>.<key>`:
+  * {{{
+  * spark.conf.set("spark.graft.secret.bc.type", "http_bearer")
+  * spark.conf.set("spark.graft.secret.bc.token", "...")
+  * spark.conf.set("spark.graft.secret.bc.scope", "https://api.businesscentral...")
+  * }}}
+  * Lookup by URL picks the secret with the LONGEST matching `scope` prefix
+  * (reference `HttpAuthParams::FromDuckDbSecrets`,
+  * `odata_read_functions.cpp:1802-1808`); an explicitly named secret wins
+  * (`web_functions.cpp:194-246`).
+  */
+object SecretRegistry {
+
+  final case class Secret(name: String, kind: String, props: Map[String, String]) {
+    def auth: HttpAuth = kind match {
+      case "http_basic" =>
+        HttpAuth(basicUser = props.get("user"), basicPassword = props.get("password"))
+      case "oauth2" => // client-credentials, token fetched lazily + cached
+        HttpAuth(bearer = Some(OAuth2.clientCredentialsToken(
+          props("token_endpoint"), props("client_id"),
+          props.getOrElse("client_secret", ""), props.get("oauth_scope"))))
+      case _ => HttpAuth(bearer = props.get("token"))
+    }
+  }
+
+  private def all(spark: SparkSession): Seq[Secret] = {
+    val prefix = "spark.graft.secret."
+    val kvs = spark.conf.getAll.filter(_._1.startsWith(prefix))
+    kvs.groupBy { case (k, _) => k.stripPrefix(prefix).split('.').head }
+      .map { case (name, entries) =>
+        val props = entries.map { case (k, v) =>
+          k.stripPrefix(prefix + name + ".") -> v
+        }
+        Secret(name, props.getOrElse("type", "http_bearer"), props)
+      }.toSeq
+  }
+
+  def byName(spark: SparkSession, name: String): Option[Secret] =
+    all(spark).find(_.name == name)
+
+  /** Longest-scope-prefix match. */
+  def forUrl(spark: SparkSession, url: String): Option[Secret] =
+    all(spark)
+      .filter(s => s.props.get("scope").exists(url.startsWith))
+      .sortBy(-_.props("scope").length)
+      .headOption
+
+  def authFor(spark: SparkSession, url: String, named: Option[String] = None): HttpAuth =
+    named.flatMap(byName(spark, _)).orElse(forUrl(spark, url))
+      .map(_.auth).getOrElse(HttpAuth())
+}
+
+/** OAuth2: client-credentials (machine auth) and the PKCE primitives of the
+  * authorization-code flow (reference `src/oauth2_flow_v2.cpp:46,78-116`).
+  * The interactive browser/callback part of PKCE requires a user agent and
+  * is not runnable in this environment; the verifier/challenge math and the
+  * token POST are the tested surface. Tokens are cached per endpoint+client
+  * until expiry, like the reference persists refreshed tokens. */
+object OAuth2 {
+
+  private case class Tok(value: String, expiresAt: Long)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Tok]()
+
+  def clientCredentialsToken(tokenEndpoint: String, clientId: String,
+                             clientSecret: String, scope: Option[String],
+                             http: HttpCore = HttpCore.shared): String = {
+    val key = s"$tokenEndpoint|$clientId|${scope.getOrElse("")}"
+    val now = System.currentTimeMillis()
+    val hit = cache.get(key)
+    if (hit != null && hit.expiresAt > now + 30000) return hit.value
+    val form = Seq(
+      "grant_type" -> "client_credentials",
+      "client_id" -> clientId,
+      "client_secret" -> clientSecret) ++ scope.map("scope" -> _)
+    val body = form.map { case (k, v) =>
+      k + "=" + java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)
+    }.mkString("&")
+    val resp = http.request("POST", tokenEndpoint,
+      Some((body, "application/x-www-form-urlencoded")))
+    if (resp.status != 200)
+      throw new RuntimeException(s"token endpoint -> HTTP ${resp.status}: ${resp.text.take(200)}")
+    val n = ODataJson.parse(resp.text)
+    val token = n.get("access_token").asText
+    val expiresIn = Option(n.get("expires_in")).map(_.asLong).getOrElse(3600L)
+    cache.put(key, Tok(token, now + expiresIn * 1000))
+    token
+  }
+
+  /** PKCE S256: verifier (43-128 chars of unreserved alphabet) → challenge =
+    * base64url(sha256(verifier)) without padding. */
+  def pkceChallenge(verifier: String): String = {
+    val digest = MessageDigest.getInstance("SHA-256")
+      .digest(verifier.getBytes(StandardCharsets.US_ASCII))
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(digest)
+  }
+
+  def newPkceVerifier(seed: Long = System.nanoTime()): String = {
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+    val rnd = new scala.util.Random(seed)
+    (1 to 64).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+  }
+
+  /** Authorization URL for the PKCE auth-code flow; the reference listens on
+    * a localhost callback (default port 65000) for the code. */
+  def authorizationUrl(authEndpoint: String, clientId: String, redirectUri: String,
+                       challenge: String, scope: Option[String]): String = {
+    val params = Seq(
+      "response_type" -> "code", "client_id" -> clientId,
+      "redirect_uri" -> redirectUri, "code_challenge" -> challenge,
+      "code_challenge_method" -> "S256") ++ scope.map("scope" -> _)
+    authEndpoint + "?" + params.map { case (k, v) =>
+      k + "=" + java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)
+    }.mkString("&")
+  }
+}

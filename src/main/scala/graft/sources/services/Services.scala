@@ -1,0 +1,136 @@
+package graft.sources.services
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import graft.sources.http.SecretRegistry
+import graft.sources.odata.{EdmxParser, ODataMeta, ODataConf, ODataUrl}
+import graft.sources.http.HttpCore
+
+/** Service-specific connectors (SURVEY.md §2.1 bottom half): SAP Datasphere,
+  * SAP Analytics Cloud, Business Central, Dataverse, Microsoft Graph — all
+  * thin URL-builders + auth presets over the same `odata` DataSource
+  * (exactly the reference's architecture: each service module is
+  * configuration over the OData/Graph stack, not its own engine).
+  *
+  * Auth comes from [[SecretRegistry]] — a named secret or the longest
+  * URL-scope match — matching the reference's secret resolution order.
+  */
+object Services {
+
+  private def reader(spark: SparkSession, url: String, secret: Option[String]): DataFrameReader = {
+    val auth = SecretRegistry.authFor(spark, url, secret)
+    var r = spark.read.format("odata").option("url", url)
+    auth.bearer.foreach(t => r = r.option("bearerToken", t))
+    auth.basicUser.foreach(u => r = r.option("user", u))
+    auth.basicPassword.foreach(p => r = r.option("password", p))
+    r
+  }
+
+  // ---- generic OData helpers (odata_describe / odata_attach) --------------
+
+  /** Schema document of a service: one row per (entity_set, property)
+    * (reference `odata_describe_functions.cpp:182-467`). */
+  def odataDescribe(spark: SparkSession, serviceUrl: String): DataFrame = {
+    import spark.implicits._
+    val resp = HttpCore.shared.get(serviceUrl.stripSuffix("/") + "/$metadata")
+    val model = EdmxParser.parse(resp.text)
+    val rows = for {
+      set <- model.entitySets
+      et = model.entityTypes(set.entityTypeName)
+      p <- et.properties
+    } yield (set.name, set.entityTypeName, model.version, p.name, p.edmType,
+      p.nullable, et.keys.contains(p.name))
+    rows.toDF("entity_set", "entity_type", "odata_version", "property",
+      "edm_type", "nullable", "is_key")
+  }
+
+  /** Register a temp view per entity set (reference `odata_attach`,
+    * `odata_attach_functions.cpp:138-175`). Returns the view names. For a
+    * persistent catalog use `spark.sql.catalog.<name> = ODataCatalog`. */
+  def odataAttach(spark: SparkSession, serviceUrl: String,
+                  prefix: String = "", secret: Option[String] = None): Seq[String] = {
+    val resp = HttpCore.shared.get(serviceUrl.stripSuffix("/") + "/$metadata")
+    val model = EdmxParser.parse(resp.text)
+    model.entitySets.map { set =>
+      val view = prefix + set.name
+      reader(spark, serviceUrl.stripSuffix("/") + "/" + set.name, secret)
+        .load().createOrReplaceTempView(view)
+      view
+    }
+  }
+
+  /** SAP Gateway catalog listing (reference `odata_sap_show`): the catalog
+    * service is itself OData — delegate to the provider. */
+  def sapShow(spark: SparkSession, baseUrl: String, secret: Option[String] = None): DataFrame =
+    reader(spark,
+      baseUrl.stripSuffix("/") + "/sap/opu/odata/iwfnd/catalogservice;v=2/ServiceCollection",
+      secret).load()
+
+  // ---- SAP Datasphere ------------------------------------------------------
+
+  /** Relational asset read (reference `datasphere_read_relational`,
+    * `datasphere_read.cpp:105-158`): OData with pushdown; `params` compile
+    * into the parameterized-view URL segment
+    * (`AddInputParametersToUrl`). */
+  def datasphereRelational(spark: SparkSession, baseUrl: String, spaceId: String,
+                           assetId: String, params: Map[String, String] = Map.empty,
+                           secret: Option[String] = None): DataFrame = {
+    val paramSeg =
+      if (params.isEmpty) ""
+      else params.map { case (k, v) => s"$k='$v'" }.mkString("(", ",", ")/Set")
+    val url = s"${baseUrl.stripSuffix("/")}/api/v1/dwc/consumption/relational/$spaceId/$assetId$paramSeg"
+    reader(spark, url, secret).load()
+  }
+
+  /** Analytical asset read: metrics/dimensions become `$select`, so the
+    * SERVER aggregates (reference `datasphere_read.cpp:289-312`) — no Spark
+    * groupBy is added on top. */
+  def datasphereAnalytical(spark: SparkSession, baseUrl: String, spaceId: String,
+                           assetId: String, metrics: Seq[String], dimensions: Seq[String],
+                           secret: Option[String] = None): DataFrame = {
+    val url = s"${baseUrl.stripSuffix("/")}/api/v1/dwc/consumption/analytical/$spaceId/$assetId"
+    val sel = (dimensions ++ metrics).mkString(",")
+    val u = if (sel.isEmpty) url else ODataUrl.parse(url).withParam("$select", sel).render
+    reader(spark, u, secret).load()
+  }
+
+  // ---- SAP Analytics Cloud -------------------------------------------------
+
+  /** SAC reads go through `/api/v1/odata/` (reference `sac_url_builder.cpp:18`). */
+  def sacRead(spark: SparkSession, tenantUrl: String, kind: String, modelId: String,
+              secret: Option[String] = None): DataFrame =
+    reader(spark, s"${tenantUrl.stripSuffix("/")}/api/v1/odata/$kind/$modelId", secret).load()
+
+  // ---- Business Central ----------------------------------------------------
+
+  def bcRead(spark: SparkSession, baseUrl: String, company: String, entity: String,
+             secret: Option[String] = None): DataFrame =
+    reader(spark,
+      s"${baseUrl.stripSuffix("/")}/api/v2.0/companies($company)/$entity", secret).load()
+
+  def bcShowEntities(spark: SparkSession, baseUrl: String,
+                     secret: Option[String] = None): DataFrame =
+    odataDescribe(spark, baseUrl.stripSuffix("/") + "/api/v2.0")
+
+  // ---- Dataverse (Dynamics CRM) --------------------------------------------
+
+  def crmRead(spark: SparkSession, orgUrl: String, entity: String,
+              secret: Option[String] = None): DataFrame =
+    reader(spark, s"${orgUrl.stripSuffix("/")}/api/data/v9.2/$entity", secret).load()
+
+  // ---- Microsoft Graph -----------------------------------------------------
+
+  /** Graph endpoints are OData v4 with `@odata.nextLink` pagination — the
+    * same scan loop; fixed endpoint per function like the reference's
+    * graph_users/groups/... (`graph_entra_functions.cpp:488-536`). */
+  def graphRead(spark: SparkSession, resource: String,
+                baseUrl: String = "https://graph.microsoft.com/v1.0",
+                secret: Option[String] = None): DataFrame =
+    reader(spark, s"${baseUrl.stripSuffix("/")}/$resource", secret).load()
+
+  def graphUsers(spark: SparkSession, baseUrl: String = "https://graph.microsoft.com/v1.0",
+                 secret: Option[String] = None): DataFrame =
+    graphRead(spark, "users", baseUrl, secret)
+  def graphGroups(spark: SparkSession, baseUrl: String = "https://graph.microsoft.com/v1.0",
+                  secret: Option[String] = None): DataFrame =
+    graphRead(spark, "groups", baseUrl, secret)
+}

@@ -1,0 +1,85 @@
+package graft.sources.services
+
+import graft.SparkSpecBase
+import graft.testkit.ODataStub
+import graft.sources.http.{OAuth2, SecretRegistry}
+import org.scalatest.BeforeAndAfterAll
+
+class ServicesSpec extends SparkSpecBase with BeforeAndAfterAll {
+
+  var stub: ODataStub = _
+  override def beforeAll(): Unit = {
+    stub = new ODataStub(v2 = false).start()
+    super.beforeAll()
+  }
+  override def afterAll(): Unit = { if (stub != null) stub.stop(); super.afterAll() }
+
+  test("odataDescribe lists entity sets, properties, keys") {
+    val df = Services.odataDescribe(spark, stub.serviceUrl)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSet == Set("Customers", "OdpCustomers"))
+    val keyRow = rows.find(r => r.getString(0) == "Customers" && r.getString(3) == "CustomerID").get
+    assert(keyRow.getBoolean(6)) // is_key
+    assert(rows.exists(r => r.getString(3) == "Revenue" && r.getString(4) == "Edm.Int64"))
+  }
+
+  test("odataAttach registers a queryable temp view per entity set") {
+    val views = Services.odataAttach(spark, stub.serviceUrl, prefix = "att_")
+    assert(views.contains("att_Customers"))
+    val n = spark.sql("SELECT count(*) FROM att_Customers WHERE Country = 'Germany'").head().getLong(0)
+    assert(n == 7)
+  }
+
+  test("secret registry: longest scope prefix wins; named secret overrides") {
+    spark.conf.set("spark.graft.secret.broad.type", "http_bearer")
+    spark.conf.set("spark.graft.secret.broad.token", "broad-token")
+    spark.conf.set("spark.graft.secret.broad.scope", "https://api.example.com")
+    spark.conf.set("spark.graft.secret.narrow.type", "http_bearer")
+    spark.conf.set("spark.graft.secret.narrow.token", "narrow-token")
+    spark.conf.set("spark.graft.secret.narrow.scope", "https://api.example.com/v2")
+    val a = SecretRegistry.authFor(spark, "https://api.example.com/v2/things")
+    assert(a.bearer.contains("narrow-token"))
+    val b = SecretRegistry.authFor(spark, "https://api.example.com/v1/things")
+    assert(b.bearer.contains("broad-token"))
+    val c = SecretRegistry.authFor(spark, "https://api.example.com/v1", named = Some("narrow"))
+    assert(c.bearer.contains("narrow-token"))
+    assert(SecretRegistry.authFor(spark, "https://other.host/x").bearer.isEmpty)
+  }
+
+  test("basic-auth secret renders an Authorization header") {
+    spark.conf.set("spark.graft.secret.basic1.type", "http_basic")
+    spark.conf.set("spark.graft.secret.basic1.user", "u")
+    spark.conf.set("spark.graft.secret.basic1.password", "p")
+    val auth = SecretRegistry.byName(spark, "basic1").get.auth
+    assert(auth.headerValue.contains("Basic " +
+      java.util.Base64.getEncoder.encodeToString("u:p".getBytes)))
+  }
+
+  test("oauth2 secret fetches + caches a client-credentials token") {
+    spark.conf.set("spark.graft.secret.cc.type", "oauth2")
+    spark.conf.set("spark.graft.secret.cc.token_endpoint", s"http://localhost:${stub.port}/token")
+    spark.conf.set("spark.graft.secret.cc.client_id", "my-client")
+    spark.conf.set("spark.graft.secret.cc.client_secret", "shh")
+    val auth = SecretRegistry.byName(spark, "cc").get.auth
+    assert(auth.bearer.contains("cc-token-123"))
+    val tokenCalls = stub.requests.count(_ == "/token")
+    SecretRegistry.byName(spark, "cc").get.auth // cached: no second POST
+    assert(stub.requests.count(_ == "/token") == tokenCalls)
+  }
+
+  test("PKCE: RFC 7636 appendix B test vector") {
+    // verifier from the RFC -> expected S256 challenge
+    val verifier = "dBjftJeZ4CVP-mB92K27uhbUJU1p1r_wW1gFWFOEjXk"
+    assert(OAuth2.pkceChallenge(verifier) == "E9Melhoa2OwvFrEMTJguCHaoeK1t8URWbuGJSstw-cM")
+    val v = OAuth2.newPkceVerifier(42L)
+    assert(v.length == 64 && v.forall(
+      c => c.isLetterOrDigit || "-._~".contains(c)))
+  }
+
+  test("authorization URL carries PKCE params") {
+    val u = OAuth2.authorizationUrl("https://login/auth", "cid",
+      "http://localhost:65000/callback", "CHAL", Some("read"))
+    assert(u.contains("response_type=code") && u.contains("code_challenge=CHAL")
+      && u.contains("code_challenge_method=S256"))
+  }
+}

@@ -29,6 +29,26 @@ object DemoDrive {
     spark.sql("SHOW TABLES IN nw.main").show()
     spark.sql("SELECT CustomerID, Revenue FROM nw.main.Customers WHERE Revenue > 15000 ORDER BY CustomerID").show()
 
+    println("== delta sharing ==")
+    import spark.implicits._
+    val shareDir = java.nio.file.Files.createTempDirectory("demo-share")
+    (0 until 50).map(i => (i.toLong, s"it$i")).toDF("id", "name")
+      .write.parquet(shareDir.toString + "/t")
+    stub.shareFiles = java.nio.file.Files.list(java.nio.file.Paths.get(shareDir.toString + "/t"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path]).filter(_.toString.endsWith(".parquet")).toSeq
+    stub.shareSchemaJson = (0 until 1).map(i => (i.toLong, "x")).toDF("id", "name").schema.json
+    val profile = graft.sources.deltashare.DeltaShareProfile(s"http://localhost:${stub.port}", None)
+    val shared = graft.sources.deltashare.DeltaShare.read(spark, profile, "sales", "core", "tx")
+    println(s"shared table rows: ${shared.count()}")
+
+    println("== rest-items write ==")
+    Seq(("w1", 1), ("w2", 2)).toDF("name", "qty").write.format("rest-items")
+      .option("url", s"http://localhost:${stub.port}/items").mode("append").save()
+    println(s"items POSTed: ${stub.postedItems.size}")
+
+    println("== http_get ==")
+    graft.sources.http.HttpFunctions.httpGet(spark, stub.serviceUrl + "/Customers?$top=2").show(truncate = false)
+
     println("== server saw ==")
     stub.requests.foreach(r => println("  " + r))
     stub.stop()

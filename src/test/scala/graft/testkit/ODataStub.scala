@@ -30,6 +30,14 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
   val deltas = mutable.ListBuffer[Seq[Map[String, Any]]]()
   def pushDelta(rows: Seq[Map[String, Any]]): Unit = deltas.synchronized { deltas += rows }
 
+  /** REST item sink: rows POSTed to /items collect here. */
+  val postedItems = mutable.ListBuffer[String]()
+
+  /** Delta-Sharing fixture: share/schema/table -> parquet files served at
+    * /files/<name> as "presigned" URLs. */
+  var shareFiles: Seq[java.nio.file.Path] = Seq.empty
+  var shareSchemaJson: String = ""
+
   private var server: HttpServer = _
   def port: Int = server.getAddress.getPort
   def serviceUrl: String = s"http://localhost:$port/svc"
@@ -42,6 +50,14 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
     this
   }
   def stop(): Unit = if (server != null) server.stop(0)
+
+  private def shareNdjsonMeta: String =
+    s"""{"protocol":{"minReaderVersion":1}}
+       |{"metaData":{"id":"m1","format":{"provider":"parquet"},"schemaString":${jsonStr(shareSchemaJson)},"partitionColumns":[]}}
+       |""".stripMargin
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   private val metadataXml: String = {
     val dtType = if (v2) "Edm.DateTime" else "Edm.DateTimeOffset"
@@ -101,6 +117,37 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
         serveOdp(ex, q)
       case "/svc" | "/svc/" =>
         respond(ex, 200, "application/json", """{"value":[{"name":"Customers","url":"Customers"}]}""")
+      case "/token" if ex.getRequestMethod == "POST" =>
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        if (body.contains("grant_type=client_credentials") && body.contains("client_id="))
+          respond(ex, 200, "application/json",
+            """{"access_token":"cc-token-123","token_type":"Bearer","expires_in":3600}""")
+        else respond(ex, 400, "application/json", """{"error":"invalid_request"}""")
+      case "/items" if ex.getRequestMethod == "POST" =>
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        postedItems.synchronized { postedItems += body }
+        respond(ex, 201, "application/json", """{"ok":true}""")
+      // ---- Delta Sharing endpoints ----
+      case "/shares" =>
+        respond(ex, 200, "application/json", """{"items":[{"name":"sales"}]}""")
+      case "/shares/sales/schemas" =>
+        respond(ex, 200, "application/json", """{"items":[{"name":"core"}]}""")
+      case "/shares/sales/schemas/core/tables" =>
+        respond(ex, 200, "application/json", """{"items":[{"name":"tx"}]}""")
+      case "/shares/sales/schemas/core/tables/tx/metadata" =>
+        respond(ex, 200, "application/x-ndjson", shareNdjsonMeta)
+      case "/shares/sales/schemas/core/tables/tx/query" =>
+        val files = shareFiles.zipWithIndex.map { case (p, i) =>
+          s"""{"file":{"url":"http://localhost:$port/files/f$i","id":"f$i","size":${java.nio.file.Files.size(p)}}}"""
+        }
+        respond(ex, 200, "application/x-ndjson",
+          (Seq(shareNdjsonMeta.trim) ++ files).mkString("\n"))
+      case p if p.startsWith("/files/") =>
+        val idx = p.stripPrefix("/files/f").toInt
+        val bytes = java.nio.file.Files.readAllBytes(shareFiles(idx))
+        ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+        ex.sendResponseHeaders(200, bytes.length)
+        val os = ex.getResponseBody; os.write(bytes); os.close()
       case _ => respond(ex, 404, "text/plain", s"not found: $path")
     }
 
