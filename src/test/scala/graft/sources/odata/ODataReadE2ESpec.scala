@@ -113,4 +113,34 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
     val df = read(v4, "top" -> "4", "skip" -> "2")
     assert(df.count() == 4)
   }
+
+  test("$expand produces a nested array<struct> column with spliced data") {
+    v4.requests.clear()
+    val df = read(v4, "expand" -> "Orders")
+    val ordersField = df.schema("Orders")
+    assert(ordersField.dataType.typeName == "array")
+    val inner = ordersField.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(inner.fieldNames.toSeq == Seq("OrderID", "Amount"))
+
+    val rows = df.select("CustomerID", "Orders").orderBy("CustomerID").collect()
+    assert(rows.length == 20)
+    // customer i has i%3 orders with deterministic ids/amounts
+    val c2 = rows.find(_.getString(0) == "C02").get
+    val orders = c2.getSeq[org.apache.spark.sql.Row](1)
+    assert(orders.map(o => (o.getInt(0), o.getDouble(1))) == Seq((20, 200.5), (21, 201.5)))
+    assert(rows.find(_.getString(0) == "C03").get.getSeq[org.apache.spark.sql.Row](1).isEmpty)
+    assert(v4.requests.exists(_.contains("$expand=Orders")))
+  }
+
+  test("$expand on v2 unwraps the results-wrapper and mirrors navs into $select") {
+    v2.requests.clear()
+    val df = read(v2, "expand" -> "Orders").select("CustomerID", "Orders")
+    val c5 = df.filter(col("CustomerID") === "C05").head()
+    val orders = c5.getSeq[org.apache.spark.sql.Row](1)
+    assert(orders.map(_.getInt(0)) == Seq(50, 51))
+    val dataReqs = v2.requests.filter(_.contains("/Customers?"))
+    assert(dataReqs.exists(r => r.contains("$expand=Orders") && r.contains("Orders") &&
+      r.contains("$select=") && r.contains("CustomerID")), s"reqs: $dataReqs")
+  }
 }

@@ -74,6 +74,12 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
        |        <Property Name="Country" Type="Edm.String"/>
        |        <Property Name="Revenue" Type="Edm.Int64"/>
        |        <Property Name="Founded" Type="$dtType"/>
+       |        <NavigationProperty Name="Orders" Type="Collection(Stub.Order)"/>
+       |      </EntityType>
+       |      <EntityType Name="Order">
+       |        <Key><PropertyRef Name="OrderID"/></Key>
+       |        <Property Name="OrderID" Type="Edm.Int32" Nullable="false"/>
+       |        <Property Name="Amount" Type="Edm.Double"/>
        |      </EntityType>
        |      <EntityContainer Name="Container">
        |        <EntitySet Name="Customers" EntityType="Stub.Customer"/>
@@ -189,7 +195,8 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
       else (data.slice(page * pageSize, (page + 1) * pageSize),
         data.size > (page + 1) * pageSize)
     val select = q.get("$select").map(_.split(',').map(_.trim).toSeq)
-    val items = slice.map(r => jsonObj(r, select)).mkString("[", ",", "]")
+    val expand = q.get("$expand").exists(_.contains("Orders"))
+    val items = slice.map(r => jsonObj(r, select, expand)).mkString("[", ",", "]")
     val nextLink =
       if (!hasMore) None
       else {
@@ -205,10 +212,24 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
     respond(ex, 200, "application/json", body)
   }
 
-  private def jsonObj(r: Map[String, Any], select: Option[Seq[String]]): String = {
+  /** Deterministic orders per customer: customer i has i%3 orders. */
+  def ordersOf(customerIdx: Int): Seq[(Int, Double)] =
+    (0 until customerIdx % 3).map(k => (customerIdx * 10 + k, customerIdx * 100 + k + 0.5))
+
+  private def jsonObj(r: Map[String, Any], select: Option[Seq[String]],
+                      expand: Boolean = false): String = {
     val fields = Seq("CustomerID", "CompanyName", "Country", "Revenue", "Founded")
       .filter(f => select.forall(_.contains(f)))
-    fields.map { f =>
+    val expandJson =
+      if (!expand) None
+      else {
+        val idx = r("CustomerID").toString.stripPrefix("C").toInt
+        val os = ordersOf(idx).map { case (oid, amt) =>
+          s"""{"OrderID":$oid,"Amount":$amt}"""
+        }.mkString("[", ",", "]")
+        Some(if (v2) s""""Orders":{"results":$os}""" else s""""Orders":$os""")
+      }
+    (fields.map { f =>
       val v = r(f) match {
         case s: String => "\"" + s + "\""
         case l: Long if f == "Founded" =>
@@ -219,7 +240,7 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
         case other => other.toString
       }
       s""""$f":$v"""
-    }.mkString("{", ",", "}")
+    } ++ expandJson).mkString("{", ",", "}")
   }
 
   // ---- tiny $filter evaluator (eq/ne/gt/ge/lt/le, and/or, startswith) ------
