@@ -334,6 +334,91 @@ object HostQueries {
         ORDER BY total_qty DESC, p_partkey
         LIMIT 20""")),
 
+    // ---- q17: string function library over part -----------------------------
+    QueryDef("q17_string_functions",
+      (s, d) => T.part(s, d)
+        .filter(col("p_type").like("%ECO%") || col("p_name").startsWith("red"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_replace(col("p_type"), "[AEIOU]", "_").as("type_masked"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"))
+        .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey,
+          UPPER(p_brand) AS brand_u,
+          SUBSTRING(p_name, 1, 8) AS name_prefix,
+          CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+          regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked,
+          concat_ws('|', p_brand, p_type) AS brand_type,
+          lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+        FROM part
+        WHERE p_type LIKE '%ECO%' OR p_name LIKE 'red%'
+        ORDER BY p_partkey""")),
+
+    // ---- q18: conditional aggregation (CASE pivot) --------------------------
+    QueryDef("q18_conditional_agg",
+      (s, d) => T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
+          sum(when(col("o_orderstatus") === "F", dec2("o_totalprice"))
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double").as("f_total"))
+        .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority,
+          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+          CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+          CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS f_total
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ---- q19: correlated scalar subquery (latest order per customer) --------
+    QueryDef("q19_latest_order",
+      (s, d) => {
+        T.customer(s, d).createOrReplaceTempView("g19_customer")
+        T.orders(s, d).createOrReplaceTempView("g19_orders")
+        s.sql("""
+          SELECT c_custkey, c_name,
+            (SELECT MAX(o_orderdate) FROM g19_orders WHERE o_custkey = c_custkey) AS last_order
+          FROM g19_customer
+          WHERE c_acctbal > 9000
+          ORDER BY c_custkey""")
+      },
+      Some("""
+        SELECT c_custkey, c_name,
+          (SELECT MAX(o_orderdate) FROM orders WHERE o_custkey = c_custkey) AS last_order
+        FROM customer
+        WHERE c_acctbal > 9000
+        ORDER BY c_custkey""")),
+
+    // ---- q20: lead/lag window functions over events -------------------------
+    QueryDef("q20_event_gaps",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        T.events(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .groupBy("event_type", "prev_type")
+          .agg(count(lit(1)).as("n"), max(col("gap_us")).as("max_gap_us"))
+          .orderBy("event_type", "prev_type")
+      },
+      Some("""
+        WITH g AS (SELECT event_type,
+            lag(event_type) OVER w AS prev_type,
+            epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT event_type, prev_type, COUNT(*) AS n, MAX(gap_us) AS max_gap_us
+        FROM g GROUP BY 1, 2 ORDER BY event_type, prev_type""")),
+
     // ---- q16: agg-subquery join (above-nation-average customers) ------------
     QueryDef("q16_above_avg_customers",
       (s, d) => {

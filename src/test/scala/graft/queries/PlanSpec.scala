@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{SparkSpecBase, SparkEntry}
+
+/** Plan-quality checks: the physical plans the 100 TB design depends on.
+  * These assert the *shape* — broadcasts where a side is dim-sized, filters
+  * reaching the parquet scan, codegen coverage — not timings. */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+
+  test("q02 broadcasts the dimension tables (nation/region), shuffles facts") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the two fact-fact joins must NOT be broadcast at scale: they join on
+    // keys and shuffle; presence of a shuffle/sort-merge path is expected
+    assert(p.contains("Exchange") || p.contains("AQEShuffleRead"), p.take(500))
+  }
+
+  test("q01 pushes the shipdate filter into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01 prunes columns: scan reads only the needed lineitem columns") {
+    val p = plan("q01_pricing_summary")
+    val readSchema = "ReadSchema: struct<" + p.split("ReadSchema: struct<")(1).split(">")(0)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      readSchema)
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_extendedprice"))
+  }
+
+  test("q15 broadcasts part (small dim) against lineitem") {
+    assert(plan("q15_top_parts_by_quantity").contains("BroadcastHashJoin"))
+  }
+
+  test("q03 top-k is a TakeOrderedAndProject, not a global sort") {
+    assert(plan("q03_top_revenue_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline of q01") {
+    // AQE finalizes the physical plan lazily — execute first, then the
+    // formatted plan carries the WholeStageCodegen stage markers
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf("sf0.001"))
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // '*' prefix = inside a whole-stage-codegen stage in formatted mode
+    assert(formatted.contains("* HashAggregate") && formatted.contains("* Filter"),
+      formatted.take(1500))
+  }
+
+  test("p07 kNN: query side broadcast, corpus side has no pre-join shuffle") {
+    val p = plan("p07_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("p07 kNN uses the native codegen vector kernels") {
+    val p = plan("p07_knn_cosine")
+    assert(p.contains("vec_dot") && p.contains("vec_norm"), p.take(2000))
+  }
+
+  test("p01 exact dedup is a single hash aggregate (partial + final)") {
+    val p = plan("p01_dedup_exact")
+    assert(p.contains("HashAggregate"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("p11 asof join plans one shuffle on the key + one window pass") {
+    val p = plan("p11_asof_signup")
+    assert(p.contains("Window"), p.take(1000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "asof must not fall back to a product join")
+  }
+}
