@@ -98,6 +98,49 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) approximate NN: corpus vectors are assigned to
+    * their nearest of `nCentroids` cells (centroids drawn deterministically
+    * from the corpus itself, normalized); a query probes its `nProbe`
+    * closest cells and searches exactly inside them. The cell assignment is
+    * one map-side pass (native vec_dot against centroid literals) and the
+    * candidate join is an equi-join on cell id — the standard IVF trade:
+    * recall grows with nProbe, cost with nProbe/nCentroids.
+    * Output: (q_id, id, sim, rnk). */
+  def ivfTopK(corpus: DataFrame, corpusId: String, queries: DataFrame,
+              queryId: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    // deterministic centroid seed set: hash-ordered sample of corpus vectors
+    val seedRows = withNorm(corpus, corpusId, vecCol)
+      .orderBy(pmod(xxhash64(col(corpusId)), lit(9973)), col(corpusId))
+      .limit(nCentroids)
+      .select(col("v"), col("nrm")).collect()
+    val centroids: Seq[Seq[Double]] = seedRows.map { r =>
+      val v = r.getSeq[Double](0); val n = r.getDouble(1)
+      if (n == 0) v else v.map(_ / n)
+    }.toSeq
+
+    /** array<struct<sim,cid>> of similarities to every centroid. */
+    def cellSims(v: Column): Column = array(centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct(call_function("vec_dot", v, typedLit(c)).as("sim"), lit(i).as("cid"))
+    }: _*)
+
+    val corpusCells = withNorm(corpus, corpusId, vecCol)
+      .withColumn("cell", array_max(cellSims(col("v"))).getField("cid"))
+    val queryProbes = withNorm(queries, queryId, vecCol)
+      .select(col(queryId).as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(slice(reverse(array_sort(cellSims(col("v")))), 1, nProbe)).as("pr"))
+      .select(col("q_id"), col("qv"), col("qn"), col("pr.cid").as("cell"))
+
+    val cand = corpusCells.join(queryProbes, "cell")
+    val sims = cand.withColumn("sim",
+      dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(corpusId))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col(corpusId).as("id"), col("sim"), col("rnk"))
+  }
+
   /** Approximate NN via random-hyperplane LSH: per table, corpus and queries
     * hash to a signed-projection bucket; candidates are bucket collisions in
     * any table; exact cosine is computed on candidates only and the top-k

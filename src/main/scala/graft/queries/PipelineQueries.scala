@@ -164,6 +164,17 @@ object PipelineQueries {
       },
       None),
 
+    // ---- p15: IVF approximate NN (rows-only; recall + sim-parity in spec) --
+    QueryDef("p15_ann_ivf",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.ivfTopK(e, "vec_id", e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("q_id", "rnk")
+      },
+      None),
+
     // ---- p10: winnowing fingerprints (rolling-hash mirror in DuckDB) -------
     QueryDef("p10_winnowing",
       (s, d) => T.documents(s, d)

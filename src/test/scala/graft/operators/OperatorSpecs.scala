@@ -98,6 +98,23 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("ivfTopK: self found at rank 1; sims match brute force; recall measured") {
+    val bf = Similarity.knnBruteForce(emb, "vec_id", emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.ivfTopK(emb, "vec_id", emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    (0L until 5L).foreach { q =>
+      assert(ivf.exists(a => a._1 == q && a._2 == q && a._4 == 1), s"self missing for $q")
+    }
+    ivf.foreach { case (q, id, sim, _) =>
+      bf.get((q, id)).foreach(bfSim => assert(bfSim == sim)) // exact same cosine
+    }
+    val recall = ivf.count(a => bf.contains((a._1, a._2))).toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall@10 $recall") // nProbe=4 of 8 cells
+  }
+
   test("cosineNearDupBlocked only pairs within a block") {
     val out = Similarity.cosineNearDupBlocked(emb, "vec_id", "embedding", "label", 0.0)
     val labels = emb.select($"vec_id", $"label").collect()

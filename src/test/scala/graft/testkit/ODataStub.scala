@@ -33,6 +33,9 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
   /** REST item sink: rows POSTed to /items collect here. */
   val postedItems = mutable.ListBuffer[String]()
 
+  val flakyCounts = mutable.Map[String, Int]()
+  var counterHits = 0
+
   /** Delta-Sharing fixture: share/schema/table -> parquet files served at
     * /files/<name> as "presigned" URLs. */
   var shareFiles: Seq[java.nio.file.Path] = Seq.empty
@@ -123,6 +126,17 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
         serveOdp(ex, q)
       case "/svc" | "/svc/" =>
         respond(ex, 200, "application/json", """{"value":[{"name":"Customers","url":"Customers"}]}""")
+      case "/flaky" =>
+        // fails twice per "key", then succeeds — for retry tests
+        val key = q.getOrElse("key", "k")
+        val n = flakyCounts.synchronized {
+          val v = flakyCounts.getOrElse(key, 0) + 1; flakyCounts(key) = v; v
+        }
+        if (n <= 2) respond(ex, 503, "text/plain", "try again")
+        else respond(ex, 200, "text/plain", s"ok after $n")
+      case "/counter" =>
+        val n = counterHits.synchronized { counterHits += 1; counterHits }
+        respond(ex, 200, "text/plain", s"hit $n")
       case "/token" if ex.getRequestMethod == "POST" =>
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         if (body.contains("grant_type=client_credentials") && body.contains("client_id="))
