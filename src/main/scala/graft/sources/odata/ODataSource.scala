@@ -136,13 +136,33 @@ object ODataMeta {
   }
 }
 
-class ODataTable(conf: ODataConf, schema: StructType) extends Table with SupportsRead {
+/** Read-write OData table: reads via the pushdown scan; `INSERT INTO` POSTs
+  * one JSON entity per row to the entity-set URL — the reference's writable
+  * ATTACH behavior (SharePoint lists / Excel workbooks,
+  * `graph_sharepoint_catalog.cpp:791`, `graph_excel_catalog.cpp:511` — both
+  * are per-row create calls against the items endpoint; so is OData entity
+  * creation). Append-only, at-least-once like the reference. */
+class ODataTable(conf: ODataConf, schema: StructType) extends Table
+  with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = conf.url
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ODataScanBuilder(conf, schema)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new graft.writes.RestItemsBatchWrite(info.schema(), Map(
+              "url" -> ODataMeta.resolve(conf).entitySetUrl) ++
+              conf.bearer.map("bearertoken" -> _) ++
+              conf.user.map("user" -> _) ++ conf.password.map("password" -> _))
+        }
+    }
 }
 
 /** ScanBuilder with the four pushdowns the reference implements (limit/offset

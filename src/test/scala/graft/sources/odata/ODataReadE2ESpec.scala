@@ -133,6 +133,21 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(v4.requests.exists(_.contains("$expand=Orders")))
   }
 
+  test("SQL INSERT INTO a catalog entity set POSTs entities (writable ATTACH)") {
+    v4.postedItems.clear()
+    val cat = s"wcat${v4.port}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.odata.ODataCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.url", v4.serviceUrl)
+    spark.sql(
+      s"""INSERT INTO $cat.main.Customers
+         |SELECT 'C98' AS CustomerID, 'New Co' AS CompanyName, 'Spain' AS Country,
+         |       CAST(7 AS BIGINT) AS Revenue, TIMESTAMP '2024-01-01 00:00:00' AS Founded
+         |""".stripMargin)
+    assert(v4.postedItems.size == 1, v4.postedItems.toString)
+    assert(v4.postedItems.head.contains(""""CustomerID":"C98""""))
+    assert(v4.postedItems.head.contains(""""Revenue":7"""))
+  }
+
   test("$expand on v2 unwraps the results-wrapper and mirrors navs into $select") {
     v2.requests.clear()
     val df = read(v2, "expand" -> "Orders").select("CustomerID", "Orders")

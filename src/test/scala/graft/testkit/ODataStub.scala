@@ -120,6 +120,10 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
       case "/svc/Customers/$count" =>
         val filtered = applyFilter(rows, q.get("$filter"))
         respond(ex, 200, "text/plain", filtered.size.toString)
+      case "/svc/Customers" if ex.getRequestMethod == "POST" =>
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        postedItems.synchronized { postedItems += body }
+        respond(ex, 201, "application/json", body)
       case "/svc/Customers" =>
         serveRows(ex, q)
       case "/svc/OdpCustomers" =>
