@@ -90,9 +90,7 @@ object Similarity {
 
   private def bucketKey(v: Column, tablePlanes: Array[Array[Double]]): Column = {
     val bits = tablePlanes.zipWithIndex.map { case (p, j) =>
-      val proj = aggregate(
-        zip_with(v, array(p.map(lit): _*), (x, h) => x * h),
-        lit(0.0), (acc, t) => acc + t)
+      val proj = call_function("vec_dot", v, typedLit(p.toSeq))
       when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
