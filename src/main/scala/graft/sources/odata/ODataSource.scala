@@ -144,11 +144,55 @@ object ODataMeta {
   * creation). Append-only, at-least-once like the reference. */
 class ODataTable(conf: ODataConf, schema: StructType) extends Table
   with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = conf.url
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  /** `DELETE FROM cat.main.Set WHERE ...` — the reference's row deletion on
+    * attached SharePoint lists (`graph_sharepoint_catalog.cpp:820`) and the
+    * `graph_excel_delete_rows` delete-by-value function: compile the filters
+    * to `$filter`, fetch matching key values, then one `DELETE
+    * <set>(<key>)` call per entity (OData deletes are by key). Driver-side
+    * key fetch — deletes are interactive-scale operations, not bulk scans. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val meta = ODataMeta.resolve(conf)
+    val keys = meta.model.entityTypes(
+      meta.model.entitySets.find(_.name == meta.setName).get.entityTypeName).keys
+    keys.length == 1 &&
+      ODataFilterCompiler.compile(filters, meta.version == 2).residual.isEmpty
+  }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val meta = ODataMeta.resolve(conf)
+    val et = meta.model.entityTypes(
+      meta.model.entitySets.find(_.name == meta.setName).get.entityTypeName)
+    val key = et.keys.head
+    val keyIsString = et.properties.find(_.name == key)
+      .exists(_.edmType == "Edm.String")
+    val compiled = ODataFilterCompiler.compile(filters, meta.version == 2)
+    var u = ODataUrl.parse(meta.entitySetUrl).withParam("$select", key)
+    compiled.expr.foreach(e => u = u.mergeFilter(e))
+    if (meta.version == 2) u = u.withParam("$format", "json")
+    val http = graft.sources.http.HttpCore.shared
+    var next: Option[String] = Some(u.render)
+    while (next.isDefined) {
+      val resp = http.get(next.get, auth = conf.auth, useCache = false)
+      if (resp.status != 200)
+        throw new RuntimeException(s"delete key fetch -> HTTP ${resp.status}")
+      val page = ODataJson.extractPage(ODataJson.parse(resp.text))
+      page.rows.foreach { row =>
+        val kv = row.get(key).asText
+        val lit = if (keyIsString) s"'${kv.replace("'", "''")}'" else kv
+        val del = http.request("DELETE", s"${meta.entitySetUrl}($lit)", None, auth = conf.auth)
+        if (del.status >= 300)
+          throw new RuntimeException(s"DELETE ($lit) -> HTTP ${del.status}")
+      }
+      next = page.nextLink
+    }
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ODataScanBuilder(conf, schema)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

@@ -148,6 +148,17 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(v4.postedItems.head.contains(""""Revenue":7"""))
   }
 
+  test("SQL DELETE FROM a catalog entity set issues per-key DELETE calls") {
+    v4.deletedKeys.clear()
+    val cat = s"dcat${v4.port}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.odata.ODataCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.url", v4.serviceUrl)
+    spark.sql(s"DELETE FROM $cat.main.Customers WHERE Country = 'Mexico'")
+    // customers with i%3==2 -> C02, C05, ..., C20
+    assert(v4.deletedKeys.sorted == (2 until 20 by 3).map(i => f"C$i%02d"),
+      v4.deletedKeys.toString)
+  }
+
   test("$expand on v2 unwraps the results-wrapper and mirrors navs into $select") {
     v2.requests.clear()
     val df = read(v2, "expand" -> "Orders").select("CustomerID", "Orders")

@@ -35,6 +35,7 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
 
   val flakyCounts = mutable.Map[String, Int]()
   var counterHits = 0
+  val deletedKeys = mutable.ListBuffer[String]()
 
   /** Delta-Sharing fixture: share/schema/table -> parquet files served at
     * /files/<name> as "presigned" URLs. */
@@ -120,6 +121,11 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
       case "/svc/Customers/$count" =>
         val filtered = applyFilter(rows, q.get("$filter"))
         respond(ex, 200, "text/plain", filtered.size.toString)
+      case p if p.startsWith("/svc/Customers(") && ex.getRequestMethod == "DELETE" =>
+        val key = p.stripPrefix("/svc/Customers(").stripSuffix(")")
+          .stripPrefix("'").stripSuffix("'")
+        deletedKeys.synchronized { deletedKeys += key }
+        respond(ex, 200, "application/json", "{}")
       case "/svc/Customers" if ex.getRequestMethod == "POST" =>
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         postedItems.synchronized { postedItems += body }
