@@ -86,6 +86,22 @@ object Multimodal {
     }(enc)
   }
 
+  /** "Video" frame sampling per partition: content bytes → n fixed windows,
+    * emitted as an array<binary> column (the real implementation would call
+    * an ffmpeg-style demuxer HERE, once per partition). */
+  def sampleFrames(df: DataFrame, contentCol: String, n: Int): DataFrame = {
+    val schema = df.schema.add("frames", ArrayType(BinaryType))
+    val idx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val fs = StubCodec.sampleFrames(if (bytes == null) Array.empty else bytes, n)
+        Row.fromSeq(r.toSeq :+ fs)
+      }
+    }(enc)
+  }
+
   /** Per-partition feature extraction → fixed-dim `array<float>` column. */
   def extractFeatures(df: DataFrame, contentCol: String, dim: Int): DataFrame = {
     val schema = df.schema.add("features", ArrayType(FloatType))

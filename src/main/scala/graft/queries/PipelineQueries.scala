@@ -278,6 +278,21 @@ object PipelineQueries {
             size(col("features")).as("feat_dim"))
           .orderBy("doc_id")
       },
+      None),
+
+    // ---- p16: video-style frame sampling (per-partition stub demuxer) ------
+    QueryDef("p16_media_frames",
+      (s, d) => {
+        val media = Multimodal.attachBinary(
+          T.documents(s, d).select("doc_id", "text"), "text", "video")
+        Multimodal.sampleFrames(media, "content", n = 4)
+          .select(col("doc_id"),
+            size(col("frames")).as("n_frames"),
+            aggregate(transform(col("frames"), f => length(f).cast("long")),
+              lit(0L), (a, b) => a + b).as("total_frame_bytes"),
+            length(element_at(col("frames"), 1)).cast("long").as("first_frame_bytes"))
+          .orderBy("doc_id")
+      },
       None)
   )
 }
