@@ -133,4 +133,37 @@ object Services {
   def graphGroups(spark: SparkSession, baseUrl: String = "https://graph.microsoft.com/v1.0",
                   secret: Option[String] = None): DataFrame =
     graphRead(spark, "groups", baseUrl, secret)
+
+  /** Excel workbook range/table read via the Graph workbook API (reference
+    * `graph_excel_functions.cpp`: `graph_excel_range` / `graph_excel_table_data`).
+    * The endpoint returns a values matrix `{"values": [[...], ...]}`; when
+    * `headerRow`, the first row names the columns (reference behavior for
+    * used-range reads). All cells arrive as strings — Excel's dynamic typing
+    * maps to StringType, callers cast (same trade-off the reference makes by
+    * landing VARIANT-ish cells as VARCHAR). */
+  def excelRange(spark: SparkSession, rangeUrl: String,
+                 headerRow: Boolean = true, secret: Option[String] = None): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val auth = SecretRegistry.authFor(spark, rangeUrl, secret)
+    val resp = HttpCore.shared.get(rangeUrl, auth = auth, useCache = false)
+    if (resp.status != 200)
+      throw new RuntimeException(s"GET $rangeUrl -> HTTP ${resp.status}")
+    val values = graft.sources.odata.ODataJson.parse(resp.text).get("values")
+    val matrix: Seq[Seq[String]] =
+      if (values == null || !values.isArray) Seq.empty
+      else values.elements().asScala.toSeq.map(row =>
+        row.elements().asScala.toSeq.map(c => if (c.isNull) null else c.asText))
+    if (matrix.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Nil))
+    val width = matrix.map(_.length).max
+    val (names, data) =
+      if (headerRow) (matrix.head.padTo(width, null).zipWithIndex
+        .map { case (h, i) => if (h == null || h.isEmpty) s"c$i" else h }, matrix.tail)
+      else ((0 until width).map(i => s"c$i"), matrix)
+    val schema = org.apache.spark.sql.types.StructType(
+      names.map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+    val rows = data.map(r => org.apache.spark.sql.Row.fromSeq(r.padTo(width, null)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
 }

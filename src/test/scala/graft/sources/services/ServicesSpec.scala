@@ -55,6 +55,19 @@ class ServicesSpec extends SparkSpecBase with BeforeAndAfterAll {
       java.util.Base64.getEncoder.encodeToString("u:p".getBytes)))
   }
 
+  test("excelRange: values matrix -> DataFrame with header-row column names") {
+    val df = Services.excelRange(spark, s"http://localhost:${stub.port}/workbook/range")
+    assert(df.schema.fieldNames.toSeq == Seq("Name", "Qty", "Price"))
+    val rows = df.orderBy("Name").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "apple" && rows(0).getString(1) == "3")
+    assert(rows(1).getString(1) == null) // null cell survives
+    val noHeader = Services.excelRange(spark,
+      s"http://localhost:${stub.port}/workbook/range", headerRow = false)
+    assert(noHeader.schema.fieldNames.toSeq == Seq("c0", "c1", "c2"))
+    assert(noHeader.count() == 3)
+  }
+
   test("oauth2 secret fetches + caches a client-credentials token") {
     spark.conf.set("spark.graft.secret.cc.type", "oauth2")
     spark.conf.set("spark.graft.secret.cc.token_endpoint", s"http://localhost:${stub.port}/token")

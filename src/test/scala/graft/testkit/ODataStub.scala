@@ -144,6 +144,9 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
         }
         if (n <= 2) respond(ex, 503, "text/plain", "try again")
         else respond(ex, 200, "text/plain", s"ok after $n")
+      case "/workbook/range" =>
+        respond(ex, 200, "application/json",
+          """{"address":"Sheet1!A1:C3","values":[["Name","Qty","Price"],["apple","3","1.25"],["pear",null,"0.99"]]}""")
       case "/counter" =>
         val n = counterHits.synchronized { counterHits += 1; counterHits }
         respond(ex, 200, "text/plain", s"hit $n")
