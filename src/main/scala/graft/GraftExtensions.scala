@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{VecDot, VecNorm}
+import graft.functions.{MinHashSketchAgg, VecDot, VecNorm}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -22,5 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecNorm(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashSketchAgg].getName, "minhash_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = children match {
+          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v, _)) =>
+            v.toString.toInt
+          case _ => 64
+        }
+        MinHashSketchAgg(children.head, k).toAggregateExpression()
+      }))
   }
 }
