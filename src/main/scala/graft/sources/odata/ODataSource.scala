@@ -316,7 +316,29 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ODataReaderFactory(schema, conf.pageSize, conf.bearer, conf.user, conf.password)
+
+  /** Scan progress metrics — the Spark rendering of the reference's
+    * `$count`-based progress fraction (`odata_read_functions.cpp:162-196`):
+    * pages/rows/bytes surface in the SQL UI per scan. */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new PagesFetchedMetric, new RowsFetchedMetric, new BytesFetchedMetric)
 }
+
+class PagesFetchedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "odataPagesFetched"
+  override def description(): String = "OData pages fetched"
+}
+class RowsFetchedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "odataRowsFetched"
+  override def description(): String = "OData rows fetched"
+}
+class BytesFetchedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "odataBytesFetched"
+  override def description(): String = "OData response bytes fetched"
+}
+
+final case class ODataTaskMetric(override val name: String, override val value: Long)
+  extends org.apache.spark.sql.connector.metric.CustomTaskMetric
 
 final case class ODataInputPartition(url: String, index: Int) extends InputPartition
 
@@ -342,10 +364,13 @@ class ODataPartitionReader(partition: ODataInputPartition, schema: StructType,
   private var nextUrl: Option[String] = Some(partition.url)
   private var iter: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
+  private var pages = 0L
+  private var rows = 0L
+  private var bytes = 0L
 
   override def next(): Boolean = {
     while (!iter.hasNext && nextUrl.isDefined) fetchPage()
-    if (iter.hasNext) { current = iter.next(); true } else false
+    if (iter.hasNext) { current = iter.next(); rows += 1; true } else false
   }
 
   private def fetchPage(): Unit = {
@@ -354,10 +379,17 @@ class ODataPartitionReader(partition: ODataInputPartition, schema: StructType,
     val resp = http.get(url, headers = headers, auth = auth, useCache = false)
     if (resp.status != 200)
       throw new RuntimeException(s"GET $url -> HTTP ${resp.status}: ${resp.text.take(500)}")
+    pages += 1
+    bytes += resp.body.length
     val page = ODataJson.extractPage(ODataJson.parse(resp.text))
     iter = page.rows.iterator.map(n => ODataJson.decodeRow(n, schema))
     nextUrl = page.nextLink
   }
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(ODataTaskMetric("odataPagesFetched", pages),
+      ODataTaskMetric("odataRowsFetched", rows),
+      ODataTaskMetric("odataBytesFetched", bytes))
 
   override def get(): InternalRow = current
   override def close(): Unit = ()

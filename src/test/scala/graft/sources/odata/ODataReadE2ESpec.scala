@@ -103,6 +103,18 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(ranged.size >= 2, s"expected ranged partitions, got: ${v4.requests}")
   }
 
+  test("scan custom metrics report pages/rows/bytes fetched") {
+    val df = read(v4)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b })
+      .head
+    val m = scan.metrics
+    assert(m.contains("odataRowsFetched") && m("odataRowsFetched").value == 20, m.keys)
+    assert(m("odataPagesFetched").value >= 4) // 20 rows / pageSize 5
+    assert(m("odataBytesFetched").value > 1000)
+  }
+
   test("explain shows pushed filters reached the scan description") {
     val df = read(v4).filter(col("Country") === "Mexico").select("CustomerID")
     val plan = df.queryExecution.executedPlan.toString
