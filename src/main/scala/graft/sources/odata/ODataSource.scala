@@ -216,14 +216,40 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
-  with SupportsPushDownOffset {
+  with SupportsPushDownOffset
+  with SupportsPushDownTopN {
 
   private var requiredSchema: StructType = fullSchema
   private var pushedFilterExpr: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var offset: Option[Int] = None
+  private var orderBy: Option[String] = None
   private lazy val meta = ODataMeta.resolve(conf)
+
+  /** ORDER BY + LIMIT → `$orderby` + `$top` — the reference leaves this as
+    * an explicit TODO (`odata_predicate_pushdown_helper.cpp:657-659`); OData
+    * supports it natively, so we exceed parity here. Only plain column
+    * references push; anything else stays in Spark. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        topLimit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val parts = orders.toSeq.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          val dir = if (so.direction() == SortDirection.DESCENDING) " desc" else ""
+          Some(s"${nr.fieldNames().head}$dir")
+        case _ => None
+      }
+    }
+    if (parts.forall(_.isDefined)) {
+      orderBy = Some(parts.flatten.mkString(","))
+      limit = Some(topLimit)
+      true
+    } else false
+  }
+  /** Server applies sort+top over the whole set: fully pushed. */
+  override def isPartiallyPushed(): Boolean = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val compiled = ODataFilterCompiler.compile(filters, v2 = meta.version == 2)
@@ -241,11 +267,12 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
   override def pushOffset(o: Int): Boolean = { offset = Some(o); true }
 
   override def build(): Scan =
-    new ODataScan(conf, meta, requiredSchema, pushedFilterExpr, limit, offset)
+    new ODataScan(conf, meta, requiredSchema, pushedFilterExpr, limit, offset, orderBy)
 }
 
 class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
-                filterExpr: Option[String], limit: Option[Int], offset: Option[Int])
+                filterExpr: Option[String], limit: Option[Int], offset: Option[Int],
+                orderBy: Option[String] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = schema
@@ -277,6 +304,7 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
       val s = conf.skip.getOrElse(0L) + offset.map(_.toLong).getOrElse(0L)
       if (s > 0) Some(s) else None
     }
+    orderBy.foreach(o => u = u.withParam("$orderby", o))
     effTop.foreach(t => u = u.withParam("$top", t.toString))
     effSkip.foreach(sk => u = u.withParam("$skip", sk.toString))
     conf.pageSize.foreach(_ => ()) // page size rides the Prefer header, not the URL

@@ -103,6 +103,24 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(ranged.size >= 2, s"expected ranged partitions, got: ${v4.requests}")
   }
 
+  test("ORDER BY + LIMIT pushes $orderby + $top (beyond-reference TopN)") {
+    v4.requests.clear()
+    val df = read(v4).orderBy(col("Revenue").desc).limit(3).select("CustomerID", "Revenue")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(20000L, 19000L, 18000L))
+    val dataReqs = v4.requests.filter(_.contains("/Customers?"))
+    assert(dataReqs.exists(r => r.contains("$orderby=Revenue desc") && r.contains("$top=3")),
+      s"no TopN pushdown in: $dataReqs")
+  }
+
+  test("multi-key ORDER BY pushes a comma-joined $orderby") {
+    v4.requests.clear()
+    val df = read(v4).orderBy(col("Country"), col("Revenue").desc).limit(5)
+    assert(df.count() == 5)
+    assert(v4.requests.exists(_.contains("$orderby=Country,Revenue desc")),
+      v4.requests.filter(_.contains("Customers?")).toString)
+  }
+
   test("scan custom metrics report pages/rows/bytes fetched") {
     val df = read(v4)
     df.collect()

@@ -212,6 +212,25 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
 
   private def serveRows(ex: HttpExchange, q: Map[String, String]): Unit = {
     var data = applyFilter(rows, q.get("$filter"))
+    q.get("$orderby").foreach { ob =>
+      val keys = ob.split(',').map(_.trim).map { part =>
+        val bits = part.split("\\s+")
+        (bits(0), bits.length > 1 && bits(1).equalsIgnoreCase("desc"))
+      }
+      val ord = new Ordering[Map[String, Any]] {
+        def compare(a: Map[String, Any], b: Map[String, Any]): Int = {
+          keys.foreach { case (f, desc) =>
+            val c = (a(f), b(f)) match {
+              case (x: Long, y: Long) => x.compareTo(y)
+              case (x, y) => x.toString.compareTo(y.toString)
+            }
+            if (c != 0) return if (desc) -c else c
+          }
+          0
+        }
+      }
+      data = data.sorted(ord)
+    }
     q.get("$skip").map(_.toInt).foreach(n => data = data.drop(n))
     val explicitTop = q.get("$top").map(_.toInt)
     explicitTop.foreach(n => data = data.take(n))
