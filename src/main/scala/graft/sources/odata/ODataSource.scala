@@ -217,7 +217,8 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
   with SupportsPushDownOffset
-  with SupportsPushDownTopN {
+  with SupportsPushDownTopN
+  with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = fullSchema
   private var pushedFilterExpr: Option[String] = None
@@ -251,6 +252,26 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
   /** Server applies sort+top over the whole set: fully pushed. */
   override def isPartiallyPushed(): Boolean = false
 
+  private var countPushed = false
+
+  /** Bare COUNT(*) (no grouping) → one GET of `<set>/\$count` — the server
+    * counts, nothing is transferred. The reference only uses \$count as a
+    * progress hint (`:669-681`); full pushdown exceeds it. */
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    isBareCountStar(agg)
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (isBareCountStar(agg) && limit.isEmpty && offset.isEmpty) {
+      countPushed = true
+      true
+    } else false
+  }
+
+  private def isBareCountStar(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions().head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val compiled = ODataFilterCompiler.compile(filters, v2 = meta.version == 2)
     pushedFilterExpr = compiled.expr
@@ -267,7 +288,10 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
   override def pushOffset(o: Int): Boolean = { offset = Some(o); true }
 
   override def build(): Scan =
-    new ODataScan(conf, meta, requiredSchema, pushedFilterExpr, limit, offset, orderBy)
+    if (countPushed)
+      new ODataCountScan(conf, meta, pushedFilterExpr)
+    else
+      new ODataScan(conf, meta, requiredSchema, pushedFilterExpr, limit, offset, orderBy)
 }
 
 class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
@@ -367,6 +391,43 @@ class BytesFetchedMetric extends org.apache.spark.sql.connector.metric.CustomSum
 
 final case class ODataTaskMetric(override val name: String, override val value: Long)
   extends org.apache.spark.sql.connector.metric.CustomTaskMetric
+
+/** Fully-pushed COUNT(*): a single-partition scan whose one row is the
+  * server's `/\$count` answer (filter-aware). */
+class ODataCountScan(conf: ODataConf, meta: ODataMeta, filterExpr: Option[String])
+  extends Scan with Batch {
+  private val countSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def readSchema(): StructType = countSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"odata count ${meta.entitySetUrl}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    var u = ODataUrl.parse(meta.entitySetUrl + "/$count")
+    filterExpr.foreach(e => u = u.mergeFilter(e))
+    Array(ODataInputPartition(u.render, 0))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val url = partition.asInstanceOf[ODataInputPartition].url
+        new PartitionReader[InternalRow] {
+          private var done = false
+          private var row: InternalRow = _
+          override def next(): Boolean = {
+            if (done) return false
+            val resp = HttpCore.shared.get(url, useCache = false)
+            if (resp.status != 200)
+              throw new RuntimeException(s"GET $url -> HTTP ${resp.status}")
+            row = InternalRow(resp.text.trim.toLong)
+            done = true
+            true
+          }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
 
 final case class ODataInputPartition(url: String, index: Int) extends InputPartition
 

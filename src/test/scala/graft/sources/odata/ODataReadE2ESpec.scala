@@ -38,7 +38,7 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
       Seq("CustomerID", "CompanyName", "Country", "Revenue", "Founded"))
     assert(df.schema("Revenue").dataType.typeName == "long")
     assert(df.schema("Founded").dataType.typeName == "timestamp")
-    assert(df.count() == 20)
+    assert(df.collect().length == 20) // collect: count() would push to /$count
     // pagination: 20 rows / pageSize 5 -> at least 4 data requests
     assert(v4.requests.count(_.contains("__page=")) >= 3)
   }
@@ -63,7 +63,7 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
   test("v4: numeric comparison filter pushed; residual filters still correct") {
     v4.requests.clear()
     val df = read(v4).filter(col("Revenue") > 15000L)
-    assert(df.count() == 5) // revenues 16000..20000
+    assert(df.collect().length == 5) // revenues 16000..20000
     assert(v4.requests.exists(_.contains("Revenue gt 15000")))
   }
 
@@ -72,7 +72,7 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
     val df = read(v4).orderBy("CustomerID").offset(15)
     // offset pushdown only fires when Spark plans it against the source;
     // validate rows either way
-    assert(df.count() == 5)
+    assert(df.collect().length == 5)
   }
 
   test("v2: d.results envelope, string Int64, /Date()/ timestamps decode") {
@@ -87,7 +87,7 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
   test("v2: $format=json forced and filter pushed with v2 dialect") {
     v2.requests.clear()
     val df = read(v2).filter(col("Country") === "France")
-    assert(df.count() == 7)
+    assert(df.collect().length == 7)
     val dataReqs = v2.requests.filter(_.contains("/Customers?"))
     assert(dataReqs.exists(_.contains("$format=json")), s"no format in $dataReqs")
     assert(dataReqs.exists(_.contains("Country eq 'France'")))
@@ -96,11 +96,29 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
   test("parallel scan: $count probe + $skip/$top range partitions") {
     v4.requests.clear()
     val df = read(v4, "parallelism" -> "4", "partitionRows" -> "5")
-    assert(df.count() == 20)
+    assert(df.collect().length == 20)
     assert(v4.requests.exists(_.contains("/Customers/$count")),
       s"no count probe in ${v4.requests}")
     val ranged = v4.requests.filter(r => r.contains("$skip=") && r.contains("$top="))
     assert(ranged.size >= 2, s"expected ranged partitions, got: ${v4.requests}")
+  }
+
+  test("COUNT(*) is answered by /$count alone — no data transferred") {
+    v4.requests.clear()
+    val n = read(v4).count()
+    assert(n == 20)
+    val dataReqs = v4.requests.filter(r => r.contains("/Customers?") && !r.contains("$count"))
+    assert(dataReqs.isEmpty, s"data was fetched for a count: $dataReqs")
+    assert(v4.requests.exists(_.contains("/Customers/$count")))
+  }
+
+  test("filtered COUNT(*) pushes the filter into /$count") {
+    v4.requests.clear()
+    val n = read(v4).filter(col("Country") === "Germany").count()
+    assert(n == 7)
+    assert(v4.requests.exists(r =>
+      r.contains("/Customers/$count") && r.contains("Country eq 'Germany'")),
+      v4.requests.toString)
   }
 
   test("ORDER BY + LIMIT pushes $orderby + $top (beyond-reference TopN)") {
@@ -141,7 +159,7 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
 
   test("options top/skip behave like the reference named params") {
     val df = read(v4, "top" -> "4", "skip" -> "2")
-    assert(df.count() == 4)
+    assert(df.collect().length == 4)
   }
 
   test("$expand produces a nested array<struct> column with spliced data") {
