@@ -55,6 +55,26 @@ class ServicesSpec extends SparkSpecBase with BeforeAndAfterAll {
       java.util.Base64.getEncoder.encodeToString("u:p".getBytes)))
   }
 
+  test("service URL builders run e2e: BC companies path, Dataverse, Graph, Datasphere") {
+    val base = s"http://localhost:${stub.port}"
+    // Business Central: /api/v2.0/companies(<id>)/<entity>
+    val bc = Services.bcRead(spark, base, "c1", "Customers")
+    assert(bc.count() == 20)
+    assert(stub.requests.exists(_.contains("/api/v2.0/companies(c1)/Customers")))
+    // Dataverse: /api/data/v9.2/<entity>
+    val crm = Services.crmRead(spark, base, "Customers")
+    assert(crm.filter(org.apache.spark.sql.functions.col("Country") === "France").count() == 7)
+    assert(stub.requests.exists(_.contains("/api/data/v9.2/Customers")))
+    // Graph: <base>/<resource>
+    val g = Services.graphRead(spark, "Customers", base)
+    assert(g.count() == 20)
+    // Datasphere relational incl. input-parameter segment
+    val ds = Services.datasphereRelational(spark, base, "sp1", "Customers",
+      params = Map.empty)
+    assert(ds.count() == 20)
+    assert(stub.requests.exists(_.contains("/api/v1/dwc/consumption/relational/sp1/Customers")))
+  }
+
   test("excelRange: values matrix -> DataFrame with header-row column names") {
     val df = Services.excelRange(spark, s"http://localhost:${stub.port}/workbook/range")
     assert(df.schema.fieldNames.toSeq == Seq("Name", "Qty", "Price"))

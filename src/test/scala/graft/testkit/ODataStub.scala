@@ -181,6 +181,17 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
         ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
         ex.sendResponseHeaders(200, bytes.length)
         val os = ex.getResponseBody; os.write(bytes); os.close()
+      // generic service-shaped fallbacks: any path ending in /$metadata or
+      // /Customers behaves like the /svc service — lets the service-family
+      // URL builders (BC companies(...), Dataverse /api/data/v9.2, Graph,
+      // Datasphere consumption paths) run end-to-end against the stub
+      case p if p.endsWith("/$metadata") =>
+        respond(ex, 200, "application/xml", metadataXml)
+      case p if p.endsWith("/Customers") && ex.getRequestMethod == "GET" =>
+        serveRows(ex, q)
+      case p if p.endsWith("/Customers/$count") =>
+        respond(ex, 200, "text/plain",
+          applyFilter(rows, q.get("$filter")).size.toString)
       case _ => respond(ex, 404, "text/plain", s"not found: $path")
     }
 
