@@ -81,6 +81,20 @@ object Dedup {
       .select("id_a", "id_b", "inter", "uni", "jaccard")
   }
 
+  /** Near-duplicate dedup end-to-end: remove every doc that appears as the
+    * HIGHER id of a near-dup pair (greedy keep-lowest — the standard
+    * one-pass policy; exact connected components would need iterative
+    * union-find, overkill for dedup where any one survivor per cluster is
+    * acceptable: transitively-linked docs all lose to the cluster's min id
+    * directly or via a chain that removes them). Pairs come from
+    * [[minhashLshPairs]], so cost is the LSH pipeline + one anti join. */
+  def dedupNear(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                minJaccard: Double = 0.8): DataFrame = {
+    val losers = minhashLshPairs(df, idCol, textCol, n, minJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** MinHash prime modulus (2^31-1) — universal-hash arithmetic stays within
     * Long range under ANSI mode: a,f < 2^31 so a*f+b < 2^62 + 2^31. */
   private val MinhashP = 2147483647L

@@ -50,6 +50,18 @@ class DedupSpec extends SparkSpecBase {
     assert(sigs.length == 2 && sigs(0) == sigs(1))
   }
 
+  test("dedupNear removes the synthesized near-dups, keeps one survivor each") {
+    val out = Dedup.dedupNear(corpus, "doc_id", "text", minJaccard = 0.7)
+    // every synthesized near-dup (10000+) and the exact dup (20000) lose to
+    // their lower-id original
+    assert(out.filter($"doc_id" >= 10000).count() == 0)
+    // survivors = corpus minus the higher ids of ALL near-dup pairs (the
+    // original corpus has natural near-dups too)
+    val losers = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 0.7)
+      .select("id_b").distinct().count()
+    assert(out.count() == corpus.count() - losers)
+  }
+
   test("simhash: identical texts collide; perturbed docs are close") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -53,6 +53,20 @@ class OdpSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(audit.contains("\"rows_fetched\":2"))
   }
 
+  test("v2 dialect: __delta link + d.results envelope carry the token") {
+    val v2stub = new ODataStub(v2 = true).start()
+    try {
+      val dir = Files.createTempDirectory("odp-v2").toString
+      val reader = new OdpReader(spark, v2stub.serviceUrl + "/OdpCustomers", dir)
+      assert(reader.read().count() == 20)
+      assert(reader.listSubscriptions().head.deltaToken.contains("T0"))
+      v2stub.pushDelta(Seq(delta(3)))
+      val d2 = reader.read()
+      assert(d2.count() == 1 && d2.head().getString(0) == "D3")
+      assert(reader.listSubscriptions().head.deltaToken.contains("T1"))
+    } finally v2stub.stop()
+  }
+
   test("streaming tier: micro-batches deliver deltas; restart resumes from token") {
     stub.deltas.clear()
     val ckpt = Files.createTempDirectory("odp-ckpt").toString
