@@ -119,7 +119,10 @@ object ODataJson {
         case _ => UTF8String.fromString(n.asText)
       }
     } catch {
-      case _: NumberFormatException => null // lenient: bad literal → null
+      // lenient: any unparseable/non-exact literal → null (ArithmeticException
+      // covers e.g. "1.5" for an integral target — longValueExact)
+      case _: NumberFormatException | _: ArithmeticException |
+           _: IllegalArgumentException => null
     }
   }
 
