@@ -280,6 +280,40 @@ object PipelineQueries {
       },
       None),
 
+    // ---- p17: composed cleaning pipeline (the end-to-end use case) ---------
+    // quality-filter -> exact dedup -> per-source stats: the shape of a real
+    // training-data cleaning job, each stage an operator from this module.
+    QueryDef("p17_clean_pipeline",
+      (s, d) => {
+        val scored = T.documents(s, d)
+          .withColumn("q", TextOps.qualityScore(col("text")))
+          .filter(col("q") >= 0.3)
+        val deduped = Dedup.dedupExact(scored, "doc_id", "text")
+        deduped.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT *,
+            least(CAST(len($ToksSql) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+             + least(CAST(len(list_filter($ToksSql, x -> x IN $StopSql)) AS DOUBLE)
+                       / CAST(greatest(len($ToksSql), 1) AS DOUBLE) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE)
+                - least(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                          / CAST(greatest(len(text), 1) AS DOUBLE) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)
+              AS q
+          FROM documents),
+        filtered AS (SELECT * FROM scored WHERE q >= 0.3),
+        keep AS (SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+        deduped AS (SELECT f.* FROM filtered f JOIN keep USING (doc_id))
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS first_doc
+        FROM deduped GROUP BY source ORDER BY source""")),
+
     // ---- p16: video-style frame sampling (per-partition stub demuxer) ------
     QueryDef("p16_media_frames",
       (s, d) => {
