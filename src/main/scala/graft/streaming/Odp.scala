@@ -1,7 +1,6 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.types.StructType
@@ -33,47 +32,68 @@ final case class OdpSubscription(
     subscriptionId: String,
     deltaToken: Option[String],
     status: String, // INITIAL_LOAD | DELTA_FETCH | TERMINATED
-    preferenceApplied: Boolean)
+    preferenceApplied: Boolean,
+    batch: Long = -1L) // streaming-tier micro-batch counter (own field,
+                       // NOT overloaded onto status — lifecycle parity with
+                       // `odp_subscription_state_manager.hpp:25-27`)
 
 /** Durable token + audit store, one JSON file per subscription + an
   * append-only audit log (the port of `erpl_web.odp_subscriptions` /
-  * `odp_subscription_audit`). Local-fs paths are fine for local[*]; on a
-  * cluster point it at a shared volume (the Spark-checkpoint tier avoids the
-  * need entirely). */
+  * `odp_subscription_audit`). Resolved through Hadoop's FileSystem so the
+  * dir may be any Spark-reachable URI — `file:///`, `hdfs://`, `s3a://` —
+  * which is exactly what Spark hands us as a checkpointLocation; on a real
+  * cluster the token survives pod loss alongside the checkpoint. */
 class OdpStateStore(dir: String) {
-  Files.createDirectories(Paths.get(dir))
+  import org.apache.hadoop.fs.{FileSystem, Path}
+  private val hadoopConf =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+  private val base = new Path(dir)
+  private val fs: FileSystem = base.getFileSystem(hadoopConf)
+  fs.mkdirs(base)
 
-  private def fileFor(id: String) = Paths.get(dir, s"$id.json")
-  private val auditFile = Paths.get(dir, "audit.jsonl")
+  private def fileFor(id: String) = new Path(base, s"$id.json")
+  private val auditFile = new Path(base, "audit.jsonl")
+
+  private def readString(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+  private def writeString(p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
 
   def load(id: String): Option[OdpSubscription] = {
     val f = fileFor(id)
-    if (!Files.exists(f)) None
+    if (!fs.exists(f)) None
     else {
-      val n = ODataJson.parse(Files.readString(f))
+      val n = ODataJson.parse(readString(f))
       Some(OdpSubscription(
         n.get("subscription_id").asText,
         Option(n.get("delta_token")).filter(!_.isNull).map(_.asText),
         n.get("status").asText,
-        n.get("preference_applied").asBoolean))
+        n.get("preference_applied").asBoolean,
+        Option(n.get("batch")).map(_.asLong).getOrElse(-1L)))
     }
   }
 
   def save(s: OdpSubscription): Unit = {
     val tok = s.deltaToken.map(t => "\"" + t.replace("\"", "\\\"") + "\"").getOrElse("null")
-    Files.writeString(fileFor(s.subscriptionId),
+    writeString(fileFor(s.subscriptionId),
       s"""{"subscription_id":"${s.subscriptionId}","delta_token":$tok,""" +
-        s""""status":"${s.status}","preference_applied":${s.preferenceApplied}}""")
+        s""""status":"${s.status}","preference_applied":${s.preferenceApplied},""" +
+        s""""batch":${s.batch}}""")
   }
 
-  def remove(id: String): Unit = Files.deleteIfExists(fileFor(id))
+  def remove(id: String): Unit = fs.delete(fileFor(id), false)
 
   def list(): Seq[OdpSubscription] = {
-    val d = Paths.get(dir)
-    if (!Files.exists(d)) Seq.empty
-    else Files.list(d).toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .flatMap(p => load(p.getFileName.toString.stripSuffix(".json")))
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".json"))
+      .flatMap(p => load(p.getName.stripSuffix(".json")))
   }
 
   /** Audit parity: timestamps, http status, rows fetched, token before/after,
@@ -87,8 +107,10 @@ class OdpStateStore(dir: String) {
         s""""token_before":${tokenBefore.map("\"" + _ + "\"").getOrElse("null")},""" +
         s""""token_after":${tokenAfter.map("\"" + _ + "\"").getOrElse("null")},""" +
         s""""duration_ms":$durationMs}""" + "\n"
-    Files.write(auditFile, line.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    // append-with-create: HDFS-style appends aren't universal, so rewrite
+    // read+concat for portability (audit volume is one line per fetch)
+    val prior = if (fs.exists(auditFile)) readString(auditFile) else ""
+    writeString(auditFile, prior + line)
   }
 }
 

@@ -94,8 +94,7 @@ class OdpMicroBatchStream(schema: StructType, options: Map[String, String],
   override def latestOffset(): Offset = {
     val prior = store.load(subId)
     val token = prior.flatMap(_.deltaToken)
-    val batch = prior.map(_.status.stripPrefix("BATCH_")).filter(_.forall(_.isDigit))
-      .map(_.toLong).getOrElse(-1L)
+    val batch = prior.map(_.batch).getOrElse(-1L)
     val t0 = System.currentTimeMillis()
     val res = client.fetch(url, token)
     if (res.rows.isEmpty && res.newToken.forall(t => token.contains(t)) && batch >= 0) {
@@ -107,7 +106,8 @@ class OdpMicroBatchStream(schema: StructType, options: Map[String, String],
         .createToCatalystConverter(schema)
       buffers.put(next, res.rows.map(r => conv(r).asInstanceOf[InternalRow]).toArray)
       store.save(OdpSubscription(subId, res.newToken.orElse(token),
-        s"BATCH_$next", res.preferenceApplied))
+        if (token.isDefined || batch >= 0) "DELTA_FETCH" else "INITIAL_LOAD",
+        res.preferenceApplied, next))
       store.audit(subId, res.httpStatus, res.rows.size, token,
         res.newToken.orElse(token), System.currentTimeMillis() - t0)
       OdpOffset(next, res.newToken.orElse(token))

@@ -69,13 +69,15 @@ class OdpSpec extends SparkSpecBase with BeforeAndAfterAll {
 
   test("streaming tier: micro-batches deliver deltas; restart resumes from token") {
     stub.deltas.clear()
-    val ckpt = Files.createTempDirectory("odp-ckpt").toString
-    val state = Files.createTempDirectory("odp-state").toString
+    // checkpoint as a file:/// URI — exactly what Spark hands
+    // toMicroBatchStream on a cluster (hdfs://, s3a://). The state dir is
+    // NOT set, so it derives from the checkpoint URI; a literal-path bug
+    // would recreate the old `file:/tmp/...` junk tree in the CWD.
+    val ckpt = Files.createTempDirectory("odp-ckpt").toUri.toString
     val out = Files.createTempDirectory("odp-out").toString
     def runOnce(): Unit = {
       val df = spark.readStream.format("odp")
         .option("url", stub.serviceUrl + "/OdpCustomers")
-        .option("stateDir", state)
         .load()
       // file sink: supports exactly-once recovery from the checkpoint
       // (memory sink does not support restart)
@@ -97,5 +99,15 @@ class OdpSpec extends SparkSpecBase with BeforeAndAfterAll {
     val all = spark.read.parquet(out)
     assert(all.count() == 21, s"expected 21 rows after delta, got ${all.count()}")
     assert(all.filter("CustomerID = 'D7'").count() == 1)
+
+    // regression (VERDICT r1 #3): the URI must resolve via Hadoop FS — no
+    // literal `file:` directory may appear in the working directory, and the
+    // token state must live under the checkpoint itself
+    assert(!Files.exists(java.nio.file.Paths.get("file:")),
+      "state dir treated checkpoint URI as a literal relative path")
+    val stateUnderCkpt = java.nio.file.Paths.get(new java.net.URI(ckpt))
+      .resolve("sources/0/odp-state")
+    assert(Files.exists(stateUnderCkpt), s"expected odp-state under $stateUnderCkpt")
+    assert(Files.list(stateUnderCkpt).toArray.nonEmpty)
   }
 }
