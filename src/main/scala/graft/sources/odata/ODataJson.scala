@@ -98,7 +98,9 @@ object ODataJson {
           parseTimestampMicros(n) match {
             case null => null
             case micros: java.lang.Long =>
-              (micros / 86400000000L).toInt // days since epoch (UTC)
+              // floorDiv, not /: truncation-toward-zero puts every pre-1970
+              // date one day late (-1 micro would round to day 0, not -1)
+              Math.floorDiv(micros, 86400000000L).toInt
           }
         case BinaryType =>
           java.util.Base64.getDecoder.decode(n.asText)

@@ -55,6 +55,17 @@ class ODataJsonPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("DateType agrees with LocalDate.toEpochDay across negative epochs") {
+    // full range incl. pre-1970 — truncating division fails every ms that is
+    // not an exact midnight before the epoch (VERDICT r1 #2)
+    check(Prop.forAll(Gen.chooseNum(-62135596800000L, 253402300799000L)) { ms =>
+      val got = ODataJson.decodeValue(node(s"""{"v":"/Date($ms)/"}""").get("v"), DateType)
+      val want = java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay.toInt
+      got == want
+    })
+  }
+
   test("null decodes to SQL null for every supported type") {
     val types = Seq(StringType, BooleanType, ByteType, ShortType, IntegerType,
       LongType, FloatType, DoubleType, DecimalType(10, 2), TimestampType,

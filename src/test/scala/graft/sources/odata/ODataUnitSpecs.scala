@@ -110,6 +110,20 @@ class ODataJsonSpec extends AnyFunSuite {
     assert(decodeValue(row.get("d1"), DateType) == 10957) // 2000-01-01
   }
 
+  test("pre-1970 dates: floorDiv, not truncation (VERDICT r1 #2)") {
+    // 1969-12-31T00:00:00Z = -86400000 ms = epoch day -1
+    val row = node(
+      """{"a":"/Date(-86400000)/","b":"1969-12-31","c":"1969-12-31T12:00:00Z",
+        |"d":"/Date(-1)/","e":"1899-12-30"}""".stripMargin)
+    assert(decodeValue(row.get("a"), DateType) == -1)
+    assert(decodeValue(row.get("b"), DateType) == -1)
+    assert(decodeValue(row.get("c"), DateType) == -1) // mid-day still day -1
+    assert(decodeValue(row.get("d"), DateType) == -1) // 1ms before epoch -> day -1
+    assert(decodeValue(row.get("e"), DateType) ==
+      java.time.LocalDate.of(1899, 12, 30).toEpochDay.toInt)
+    assert(decodeValue(row.get("a"), TimestampType) == -86400000000L)
+  }
+
   test("ISO timestamps with and without zone") {
     val row = node("""{"t1":"2020-06-01T12:00:00Z","t2":"2020-06-01T12:00:00"}""")
     assert(decodeValue(row.get("t1"), TimestampType) == 1591012800000000L)

@@ -15,6 +15,21 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
 
   val requests = mutable.ListBuffer[String]()
 
+  /** When set, every /svc request must carry matching basic credentials —
+    * 401 otherwise, recorded in [[unauthorized]]. Regression harness for the
+    * round-1 unauthenticated-$metadata-probe bug: a secured service rejects
+    * anonymous probes, so the test asserts `unauthorized.isEmpty`. */
+  var requireBasic: Option[(String, String)] = None
+  val unauthorized = mutable.ListBuffer[String]()
+
+  private def authorized(ex: HttpExchange): Boolean = requireBasic match {
+    case None => true
+    case Some((u, p)) =>
+      val expected = "Basic " + java.util.Base64.getEncoder
+        .encodeToString(s"$u:$p".getBytes(StandardCharsets.UTF_8))
+      Option(ex.getRequestHeaders.getFirst("Authorization")).contains(expected)
+  }
+
   /** 20 deterministic customers. */
   val rows: Seq[Map[String, Any]] = (0 until 20).map { i =>
     Map(
@@ -100,7 +115,10 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
       val rawQ = Option(ex.getRequestURI.getRawQuery).getOrElse("")
       val decoded = path + (if (rawQ.isEmpty) "" else "?" + URLDecoder.decode(rawQ, StandardCharsets.UTF_8))
       requests.synchronized { requests += decoded }
-      try route(ex, path, parseQuery(rawQ)) catch {
+      if (path.startsWith("/svc") && !authorized(ex)) {
+        unauthorized.synchronized { unauthorized += decoded }
+        respond(ex, 401, "text/plain", "unauthorized")
+      } else try route(ex, path, parseQuery(rawQ)) catch {
         case e: Exception => respond(ex, 500, "text/plain", e.toString)
       }
     }
