@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{MinHashSketchAgg, VecDot, VecNorm}
+import graft.functions.{MinHashSketchAgg, SimHashAgg, VecDot, VecLshKeys, VecNorm}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -32,6 +32,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => 64
         }
         MinHashSketchAgg(children.head, k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sketch"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("vec_lsh_keys"),
+      new ExpressionInfo(classOf[VecLshKeys].getName, "vec_lsh_keys"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"vec_lsh_keys expects literal table/plane counts, got $other")
+        }
+        VecLshKeys(children.head, intLit(children(1)), intLit(children(2)))
       }))
   }
 }

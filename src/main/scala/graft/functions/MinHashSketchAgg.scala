@@ -18,9 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * sketches' estimated Jaccard is the fraction of equal components
   * (compare with `zip_with` + `aggregate` or graft's vec kernels).
   *
-  * Hash family matches graft.operators.Dedup.minhashSigTable (same a_i/b_i
-  * over xxhash64 folded into [0,2^31)), so sketch signatures and the
-  * relational-aggregation signatures agree component-for-component.
+  * Input contract: a LONG child is treated as a PRE-COMPUTED base
+  * fingerprint, folded into [0,2^31) by masking — this is how
+  * `Dedup.minhashSigTable` feeds it the md5-derived `mdHash31` fingerprint
+  * that the DuckDB oracle can mirror. Any other type is xxhash64-hashed
+  * internally (convenient SQL surface over raw values); the two agree when
+  * the caller pre-hashes with `pmod(xxhash64(x), 2^31)`.
   */
 case class MinHashSketchAgg(
     child: Expression,
@@ -43,10 +46,14 @@ case class MinHashSketchAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      // same fingerprint as pmod(xxhash64(x), 2^31): xxhash64 seed 42 then
-      // low-31-bit mask (== pmod by a power of two)
-      val base = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(v, child.dataType, 42L) & 0x7FFFFFFFL
+      val base = child.dataType match {
+        // long input = pre-computed fingerprint (md5- or xxhash-derived),
+        // folded to 31 bits (mask == pmod by a power of two for any sign)
+        case LongType => v.asInstanceOf[Long] & 0x7FFFFFFFL
+        // otherwise hash the raw value: pmod(xxhash64(x), 2^31) equivalent
+        case dt => org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(v, dt, 42L) & 0x7FFFFFFFL
+      }
       var i = 0
       while (i < k) {
         val h = (a(i) * base + b(i)) % P

@@ -104,3 +104,86 @@ case class VecNorm(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): VecNorm =
     copy(child = newChild)
 }
+
+/** `vec_lsh_keys(v, tables, planesPerTable)` — all random-hyperplane LSH
+  * bucket keys of a vector in ONE expression: returns `array<long>` of length
+  * `tables`, where bit j of key t is the sign of `v · plane(t, j)`.
+  *
+  * The hyperplanes are never materialized: component d of plane (t, j) is the
+  * integer-arithmetic pseudo-random value
+  * `((1103515245*(t*8191 + j*131 + d) + 12345) mod 2^31) / 2^31 - 0.5`
+  * computed inline in the loop. Pure integer ops + one exact dyadic division
+  * make the planes bit-identical in ANY engine — the DuckDB oracle re-derives
+  * them from the same formula, so LSH candidate sets match exactly.
+  *
+  * Replaces the round-1 shape (tables × planes separate `vec_dot` calls
+  * against `typedLit` plane arrays), which bloated the plan with thousands of
+  * literal doubles and made codegen compilation the dominant cost.
+  */
+case class VecLshKeys(child: Expression, tables: Int, planesPerTable: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"vec_lsh_keys expects array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "vec_lsh_keys"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val keys = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var j = 0
+      while (j < planesPerTable) {
+        var s = 0.0
+        var d = 0
+        while (d < n) {
+          val p = ((1103515245L * (t * 8191L + j * 131L + d) + 12345L) % 2147483648L) / 2147483648.0 - 0.5
+          s += v.getDouble(d) * p
+          d += 1
+        }
+        if (s > 0) key |= (1L << j)
+        j += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val keys = ctx.freshName("keys")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val key = ctx.freshName("key")
+      val p = ctx.freshName("p")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $keys = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $key = 0L;
+         |  for (int $j = 0; $j < $planesPerTable; $j++) {
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      double $p = ((1103515245L * ($t * 8191L + $j * 131L + $d) + 12345L) % 2147483648L) / 2147483648.0 - 0.5;
+         |      $s += $a.getDouble($d) * $p;
+         |    }
+         |    if ($s > 0) $key |= (1L << $j);
+         |  }
+         |  $keys[$t] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecLshKeys =
+    copy(child = newChild)
+}

@@ -99,28 +99,28 @@ object Dedup {
     * Long range under ANSI mode: a,f < 2^31 so a*f+b < 2^62 + 2^31. */
   private val MinhashP = 2147483647L
 
-  /** Fixed per-component universal-hash multipliers (deterministic across
-    * runs and cluster layouts). */
-  private def minhashA(i: Int): Long = (0x9E3779B9L * (2L * i + 1)) % (MinhashP - 2) + 1
-  private def minhashB(i: Int): Long = (0xC2B2AE3DL * (i + 1L)) % MinhashP
+  /** 31-bit md5-derived fingerprint, chosen because every engine has md5:
+    * the DuckDB oracle mirrors it exactly as
+    * `('0x' || substring(md5(x),1,15))::BIGINT % 2147483648`. */
+  def mdHash31(c: Column): Column =
+    pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(1L << 31))
 
-  /** k-component MinHash signatures computed as RELATIONAL AGGREGATION over
-    * the exploded posting list — k `min(...)` aggregates over
-    * `(a_i*f + b_i) mod p` per doc — rather than nested array lambdas.
-    * Array higher-order functions run interpreted in Spark and Catalyst
-    * re-inlines single-lexical-reference subexpressions into lambdas (the
-    * fingerprint array would be recomputed k times per row); a hash aggregate
-    * is whole-stage-codegen'd and combines map-side, so this is both the
-    * fast and the 100 TB-scalable form. Returns (id, sig: array<long>[k]). */
-  def minhashSigTable(sets: DataFrame, k: Int): DataFrame = {
-    val posts = sets.select(col("id"), explode(col("shingles")).as("sh"))
-      .select(col("id"), pmod(xxhash64(col("sh")), lit(1L << 31)).as("f"))
-    val aggs = (0 until k).map { i =>
-      min(pmod(col("f") * lit(minhashA(i)) + lit(minhashB(i)), lit(MinhashP))).as(s"m$i")
-    }
-    posts.groupBy("id").agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
+  /** 60-bit variant (first 15 hex chars of md5) for SimHash bit votes. */
+  def mdHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** k-component MinHash signatures via the mergeable
+    * [[graft.functions.MinHashSketchAgg]] sketch over md5-derived
+    * fingerprints: ONE aggregate whose buffer is k longs, map-side
+    * combinable, with generated code independent of k. (Round 1 used k
+    * separate `min()` aggregate columns; the generated aggregation class was
+    * enormous and Janino compilation dominated the query — 16 s at sf0.1.)
+    * Returns (id, sig: array<long>[k]). */
+  def minhashSigTable(sets: DataFrame, k: Int): DataFrame =
+    sets.select(col("id"), explode(col("shingles")).as("sh"))
+      .select(col("id"), mdHash31(col("sh")).as("f"))
+      .groupBy("id")
+      .agg(call_function("minhash_sketch", col("f"), lit(k)).as("sig"))
 
   /** MinHash-LSH near-duplicate pairs, exactly verified.
     *
@@ -139,10 +139,12 @@ object Dedup {
     val r = k / bands
     val sets = shingleSets(df, idCol, textCol, n).cache()
     val sig = minhashSigTable(sets, k)
-    val bandRows = sig.select(col("id"), explode(
+    // band key = the band's signature slice rendered as a string — engine-
+    // portable (the oracle mirrors it with array_to_string), no murmur3
+    val bandRows = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bh")))
-    ).as("bb")).select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+        b => concat_ws(",", slice(col("sig"), b * r + 1, r).cast("array<string>")))
+    )).toDF("id", "band", "bh")
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
