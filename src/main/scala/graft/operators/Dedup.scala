@@ -143,7 +143,7 @@ object Dedup {
     // portable (the oracle mirrors it with array_to_string), no murmur3
     val bandRows = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(",", slice(col("sig"), b * r + 1, r).cast("array<string>")))
+        b => concat_ws(",", slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))
     )).toDF("id", "band", "bh")
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),

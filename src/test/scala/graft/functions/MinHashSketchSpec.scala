@@ -13,11 +13,14 @@ class MinHashSketchSpec extends SparkSpecBase {
     val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
     val viaTable = Dedup.minhashSigTable(sets, 64)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    // sketch aggregate over the exploded postings (SQL surface)
+    // sketch aggregate over the exploded postings (SQL surface). The table
+    // path pre-hashes shingles with mdHash31 (LONG input contract of
+    // MinHashSketchAgg), so the spec must feed the same fingerprints.
     sets.select(col("id"), explode(col("shingles")).as("sh"))
+      .select(col("id"), Dedup.mdHash31(col("sh")).as("f"))
       .createOrReplaceTempView("mh_posts")
     val viaSketch = spark.sql(
-      "SELECT id, minhash_sketch(sh, 64) AS sig FROM mh_posts GROUP BY id")
+      "SELECT id, minhash_sketch(f, 64) AS sig FROM mh_posts GROUP BY id")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(viaSketch.keySet == viaTable.keySet)
     viaTable.foreach { case (id, sig) =>
