@@ -80,7 +80,7 @@ object Profile {
     if (which == "all" || which == "p09") {
       time("p09.full") {
         Similarity.annLshTopK(emb, "vec_id", emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 10, dim = 64).count()
+          "vec_id", "embedding", k = 10).count()
       }
     }
 

@@ -163,23 +163,20 @@ object Dedup {
       .select("id_a", "id_b", "inter", "uni", "jaccard")
   }
 
-  /** 64-bit SimHash signatures, again as relational aggregation (see
-    * [[minhashSigTable]] for why): explode distinct tokens, xxhash64 each
-    * (codegen'd), then 64 `sum(±1 per bit)` aggregates per doc; bit j of the
-    * signature is the sign of vote j. Returns (id, sig: long). */
-  def simhashSigTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val posts = spread(df)
+  /** 60-bit SimHash signatures via the mergeable
+    * [[graft.functions.SimHashAgg]] sketch (see [[minhashSigTable]] for why a
+    * single TypedImperativeAggregate beats a wide bank of `sum()` columns):
+    * explode distinct tokens, fingerprint each with [[mdHash60]] (so the
+    * DuckDB oracle can mirror the bit votes exactly), then one map-side-
+    * combinable aggregate whose buffer is 60 ints per doc.
+    * Returns (id, sig: long). */
+  def simhashSigTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    spread(df)
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(array_distinct(col("toks"))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("f"))
-    val votes = (0 until 64).map { j =>
-      sum(shiftrightunsigned(col("f"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j")
-    }
-    posts.groupBy("id").agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
-  }
+      .select(col("id"), mdHash60(col("tok")).as("f"))
+      .groupBy("id")
+      .agg(call_function("simhash_sketch", col("f")).as("sig"))
 
   /** SimHash near-duplicate pairs within `maxHamming` (< 16-bit-band recall
     * bound: guaranteed complete for maxHamming <= 3 by pigeonhole over 4

@@ -78,24 +78,6 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
-  /** Deterministic pseudo-gaussian hyperplanes for LSH, generated driver-side
-    * from a fixed seed and embedded as literals (tables × planes × dim). */
-  private def planes(tables: Int, planesPerTable: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(tables, planesPerTable, dim) {
-      // sum of 4 uniforms ~ gaussian enough for hyperplane LSH
-      (rnd.nextDouble() + rnd.nextDouble() + rnd.nextDouble() + rnd.nextDouble()) - 2.0
-    }
-  }
-
-  private def bucketKey(v: Column, tablePlanes: Array[Array[Double]]): Column = {
-    val bits = tablePlanes.zipWithIndex.map { case (p, j) =>
-      val proj = call_function("vec_dot", v, typedLit(p.toSeq))
-      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
-
   /** IVF (inverted-file) approximate NN: corpus vectors are assigned to
     * their nearest of `nCentroids` cells (centroids drawn deterministically
     * from the corpus itself, normalized); a query probes its `nProbe`
@@ -144,30 +126,31 @@ object Similarity {
     * any table; exact cosine is computed on candidates only and the top-k
     * kept. Recall < 1 by design (see the spec, which measures it against
     * [[knnBruteForce]]); throughput at scale is what the bucketing buys.
+    *
+    * All `tables` bucket keys of a vector come from ONE codegen expression,
+    * [[graft.functions.VecLshKeys]], whose integer-LCG hyperplanes are
+    * engine-portable (the DuckDB oracle re-derives them bit-identically).
+    * The bucket join carries ONLY (t, bk, id): candidate pairs are deduped on
+    * (q_id, id) while still narrow, and vectors are re-joined afterwards —
+    * at 100 TB the dedup shuffle moves ids, not embeddings.
     * Output: (q_id, id, sim, rnk) like knnBruteForce. */
   def annLshTopK(corpus: DataFrame, corpusId: String, queries: DataFrame,
-                 queryId: String, vecCol: String, k: Int, dim: Int,
-                 tables: Int = 8, planesPerTable: Int = 8,
-                 seed: Long = 42L): DataFrame = {
-    val pl = planes(tables, planesPerTable, dim, seed)
-    def bucketed(df: DataFrame, idAs: String, vAs: String, nAs: String) = {
-      val base = withNorm(df, if (idAs == "q_id") queryId else corpusId, vecCol)
-        .withColumnRenamed(if (idAs == "q_id") queryId else corpusId, idAs)
-        .withColumnRenamed("v", vAs).withColumnRenamed("nrm", nAs)
-      base.select(col(idAs), col(vAs), col(nAs), explode(array(
-        pl.zipWithIndex.map { case (tp, t) =>
-          struct(lit(t).as("t"), bucketKey(col(vAs), tp).as("bk"))
-        }: _*)).as("tb"))
-        .select(col(idAs), col(vAs), col(nAs),
-          col("tb.t").as("t"), col("tb.bk").as("bk"))
-    }
-    val cb = bucketed(corpus, "id", "v", "nrm")
-    val qb = bucketed(queries, "q_id", "qv", "qn")
-    val cand = cb.join(qb, Seq("t", "bk"))
-      .select("q_id", "id", "v", "nrm", "qv", "qn")
-      .dropDuplicates("q_id", "id")
-    val sims = cand.withColumn("sim",
-      dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+                 queryId: String, vecCol: String, k: Int,
+                 tables: Int = 8, planesPerTable: Int = 8): DataFrame = {
+    val c = withNorm(corpus, corpusId, vecCol)
+      .select(col(corpusId).as("id"), col("v"), col("nrm"))
+    val q = withNorm(queries, queryId, vecCol)
+      .select(col(queryId).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    def keys(df: DataFrame, idAs: String, vAs: String) =
+      df.select(col(idAs), posexplode(
+        call_function("vec_lsh_keys", col(vAs), lit(tables), lit(planesPerTable))))
+        .toDF(idAs, "t", "bk")
+    val candIds = keys(c, "id", "v")
+      .join(keys(q, "q_id", "qv"), Seq("t", "bk"))
+      .select("q_id", "id")
+      .distinct()
+    val sims = candIds.join(c, "id").join(q, "q_id")
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
     sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

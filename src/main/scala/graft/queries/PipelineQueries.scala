@@ -105,18 +105,72 @@ object PipelineQueries {
           JOIN sizes sb ON id_b = sb.doc_id)
         WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
 
-    // ---- p05: MinHash-LSH near-dup pairs, exactly verified (no SQL oracle:
-    // xxhash64 is Spark-side; spec cross-checks against p04) ----------------
+    // ---- p05: MinHash-LSH near-dup pairs, exactly verified. The oracle
+    // re-derives the whole pipeline: md5-based 31-bit shingle fingerprints
+    // (mdHash31), the (a_i*f+b_i) mod P universal-hash family of
+    // MinHashSketchAgg, 16x4 band keys, bucket-join candidates, exact
+    // Jaccard verification — every stage engine-portable by construction. --
     QueryDef("p05_minhash_pairs",
       (s, d) => Dedup.minhashLshPairs(T.documents(s, d), "doc_id", "text",
         n = 3, minJaccard = 0.5).orderBy("id_a", "id_b"),
-      None),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+        sets AS (SELECT doc_id,
+            list_distinct(list_transform(range(0, len(tk)-2),
+              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shs
+          FROM t WHERE len(tk) >= 3),
+        posts AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
+        fps AS (SELECT doc_id,
+            ('0x' || substring(md5(sh), 1, 15))::BIGINT % 2147483648 AS f
+          FROM posts),
+        comp AS (SELECT doc_id, i,
+            MIN((((2654435769 * (2*i + 1)) % 2147483645 + 1) * f
+                 + ((3266489917 * (i + 1)) % 2147483647)) % 2147483647) AS h
+          FROM fps CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
+        sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM comp GROUP BY doc_id),
+        bands AS (SELECT doc_id, b AS band,
+            array_to_string(sig[b*4 + 1 : b*4 + 4], ',') AS bh
+          FROM sigs CROSS JOIN range(16) rb(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        verified AS (SELECT id_a, id_b,
+            CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS inter,
+            CAST(len(sa.shs) AS BIGINT) + CAST(len(sb.shs) AS BIGINT)
+              - CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS uni
+          FROM cand
+          JOIN sets sa ON id_a = sa.doc_id
+          JOIN sets sb ON id_b = sb.doc_id)
+        SELECT id_a, id_b, inter, uni, jaccard FROM (
+          SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM verified)
+        WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
 
-    // ---- p06: SimHash near-dup pairs (rows-only; spec-verified) ------------
+    // ---- p06: SimHash near-dup pairs. Oracle mirrors the 60-bit md5
+    // fingerprints (mdHash60), the ±1 bit votes of SimHashAgg, sign packing,
+    // 4x16-bit banding and the Hamming filter. -----------------------------
     QueryDef("p06_simhash_pairs",
       (s, d) => Dedup.simhashPairs(T.documents(s, d), "doc_id", "text",
         maxHamming = 3).orderBy("id_a", "id_b"),
-      None),
+      Some(s"""
+        WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS tks FROM documents),
+        posts AS (SELECT doc_id, unnest(tks) AS tok FROM t),
+        f AS (SELECT doc_id,
+            ('0x' || substring(md5(tok), 1, 15))::BIGINT AS f
+          FROM posts),
+        votes AS (SELECT doc_id, j,
+            SUM(CASE WHEN (f >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM f CROSS JOIN range(60) rj(j) GROUP BY doc_id, j),
+        sigs AS (SELECT doc_id,
+            SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
+          FROM votes GROUP BY doc_id),
+        chunks AS (SELECT doc_id, sig, c, (sig >> (c*16)) & 65535 AS cv
+          FROM sigs CROSS JOIN range(4) rc(c)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+          FROM chunks a JOIN chunks b
+            ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, hamming FROM cand
+        WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
     // ---- p07: brute-force cosine top-k (bit-exact vs DuckDB) ---------------
     QueryDef("p07_knn_cosine",
@@ -153,16 +207,42 @@ object PipelineQueries {
           FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         WHERE sim >= 0.3 ORDER BY id_a, id_b""")),
 
-    // ---- p09: LSH approximate NN (rows-only; recall measured in spec) ------
+    // ---- p09: LSH approximate NN. The oracle re-derives VecLshKeys'
+    // integer-LCG hyperplanes bit-identically (pure integer ops + one exact
+    // dyadic division), reproduces the bucket-collision candidate set, and
+    // computes the same fold-order cosine — hash-exact end to end. ----------
     QueryDef("p09_ann_lsh",
       (s, d) => {
         val e = T.embeddings(s, d)
         Similarity.annLshTopK(e, "vec_id", e.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 10, dim = 64)
+          "vec_id", "embedding", k = 10)
           .withColumnRenamed("id", "vec_id")
           .orderBy("q_id", "rnk")
       },
-      None),
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        proj AS (SELECT vec_id, t, j,
+            list_reduce(list_transform(range(0, len(v)), d ->
+              v[d+1] * (((1103515245 * (t*8191 + j*131 + d) + 12345) % 2147483648)
+                        / 2147483648.0 - 0.5)),
+              (x, y) -> x + y) AS s
+          FROM n CROSS JOIN range(8) rt(t) CROSS JOIN range(8) rj(j)),
+        keys AS (SELECT vec_id, t,
+            SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bk
+          FROM proj GROUP BY vec_id, t),
+        cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS id
+          FROM keys c JOIN keys q ON c.t = q.t AND c.bk = q.bk
+          WHERE q.vec_id < 5),
+        sims AS (SELECT cand.q_id, cand.id AS vec_id,
+            ${dotSql("c.v", "q.v")} / (c.nrm * q.nrm) AS sim
+          FROM cand JOIN n c ON cand.id = c.vec_id JOIN n q ON cand.q_id = q.vec_id)
+        SELECT q_id, vec_id, sim, rnk FROM (
+          SELECT q_id, vec_id, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+              AS INTEGER) AS rnk
+          FROM sims)
+        WHERE rnk <= 10 ORDER BY q_id, rnk""")),
 
     // ---- p15: IVF approximate NN (rows-only; recall + sim-parity in spec) --
     QueryDef("p15_ann_ivf",

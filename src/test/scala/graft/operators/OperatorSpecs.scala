@@ -98,7 +98,7 @@ class SimilaritySpec extends SparkSpecBase {
       .select($"q_id", $"id", $"sim").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val ann = Similarity.annLshTopK(emb, "vec_id", emb.filter($"vec_id" < 5),
-      "vec_id", "embedding", k = 10, dim = 64)
+      "vec_id", "embedding", k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     // self-match always in the same bucket -> rank 1 per query
     (0L until 5L).foreach { q =>
