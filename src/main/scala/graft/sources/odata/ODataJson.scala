@@ -63,6 +63,25 @@ object ODataJson {
     }
   }
 
+  /** Flatten a nested payload object into the row: SharePoint list items
+    * carry their typed columns under `fields` while `id` lives on the item
+    * itself (reference reads item.id and splices fields columns,
+    * `graph_sharepoint_functions.cpp:384+`). The child's fields win except
+    * `id`, which always comes from the top level (the Graph item GUID). */
+  def unwrapNode(node: JsonNode, child: String): JsonNode = {
+    val c = node.get(child)
+    if (c == null || !c.isObject) node
+    else {
+      val m = c.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].deepCopy()
+      node.properties().asScala.foreach { e =>
+        if (e.getKey != child && (!m.has(e.getKey) || e.getKey == "id")) {
+          val _ = m.replace(e.getKey, e.getValue)
+        }
+      }
+      m
+    }
+  }
+
   /** One JSON object → InternalRow under `schema`, with the lenient coercion
     * matrix. Unknown/missing fields → null. */
   def decodeRow(node: JsonNode, schema: StructType): InternalRow =

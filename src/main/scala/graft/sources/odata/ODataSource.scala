@@ -58,7 +58,9 @@ final case class ODataConf(
     partitionRows: Long = 100000L,
     bearer: Option[String] = None,
     user: Option[String] = None,
-    password: Option[String] = None) {
+    password: Option[String] = None,
+    schemaDdl: Option[String] = None,
+    unwrap: Option[String] = None) {
   def auth: HttpAuth = HttpAuth(bearer, user, password)
 }
 
@@ -77,7 +79,9 @@ object ODataConf {
       partitionRows = o.getOrElse("partitionrows", "100000").toLong,
       bearer = o.get("bearertoken"),
       user = o.get("user"),
-      password = o.get("password"))
+      password = o.get("password"),
+      schemaDdl = o.get("schemaddl"),
+      unwrap = o.get("unwrap"))
   }
 }
 
@@ -90,7 +94,21 @@ final case class ODataMeta(entitySetUrl: String, setName: String,
 object ODataMeta {
   private val edmCache = new java.util.concurrent.ConcurrentHashMap[String, EdmModel]()
 
+  /** Sentinel model for fixed-schema endpoints (Microsoft Graph family):
+    * no `$metadata` document exists, the schema is declared by the caller. */
+  private val NoModel = EdmModel("4.0", "", Map.empty, Map.empty, Map.empty, Seq.empty)
+
   def resolve(conf: ODataConf): ODataMeta = {
+    // Fixed-schema mode (reference: per-service hardcoded Graph schemas,
+    // `graph_entra_functions.cpp:488-536` — there is no $metadata to probe):
+    // the URL is taken verbatim as the collection endpoint, the schema comes
+    // from the `schemaDdl` option, pagination/pushdown work unchanged.
+    conf.schemaDdl.foreach { ddl =>
+      val base = ODataUrl.parse(conf.url).base.stripSuffix("/")
+      val setName = base.substring(base.lastIndexOf('/') + 1)
+      val version = if (conf.version == "2") 2 else 4
+      return ODataMeta(base, setName, version, NoModel, StructType.fromDDL(ddl))
+    }
     val clean = ODataUrl.parse(conf.url)
     val base = clean.base.stripSuffix("/")
     // entity-set vs service root: the metadata doc lives at the service root
@@ -161,6 +179,9 @@ class ODataTable(conf: ODataConf, schema: StructType) extends Table
     * <set>(<key>)` call per entity (OData deletes are by key). Driver-side
     * key fetch — deletes are interactive-scale operations, not bulk scans. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    // fixed-schema (Graph) tables have no EDM key metadata — deletes go
+    // through the per-row mutation helpers instead
+    if (conf.schemaDdl.isDefined) return false
     val meta = ODataMeta.resolve(conf)
     val keys = meta.model.entityTypes(
       meta.model.entitySets.find(_.name == meta.setName).get.entityTypeName).keys
@@ -370,7 +391,8 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ODataReaderFactory(schema, conf.pageSize, conf.bearer, conf.user, conf.password)
+    new ODataReaderFactory(schema, conf.pageSize, conf.bearer, conf.user,
+      conf.password, conf.unwrap)
 
   /** Scan progress metrics — the Spark rendering of the reference's
     * `$count`-based progress fraction (`odata_read_functions.cpp:162-196`):
@@ -442,17 +464,18 @@ final case class ODataInputPartition(url: String, index: Int) extends InputParti
   * executor-side. */
 class ODataReaderFactory(schema: StructType, pageSize: Option[Int],
                          bearer: Option[String], user: Option[String],
-                         password: Option[String])
+                         password: Option[String], unwrap: Option[String] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ODataPartitionReader(partition.asInstanceOf[ODataInputPartition],
-      schema, pageSize, HttpAuth(bearer, user, password))
+      schema, pageSize, HttpAuth(bearer, user, password), unwrap)
 }
 
 /** The executor-side paging loop (reference scan loop, SURVEY §3.1 step 4):
   * GET page → decode rows → follow nextLink until exhausted. */
 class ODataPartitionReader(partition: ODataInputPartition, schema: StructType,
-                           pageSize: Option[Int], auth: HttpAuth)
+                           pageSize: Option[Int], auth: HttpAuth,
+                           unwrap: Option[String] = None)
   extends PartitionReader[InternalRow] {
 
   @transient private lazy val http = HttpCore.shared
@@ -477,7 +500,10 @@ class ODataPartitionReader(partition: ODataInputPartition, schema: StructType,
     pages += 1
     bytes += resp.body.length
     val page = ODataJson.extractPage(ODataJson.parse(resp.text))
-    iter = page.rows.iterator.map(n => ODataJson.decodeRow(n, schema))
+    iter = page.rows.iterator.map { n =>
+      val eff = unwrap.map(ODataJson.unwrapNode(n, _)).getOrElse(n)
+      ODataJson.decodeRow(eff, schema)
+    }
     nextUrl = page.nextLink
   }
 
