@@ -236,6 +236,9 @@ class GraphStub {
         val idx = p.split("index=")(1).stripSuffix(")").toInt
         deletedRowIndexes.synchronized { deletedRowIndexes += idx }
         respond(ex, 204, "")
+      case p if p.contains(":/workbook/worksheets/") && p.endsWith("/usedRange") =>
+        respond(ex, 200,
+          """{"address":"Sheet1!A1:B3","values":[["Name","Qty"],["apple","3"],["pear","4"]]}""")
       case p if p.contains(":/workbook/tables/Sales/rows") =>
         respond(ex, 200, vals(Seq(
           """{"index":0,"values":[["North","3","1.25"]]}""",
