@@ -16,7 +16,8 @@ final case class HttpPolicy(
     retryWaitMs: Long = 100,
     retryBackoff: Double = 4.0,
     maxRedirects: Int = 10,
-    cacheTtlMs: Long = 30000)
+    cacheTtlMs: Long = 30000,
+    cacheMaxEntries: Int = 256)
 
 final case class HttpAuth(
     bearer: Option[String] = None,
@@ -86,10 +87,36 @@ class HttpCore(val policy: HttpPolicy = HttpPolicy()) {
         return e.result
     }
     val r = request("GET", url, None, headers, auth)
-    if (useCache && r.status == 200)
+    if (useCache && r.status == 200) {
+      evictIfNeeded()
       cache.put(url, CacheEntry(System.currentTimeMillis(), r))
+    }
     r
   }
+
+  /** Bounded cache (the reference GCs on a background thread,
+    * `http_client.cpp:1123-1196`; inline eviction gives the same bound with
+    * no thread): drop expired entries first, then oldest-inserted until under
+    * the cap. Round 2 never evicted — the cache grew without bound. */
+  private def evictIfNeeded(): Unit = {
+    if (cache.size() < policy.cacheMaxEntries) return
+    val now = System.currentTimeMillis()
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      if (now - it.next().getValue.at >= policy.cacheTtlMs) it.remove()
+    }
+    while (cache.size() >= policy.cacheMaxEntries) {
+      // still full of live entries: evict the oldest
+      var oldestKey: String = null
+      var oldestAt = Long.MaxValue
+      cache.forEach { (k, v) => if (v.at < oldestAt) { oldestAt = v.at; oldestKey = k } }
+      if (oldestKey == null) return
+      cache.remove(oldestKey)
+    }
+  }
+
+  /** Visible for tests. */
+  private[http] def cacheSize: Int = cache.size()
 
   def request(method: String, url: String, body: Option[(String, String)],
               headers: Map[String, String] = Map.empty,

@@ -12,20 +12,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.sources.http.HttpAuth
 import graft.sources.odata.{EdmxParser, ODataJson}
 import graft.sources.http.HttpCore
-import scala.jdk.CollectionConverters._
 
 /** ODP CDC as an idiomatic Structured Streaming source (SURVEY.md §2.6 tier
   * 2): `spark.readStream.format("odp").option("url", ...).load()`.
   *
   * Offset = (batch counter, delta token). Each trigger's `latestOffset()`
-  * performs the actual ODP fetch (initial load with `Prefer:
-  * odata.track-changes`, then delta fetches with the stored token) and
-  * buffers the decoded rows; `planInputPartitions` serves the buffered batch.
-  * The delta token is ALSO persisted in the [[OdpStateStore]] (stateDir
-  * option) so a restarted query resumes the server-side subscription — the
-  * Spark checkpoint handles batch bookkeeping, the store handles the token,
-  * mirroring the reference's subscriptions table. Delivery is at-least-once
-  * (whatever the server resends), like the reference.
+  * walks the server's page chain ONCE, spilling each raw page body to the
+  * state store (checkpoint-adjacent, cluster-reachable) — the driver holds
+  * one page at a time, never the batch (round 2 buffered whole batches in
+  * memory; scale-killer). `planInputPartitions` hands executors one
+  * partition per spilled page; they decode. `commit` deletes consumed
+  * batches' pages. The delta token is ALSO persisted in the [[OdpStateStore]]
+  * so a restarted query resumes the server-side subscription; delivery is
+  * at-least-once (whatever the server resends), like the reference.
   */
 class OdpStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "odp"
@@ -34,13 +33,17 @@ class OdpStreamSource extends TableProvider with DataSourceRegister {
     val url = options.get("url")
     val serviceRoot = url.substring(0, url.lastIndexOf('/'))
     val setName = url.substring(url.lastIndexOf('/') + 1)
-    val resp = HttpCore.shared.get(serviceRoot + "/$metadata")
+    val auth = HttpAuth(Option(options.get("bearertoken")),
+      Option(options.get("user")), Option(options.get("password")))
+    val resp = HttpCore.shared.get(serviceRoot + "/$metadata", auth = auth)
     EdmxParser.parse(resp.text).schemaOfSet(setName)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    import scala.jdk.CollectionConverters._
     new OdpStreamTable(schema, properties.asScala.toMap)
+  }
 }
 
 class OdpStreamTable(schema: StructType, options: Map[String, String])
@@ -82,11 +85,11 @@ class OdpMicroBatchStream(schema: StructType, options: Map[String, String],
   private val store = new OdpStateStore(stateDir)
   private val subId = java.util.UUID.nameUUIDFromBytes(
     url.getBytes("UTF-8")).toString
-  private val client = new OdpClient(schema, auth, maxPageSize)
+  private val client = new OdpClient(auth, maxPageSize)
 
-  // buffered rows per batch id (this instance's fetches only)
-  private val buffers = new java.util.concurrent.ConcurrentHashMap[Long, Array[InternalRow]]()
-  @volatile private var lastPlanned: OdpOffset = _
+  // page-file URIs per batch fetched by THIS instance (restart replans from
+  // the spill dir listing instead)
+  private val batchPages = new java.util.concurrent.ConcurrentHashMap[Long, Seq[String]]()
 
   override def initialOffset(): Offset = OdpOffset(-1L, None)
   override def deserializeOffset(json: String): Offset = OdpOffset.fromJson(json)
@@ -96,19 +99,18 @@ class OdpMicroBatchStream(schema: StructType, options: Map[String, String],
     val token = prior.flatMap(_.deltaToken)
     val batch = prior.map(_.batch).getOrElse(-1L)
     val t0 = System.currentTimeMillis()
-    val res = client.fetch(url, token)
-    if (res.rows.isEmpty && res.newToken.forall(t => token.contains(t)) && batch >= 0) {
+    val next = batch + 1
+    store.deletePages(subId, next) // re-trigger hygiene
+    val res = client.fetchPaged(url, token, store, subId, next)
+    if (res.rowCount == 0 && res.newToken.forall(t => token.contains(t)) && batch >= 0) {
       // no progress: stay at current offset
       OdpOffset(batch, token)
     } else {
-      val next = batch + 1
-      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .createToCatalystConverter(schema)
-      buffers.put(next, res.rows.map(r => conv(r).asInstanceOf[InternalRow]).toArray)
+      batchPages.put(next, res.pageFiles)
       store.save(OdpSubscription(subId, res.newToken.orElse(token),
         if (token.isDefined || batch >= 0) "DELTA_FETCH" else "INITIAL_LOAD",
         res.preferenceApplied, next))
-      store.audit(subId, res.httpStatus, res.rows.size, token,
+      store.audit(subId, res.httpStatus, res.rowCount, token,
         res.newToken.orElse(token), System.currentTimeMillis() - t0)
       OdpOffset(next, res.newToken.orElse(token))
     }
@@ -117,29 +119,38 @@ class OdpMicroBatchStream(schema: StructType, options: Map[String, String],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[OdpOffset]
     val e = end.asInstanceOf[OdpOffset]
-    lastPlanned = e
-    val rows = (s.batch + 1 to e.batch).flatMap(b =>
-      Option(buffers.get(b)).getOrElse(Array.empty[InternalRow])).toArray
-    Array(OdpRowsPartition(rows))
+    (s.batch + 1 to e.batch).flatMap { b =>
+      Option(batchPages.get(b)).getOrElse(store.listPages(subId, b))
+    }.map(uri => OdpPagePartition(uri)).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val s = schema
     (partition: InputPartition) => {
-      val rows = partition.asInstanceOf[OdpRowsPartition].rows
+      val uri = partition.asInstanceOf[OdpPagePartition].uri
       new PartitionReader[InternalRow] {
-        private var i = -1
-        override def next(): Boolean = { i += 1; i < rows.length }
-        override def get(): InternalRow = rows(i)
+        private lazy val rows: Iterator[InternalRow] =
+          ODataJson.extractPage(ODataJson.parse(OdpPages.readBody(uri)))
+            .rows.iterator.map(n => ODataJson.decodeRow(n, s))
+        private var current: InternalRow = _
+        override def next(): Boolean =
+          if (rows.hasNext) { current = rows.next(); true } else false
+        override def get(): InternalRow = current
         override def close(): Unit = ()
       }
     }
+  }
 
   override def commit(end: Offset): Unit = {
+    import scala.jdk.CollectionConverters._
     val e = end.asInstanceOf[OdpOffset]
-    buffers.keySet().asScala.filter(_ <= e.batch).foreach(buffers.remove(_))
+    batchPages.keySet().asScala.filter(_ <= e.batch).foreach { b =>
+      store.deletePages(subId, b)
+      batchPages.remove(b)
+    }
   }
 
   override def stop(): Unit = ()
 }
 
-final case class OdpRowsPartition(rows: Array[InternalRow]) extends InputPartition
+final case class OdpPagePartition(uri: String) extends InputPartition

@@ -28,6 +28,17 @@ class HttpCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.status == 503)
   }
 
+  test("cache is bounded: expired entries evicted first, then oldest") {
+    val http = new HttpCore(HttpPolicy(cacheTtlMs = 60000, cacheMaxEntries = 5))
+    val base = s"http://localhost:${stub.port}/counter"
+    (1 to 20).foreach(i => http.get(s"$base?i=$i"))
+    assert(http.cacheSize <= 5, s"cache grew to ${http.cacheSize}")
+    // short TTL: expired entries are dropped on insert instead of live ones
+    val http2 = new HttpCore(HttpPolicy(cacheTtlMs = 1, cacheMaxEntries = 5))
+    (1 to 6).foreach { i => http2.get(s"$base?j=$i"); Thread.sleep(3) }
+    assert(http2.cacheSize <= 5)
+  }
+
   test("GET cache serves within TTL, expires after") {
     val http = new HttpCore(HttpPolicy(cacheTtlMs = 300))
     stub.counterHits = 0

@@ -75,6 +75,18 @@ class ServicesSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(stub.requests.exists(_.contains("/api/v1/dwc/consumption/relational/sp1/Customers")))
   }
 
+  test("odpShow lists only ODP-patterned entity sets with change tracking") {
+    val df = Services.odpShow(spark, s"http://localhost:${stub.port}")
+    val rows = df.collect()
+    assert(rows.length == 3) // Customers filtered out
+    val ids = rows.map(_.getAs[String]("entity_set_id")).toSet
+    assert(ids == Set("ENTITYOFSALESORDER", "FactsOfRevenue", "AttrOfCustomer"))
+    assert(rows.forall(_.getAs[Boolean]("change_tracking")))
+    val urls = rows.map(_.getAs[String]("entity_set_url"))
+    assert(urls.exists(_.endsWith("/svc/EntityOfSalesOrder"))) // description casing
+    assert(rows.forall(_.getAs[String]("service_id") == "ZSVC_1"))
+  }
+
   test("excelRange: values matrix -> DataFrame with header-row column names") {
     val df = Services.excelRange(spark, s"http://localhost:${stub.port}/workbook/range")
     assert(df.schema.fieldNames.toSeq == Seq("Name", "Qty", "Price"))

@@ -48,9 +48,31 @@ class OdpSpec extends SparkSpecBase with BeforeAndAfterAll {
     val full = reader.read(forceFullLoad = true)
     assert(full.count() == 20)
 
-    val audit = Files.readString(java.nio.file.Paths.get(dir, "audit.jsonl"))
-    assert(audit.linesIterator.size == 4)
-    assert(audit.contains("\"rows_fetched\":2"))
+    // audit: one immutable file per fetch (O(1) append, crash-safe)
+    val audit = reader.store.auditLines()
+    assert(audit.size == 4)
+    assert(audit.exists(_.contains("\"rows_fetched\":2")))
+  }
+
+  test("multi-page initial load spills pages; driver never materializes rows") {
+    val dir = Files.createTempDirectory("odp-pages").toString
+    // pageSize 5 in the stub -> 20-row snapshot pages as 4 spilled files...
+    // except the ODP endpoint returns the snapshot in one response; the
+    // guarantee under test is structural: rows reach the DataFrame through
+    // spilled page files decoded in mapPartitions, never a driver-side
+    // Vector[Row] + parallelize
+    val reader = new OdpReader(spark, stub.serviceUrl + "/OdpCustomers", dir)
+    val df = reader.read(forceFullLoad = true)
+    // the plan is a deserialization over the page-file dataset, not a
+    // parallelized LocalRDD of pre-collected rows
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+      s"expected executor-side page decode in plan:\n$plan")
+    assert(df.count() == 20)
+    val pages = reader.store.listPages(reader.subscriptionId,
+      reader.listSubscriptions().head.batch)
+    assert(pages.nonEmpty, "expected spilled page files")
+    assert(pages.forall(_.contains("/pages/")))
   }
 
   test("v2 dialect: __delta link + d.results envelope carry the token") {

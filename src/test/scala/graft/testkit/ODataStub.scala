@@ -154,6 +154,19 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
         serveOdp(ex, q)
       case "/svc" | "/svc/" =>
         respond(ex, 200, "application/json", """{"value":[{"name":"Customers","url":"Customers"}]}""")
+      case "/sap/opu/odata/iwfnd/catalogservice;v=2/ServiceCollection" =>
+        // Gateway catalog with $expand=EntitySets (v2 envelope): one service
+        // carrying ODP-patterned and plain entity sets
+        respond(ex, 200, "application/json",
+          s"""{"d":{"results":[
+             |{"ID":"ZSVC_1","Description":"Sales service",
+             |"ServiceUrl":"http://localhost:$port/svc",
+             |"EntitySets":{"results":[
+             |  {"ID":"ENTITYOFSALESORDER","Description":"EntityOfSalesOrder"},
+             |  {"ID":"FactsOfRevenue","Description":"FactsOfRevenue"},
+             |  {"ID":"AttrOfCustomer","Description":"AttrOfCustomer"},
+             |  {"ID":"Customers","Description":"Plain set"}]}}]}}"""
+            .stripMargin.replace("\n", ""))
       case "/flaky" =>
         // fails twice per "key", then succeeds — for retry tests
         val key = q.getOrElse("key", "k")
