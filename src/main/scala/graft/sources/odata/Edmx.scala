@@ -48,18 +48,30 @@ final case class EdmModel(
   }
 
   /** Schema with chosen navigation properties expanded as nested columns:
-    * to-one → struct, to-many → array<struct> (SURVEY.md §1.2 expand rule). */
-  def schemaWithExpand(setName: String, expand: Seq[String]): StructType = {
+    * to-one → struct, to-many → array<struct> (SURVEY.md §1.2 expand rule).
+    * Nested `A/B` paths and per-expand `$select` narrow the inner structs
+    * recursively (reference `odata_expand_parser.hpp:10-32`). */
+  def schemaWithExpand(setName: String, expand: Seq[String]): StructType =
+    schemaWithExpandSpecs(setName, expand.map(ExpandSpec.parse))
+
+  def schemaWithExpandSpecs(setName: String, specs: Seq[ExpandSpec]): StructType = {
     val set = entitySets.find(_.name == setName).get
     val et = entityTypes(stripNs(set.entityTypeName))
     val base = schemaOf(set.entityTypeName)
-    val extra = expand.map { navName =>
-      val nav = et.navProperties.find(_.name == navName)
-        .getOrElse(throw new NoSuchElementException(s"nav property $navName on ${et.name}"))
-      val inner = schemaOf(nav.targetType)
-      StructField(nav.name, if (nav.toMany) ArrayType(inner) else inner, nullable = true)
+    StructType(base.fields ++ specs.map(expandField(et, _)))
+  }
+
+  private def expandField(et: EdmEntityType, spec: ExpandSpec): StructField = {
+    val nav = et.navProperties.find(_.name == spec.nav)
+      .getOrElse(throw new NoSuchElementException(s"nav property ${spec.nav} on ${et.name}"))
+    val targetEt = entityTypes(stripNs(nav.targetType))
+    var inner = schemaOf(nav.targetType)
+    spec.options.get("$select").foreach { sel =>
+      val keep = sel.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      inner = StructType(inner.fields.filter(f => keep.contains(f.name)))
     }
-    StructType(base.fields ++ extra)
+    val withSub = StructType(inner.fields ++ spec.sub.map(expandField(targetEt, _)))
+    StructField(nav.name, if (nav.toMany) ArrayType(withSub) else withSub, nullable = true)
   }
 
   def resolveType(edmType: String): DataType = {
@@ -77,6 +89,91 @@ final case class EdmModel(
             .map(p => StructField(p.name, resolveType(p.edmType), p.nullable)))
         else EdmTypes.primitive(edmType)
     }
+  }
+}
+
+/** One parsed `$expand` path: navigation property, nested sub-expands
+  * (`A/B` slash paths or `$expand=` inside the option list), and per-expand
+  * query options (`A($select=x;$top=2)`) — the structure of the reference's
+  * `ODataExpandParser::ExpandPath` (`odata_expand_parser.hpp:10-32`). */
+final case class ExpandSpec(nav: String, sub: Seq[ExpandSpec] = Seq.empty,
+                            options: Map[String, String] = Map.empty) {
+  /** v4 rendering: options and sub-expands nest in parentheses. */
+  def renderV4: String = {
+    val opts = options.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" } ++
+      (if (sub.nonEmpty) Seq(s"$$expand=${sub.map(_.renderV4).mkString(",")}") else Nil)
+    if (opts.isEmpty) nav else s"$nav(${opts.mkString(";")})"
+  }
+  /** v2 rendering: slash paths, one per leaf (options are a v4 feature and
+    * are dropped on the wire; the schema narrowing still applies). */
+  def renderV2Paths: Seq[String] =
+    if (sub.isEmpty) Seq(nav) else sub.flatMap(_.renderV2Paths).map(p => s"$nav/$p")
+}
+
+object ExpandSpec {
+  /** Paren-aware top-level comma split: `A($select=x),B/C` → two specs. */
+  def parseList(s: String): Seq[ExpandSpec] =
+    splitList(s).map(parse)
+
+  /** Raw top-level segments of a comma-joined expand option. */
+  def splitList(s: String): Seq[String] =
+    splitTop(s, ',').map(_.trim).filter(_.nonEmpty)
+
+  def parse(one: String): ExpandSpec = {
+    val s = one.trim
+    val paren = topIndexOf(s, '(')
+    val slash = topIndexOf(s, '/')
+    if (slash >= 0 && (paren < 0 || slash < paren)) {
+      // A/rest — nested path
+      ExpandSpec(s.take(slash), Seq(parse(s.drop(slash + 1))))
+    } else if (paren >= 0) {
+      val nav = s.take(paren)
+      val close = matchingParen(s, paren)
+      val inside = s.substring(paren + 1, close)
+      var sub = Seq.empty[ExpandSpec]
+      var opts = Map.empty[String, String]
+      splitTop(inside, ';').map(_.trim).filter(_.nonEmpty).foreach { part =>
+        val eq = part.indexOf('=')
+        val (k, v) = if (eq < 0) (part, "") else (part.take(eq).trim, part.drop(eq + 1).trim)
+        if (k == "$expand") sub = sub ++ parseList(v) else opts += (k -> v)
+      }
+      // `A($top=2)/B` — trailing path after the options
+      val rest = s.drop(close + 1)
+      if (rest.startsWith("/")) sub = sub :+ parse(rest.drop(1))
+      ExpandSpec(nav, sub, opts)
+    } else ExpandSpec(s)
+  }
+
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    s.zipWithIndex.foreach { case (c, i) =>
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == sep && depth == 0) { out += s.substring(start, i); start = i + 1 }
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  private def topIndexOf(s: String, c: Char): Int = {
+    var depth = 0
+    s.zipWithIndex.foreach { case (ch, i) =>
+      if (ch == '(') { if (c == '(' && depth == 0) return i; depth += 1 }
+      else if (ch == ')') depth -= 1
+      else if (ch == c && depth == 0) return i
+    }
+    -1
+  }
+
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0
+    (open until s.length).foreach { i =>
+      if (s(i) == '(') depth += 1
+      else if (s(i) == ')') { depth -= 1; if (depth == 0) return i }
+    }
+    throw new IllegalArgumentException(s"unbalanced parens in expand: $s")
   }
 }
 

@@ -71,7 +71,8 @@ object ODataConf {
       url = o.getOrElse("url", o.getOrElse("path",
         throw new IllegalArgumentException("odata source requires option 'url'"))),
       version = o.getOrElse("version", "auto"),
-      expand = o.get("expand").map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty),
+      // paren-aware split: "Orders($select=a,b),Category" is two specs
+      expand = o.get("expand").map(ExpandSpec.splitList).getOrElse(Seq.empty),
       top = o.get("top").map(_.toLong),
       skip = o.get("skip").map(_.toLong),
       pageSize = o.get("pagesize").map(_.toInt),
@@ -335,17 +336,23 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
     var u = ODataUrl.parse(conf.url.replace(ODataUrl.parse(conf.url).base,
       meta.entitySetUrl))
     filterExpr.foreach(e => u = u.mergeFilter(e))
+    val expandSpecs = conf.expand.map(ExpandSpec.parse)
+    val expandNavs = expandSpecs.map(_.nav)
     // $select skipped when all columns requested (reference `:430-435`)
     if (schema.fieldNames.length < meta.sparkSchema.fieldNames.length) {
-      val base = schema.fieldNames.filterNot(f => conf.expand.contains(f))
+      val base = schema.fieldNames.filterNot(expandNavs.contains)
       if (base.nonEmpty) {
         val sel: Seq[String] = if (meta.version == 2)
-          (base.toSeq ++ conf.expand).distinct // v2: expanded navs mirrored into $select
+          (base.toSeq ++ expandNavs).distinct // v2: expanded navs mirrored into $select
         else base.toSeq
         u = u.withParam("$select", sel.mkString(","))
       }
     }
-    if (conf.expand.nonEmpty) u = u.withParam("$expand", conf.expand.mkString(","))
+    // v4 nests sub-expands/options in parens; v2 takes slash paths
+    // (reference `odata_predicate_pushdown_helper.cpp:238-258`, expand parser)
+    if (expandSpecs.nonEmpty) u = u.withParam("$expand",
+      if (meta.version == 2) expandSpecs.flatMap(_.renderV2Paths).mkString(",")
+      else expandSpecs.map(_.renderV4).mkString(","))
     val effTop = (topOverride.toSeq ++ conf.top.toSeq ++ limit.map(_.toLong).toSeq)
       .reduceOption(_ min _)
     val effSkip = skipOverride.orElse {

@@ -207,6 +207,53 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
       v4.deletedKeys.toString)
   }
 
+  test("nested $expand (v4): Orders($expand=Items) gives two-level structs and parenthesized URL") {
+    v4.requests.clear()
+    val df = read(v4, "expand" -> "Orders($expand=Items)")
+    val inner = df.schema("Orders").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(inner.fieldNames.toSeq == Seq("OrderID", "Amount", "Items"))
+    val items = inner("Items").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(items.fieldNames.toSeq == Seq("ItemID", "Qty"))
+    val c2 = df.select("CustomerID", "Orders").filter(col("CustomerID") === "C02").head()
+    val orders = c2.getSeq[org.apache.spark.sql.Row](1)
+    // order 21 is odd -> 2 items (ids 2100, 2101); order 20 even -> 1 item
+    val byId = orders.map(o => o.getInt(0) -> o.getSeq[org.apache.spark.sql.Row](2)).toMap
+    assert(byId(20).map(_.getInt(0)) == Seq(2000))
+    assert(byId(21).map(_.getInt(0)) == Seq(2100, 2101))
+    assert(v4.requests.exists(_.contains("$expand=Orders($expand=Items)")),
+      v4.requests.filter(_.contains("expand")).toString)
+  }
+
+  test("nested $expand slash path (v2): Orders/Items renders slash syntax and decodes results-wrappers") {
+    v2.requests.clear()
+    val df = read(v2, "expand" -> "Orders/Items").select("CustomerID", "Orders")
+    val c5 = df.filter(col("CustomerID") === "C05").head()
+    val orders = c5.getSeq[org.apache.spark.sql.Row](1)
+    assert(orders.map(_.getInt(0)) == Seq(50, 51))
+    // v2 wraps both levels in {"results": ...}; both must decode
+    val items51 = orders.find(_.getInt(0) == 51).get.getSeq[org.apache.spark.sql.Row](2)
+    assert(items51.map(_.getInt(0)) == Seq(5100, 5101))
+    val dataReqs = v2.requests.filter(_.contains("/Customers?"))
+    assert(dataReqs.exists(_.contains("$expand=Orders/Items")), s"reqs: $dataReqs")
+  }
+
+  test("per-expand $select narrows the nested struct and renders v4 options") {
+    v4.requests.clear()
+    val df = read(v4, "expand" -> "Orders($select=OrderID)")
+    val inner = df.schema("Orders").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(inner.fieldNames.toSeq == Seq("OrderID"))
+    assert(df.select("CustomerID", "Orders").filter(col("CustomerID") === "C02").head()
+      .getSeq[org.apache.spark.sql.Row](1).map(_.getInt(0)) == Seq(20, 21))
+    assert(v4.requests.exists(_.contains("$expand=Orders($select=OrderID)")),
+      v4.requests.filter(_.contains("expand")).toString)
+  }
+
   test("$expand on v2 unwraps the results-wrapper and mirrors navs into $select") {
     v2.requests.clear()
     val df = read(v2, "expand" -> "Orders").select("CustomerID", "Orders")

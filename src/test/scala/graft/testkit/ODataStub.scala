@@ -99,6 +99,12 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
        |        <Key><PropertyRef Name="OrderID"/></Key>
        |        <Property Name="OrderID" Type="Edm.Int32" Nullable="false"/>
        |        <Property Name="Amount" Type="Edm.Double"/>
+       |        <NavigationProperty Name="Items" Type="Collection(Stub.Item)"/>
+       |      </EntityType>
+       |      <EntityType Name="Item">
+       |        <Key><PropertyRef Name="ItemID"/></Key>
+       |        <Property Name="ItemID" Type="Edm.Int32" Nullable="false"/>
+       |        <Property Name="Qty" Type="Edm.Int32"/>
        |      </EntityType>
        |      <EntityContainer Name="Container">
        |        <EntitySet Name="Customers" EntityType="Stub.Customer"/>
@@ -283,8 +289,10 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
       else (data.slice(page * pageSize, (page + 1) * pageSize),
         data.size > (page + 1) * pageSize)
     val select = q.get("$select").map(_.split(',').map(_.trim).toSeq)
-    val expand = q.get("$expand").exists(_.contains("Orders"))
-    val items = slice.map(r => jsonObj(r, select, expand)).mkString("[", ",", "]")
+    val expandRaw = q.getOrElse("$expand", "")
+    val expand = expandRaw.contains("Orders")
+    val expandItems = expandRaw.contains("Items") // Orders/Items or Orders($expand=Items)
+    val items = slice.map(r => jsonObj(r, select, expand, expandItems)).mkString("[", ",", "]")
     val nextLink =
       if (!hasMore) None
       else {
@@ -304,8 +312,12 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
   def ordersOf(customerIdx: Int): Seq[(Int, Double)] =
     (0 until customerIdx % 3).map(k => (customerIdx * 10 + k, customerIdx * 100 + k + 0.5))
 
+  /** Deterministic items per order: order o has (o%2)+1 items. */
+  def itemsOf(orderId: Int): Seq[(Int, Int)] =
+    (0 to orderId % 2).map(k => (orderId * 100 + k, k + 1))
+
   private def jsonObj(r: Map[String, Any], select: Option[Seq[String]],
-                      expand: Boolean = false): String = {
+                      expand: Boolean = false, expandItems: Boolean = false): String = {
     val fields = Seq("CustomerID", "CompanyName", "Country", "Revenue", "Founded")
       .filter(f => select.forall(_.contains(f)))
     val expandJson =
@@ -313,7 +325,15 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
       else {
         val idx = r("CustomerID").toString.stripPrefix("C").toInt
         val os = ordersOf(idx).map { case (oid, amt) =>
-          s"""{"OrderID":$oid,"Amount":$amt}"""
+          val itemsJson =
+            if (!expandItems) ""
+            else {
+              val is = itemsOf(oid).map { case (iid, qty) =>
+                s"""{"ItemID":$iid,"Qty":$qty}"""
+              }.mkString("[", ",", "]")
+              "," + (if (v2) s""""Items":{"results":$is}""" else s""""Items":$is""")
+            }
+          s"""{"OrderID":$oid,"Amount":$amt$itemsJson}"""
         }.mkString("[", ",", "]")
         Some(if (v2) s""""Orders":{"results":$os}""" else s""""Orders":$os""")
       }
