@@ -138,7 +138,11 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sets = shingleSets(df, idCol, textCol, n).cache()
-    val sig = minhashSigTable(sets, k)
+    // cached: the band self-join otherwise evaluates the whole signature
+    // aggregation once per branch (plan-verified — no ReusedExchange fires
+    // for self-joins on aggregated subtrees). k longs per doc: tiny relative
+    // to the corpus at any scale.
+    val sig = minhashSigTable(sets, k).cache()
     // band key = the band's signature slice rendered as a string — engine-
     // portable (the oracle mirrors it with array_to_string), no murmur3
     val bandRows = sig.select(col("id"), posexplode(
@@ -184,7 +188,9 @@ object Dedup {
     * Output: (id_a, id_b, hamming). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSigTable(df, idCol, textCol)
+    // cached for the same self-join double-evaluation reason as in
+    // minhashLshPairs; one long per doc
+    val sigs = simhashSigTable(df, idCol, textCol).cache()
     val chunks = sigs.select(col("id"), col("sig"), explode(
       transform(sequence(lit(0), lit(3)),
         c => struct(c.as("ci"),
