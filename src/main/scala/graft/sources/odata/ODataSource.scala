@@ -440,6 +440,7 @@ class ODataCountScan(conf: ODataConf, meta: ODataMeta, filterExpr: Option[String
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val (bearer, user, password) = (conf.bearer, conf.user, conf.password)
+    val v2 = meta.version == 2
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val url = partition.asInstanceOf[ODataInputPartition].url
@@ -448,13 +449,32 @@ class ODataCountScan(conf: ODataConf, meta: ODataMeta, filterExpr: Option[String
           private var row: InternalRow = _
           override def next(): Boolean = {
             if (done) return false
-            val resp = HttpCore.shared.get(url, useCache = false,
-              auth = HttpAuth(bearer, user, password))
-            if (resp.status != 200)
-              throw new RuntimeException(s"GET $url -> HTTP ${resp.status}")
-            row = InternalRow(resp.text.trim.toLong)
+            val auth = HttpAuth(bearer, user, password)
+            val resp = HttpCore.shared.get(url, useCache = false, auth = auth)
+            val n =
+              if (resp.status == 200) resp.text.trim.toLong
+              else pageCount(auth) // server without /$count: count the pages
+            row = InternalRow(n)
             done = true
             true
+          }
+          /** Fallback when the service rejects `/$count` (many real OData
+            * implementations do): walk the data pages, summing row counts —
+            * still a complete answer, just not free. */
+          private def pageCount(auth: HttpAuth): Long = {
+            var u = ODataUrl.parse(url.replace("/$count", ""))
+            if (v2) u = u.withParam("$format", "json")
+            var next: Option[String] = Some(u.render)
+            var n = 0L
+            while (next.isDefined) {
+              val resp = HttpCore.shared.get(next.get, useCache = false, auth = auth)
+              if (resp.status != 200)
+                throw new RuntimeException(s"GET ${next.get} -> HTTP ${resp.status}")
+              val page = ODataJson.extractPage(ODataJson.parse(resp.text))
+              n += page.rows.size
+              next = page.nextLink
+            }
+            n
           }
           override def get(): InternalRow = row
           override def close(): Unit = ()

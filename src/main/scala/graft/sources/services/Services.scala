@@ -48,6 +48,80 @@ object Services {
       "edm_type", "nullable", "is_key")
   }
 
+  /** The reference's full nested `odata_describe` shape
+    * (`odata_describe_functions.cpp:182-467`): ONE row per call with LIST-of-
+    * STRUCT columns for properties, navigation properties and entity sets
+    * (functions stay empty — the EDMX parser does not model function imports,
+    * like most real services' metadata). `spark_type` stands in for the
+    * reference's `duckdb_type` column. */
+  def odataDescribeStructured(spark: SparkSession, serviceUrl: String,
+                              secret: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val auth = SecretRegistry.authFor(spark, serviceUrl, secret)
+    val base = serviceUrl.stripSuffix("/")
+    val resp = HttpCore.shared.get(base + "/$metadata", auth = auth)
+    if (resp.status != 200)
+      throw new RuntimeException(s"GET $base/$$metadata -> HTTP ${resp.status}")
+    val model = EdmxParser.parse(resp.text)
+    // entity-set URL → (resource_type=entity_set, that set); service root →
+    // every set, no single entity type (reference probe, `:224-259`)
+    val lastSeg = base.substring(base.lastIndexOf('/') + 1)
+    val setOpt = model.entitySets.find(_.name == lastSeg)
+
+    val propType = StructType(Seq(
+      StructField("name", StringType), StructField("spark_type", StringType),
+      StructField("edm_type", StringType), StructField("is_nullable", BooleanType),
+      StructField("is_key", BooleanType)))
+    val navType = StructType(Seq(
+      StructField("name", StringType), StructField("target_entity", StringType),
+      StructField("target_entity_type", StructType(Seq(
+        StructField("name", StringType),
+        StructField("property_count", LongType),
+        StructField("nav_property_count", LongType)))),
+      StructField("is_collection", BooleanType)))
+    val setType = StructType(Seq(
+      StructField("name", StringType), StructField("entity_type", StringType),
+      StructField("url", StringType)))
+    val funType = StructType(Seq(
+      StructField("name", StringType), StructField("return_type", StringType)))
+    val schema = StructType(Seq(
+      StructField("url", StringType), StructField("resource_type", StringType),
+      StructField("entity_set_name", StringType),
+      StructField("entity_type_name", StringType),
+      StructField("properties", ArrayType(propType)),
+      StructField("navigation_properties", ArrayType(navType)),
+      StructField("entity_sets", ArrayType(setType)),
+      StructField("functions", ArrayType(funType))))
+
+    def propsOf(etName: String): Seq[Row] = {
+      val et = model.entityTypes(etName.split('.').last)
+      et.properties.map(p => Row(p.name, model.resolveType(p.edmType).simpleString,
+        p.edmType, p.nullable, et.keys.contains(p.name)))
+    }
+    def navsOf(etName: String): Seq[Row] = {
+      val et = model.entityTypes(etName.split('.').last)
+      et.navProperties.map { n =>
+        val target = model.entityTypes.get(n.targetType.split('.').last)
+        Row(n.name, n.targetType,
+          target.map(t => Row(t.name, t.properties.size.toLong,
+            t.navProperties.size.toLong)).orNull,
+          n.toMany)
+      }
+    }
+    val serviceRoot = setOpt.map(_ => base.substring(0, base.lastIndexOf('/'))).getOrElse(base)
+    val setsRows = model.entitySets.map(es =>
+      Row(es.name, es.entityTypeName, s"$serviceRoot/${es.name}"))
+    val row = setOpt match {
+      case Some(es) => Row(base, "entity_set", es.name, es.entityTypeName,
+        propsOf(es.entityTypeName), navsOf(es.entityTypeName), setsRows, Seq.empty[Row])
+      case None => Row(base, "service", null, null,
+        Seq.empty[Row], Seq.empty[Row], setsRows, Seq.empty[Row])
+    }
+    spark.createDataFrame(Seq(row).asJava, schema)
+  }
+
   /** Register a temp view per entity set (reference `odata_attach`,
     * `odata_attach_functions.cpp:138-175`). Returns the view names. For a
     * persistent catalog use `spark.sql.catalog.<name> = ODataCatalog`. */
@@ -168,11 +242,67 @@ object Services {
                      secret: Option[String] = None): DataFrame =
     odataDescribe(spark, baseUrl.stripSuffix("/") + "/api/v2.0", secret)
 
+  /** Companies of the environment (reference `bc_show_companies`): the
+    * companies endpoint is itself a BC entity set — dynamic schema from the
+    * service `$metadata`, same provider. */
+  def bcShowCompanies(spark: SparkSession, baseUrl: String,
+                      secret: Option[String] = None): DataFrame =
+    reader(spark, s"${baseUrl.stripSuffix("/")}/api/v2.0/companies", secret).load()
+
+  /** Per-entity property description (reference `bc_describe`,
+    * `business_central_functions.cpp:225`): (property_name, property_type,
+    * nullable, is_key) from the API `$metadata`. */
+  def bcDescribe(spark: SparkSession, baseUrl: String, entity: String,
+                 secret: Option[String] = None): DataFrame =
+    describeEntity(spark, baseUrl.stripSuffix("/") + "/api/v2.0", entity, secret,
+      "property_name", "property_type", "nullable", "is_key")
+
   // ---- Dataverse (Dynamics CRM) --------------------------------------------
 
   def crmRead(spark: SparkSession, orgUrl: String, entity: String,
               secret: Option[String] = None): DataFrame =
     reader(spark, s"${orgUrl.stripSuffix("/")}/api/data/v9.2/$entity", secret).load()
+
+  /** Entity listing via the Web API EntityDefinitions endpoint (reference
+    * `crm_show_entities`, `dataverse_functions.cpp:26-50`). Fixed projection
+    * of the definition columns users join on. */
+  def crmShowEntities(spark: SparkSession, orgUrl: String,
+                      secret: Option[String] = None): DataFrame = {
+    val url = s"${orgUrl.stripSuffix("/")}/api/data/v9.2/EntityDefinitions"
+    Graph.fixedRead(spark, url,
+      "LogicalName STRING, SchemaName STRING, EntitySetName STRING, " +
+        "PrimaryIdAttribute STRING, IsCustomEntity BOOLEAN", secret)
+      .select(org.apache.spark.sql.functions.col("LogicalName").as("logical_name"),
+        org.apache.spark.sql.functions.col("SchemaName").as("schema_name"),
+        org.apache.spark.sql.functions.col("EntitySetName").as("entity_set_name"),
+        org.apache.spark.sql.functions.col("PrimaryIdAttribute").as("primary_id_attribute"),
+        org.apache.spark.sql.functions.col("IsCustomEntity").as("is_custom_entity"))
+  }
+
+  /** Per-entity attribute description (reference `crm_describe`,
+    * `dataverse_functions.cpp:176`): (attribute_name, attribute_type,
+    * nullable, is_primary) from the Web API `$metadata`. */
+  def crmDescribe(spark: SparkSession, orgUrl: String, entity: String,
+                  secret: Option[String] = None): DataFrame =
+    describeEntity(spark, orgUrl.stripSuffix("/") + "/api/data/v9.2", entity, secret,
+      "attribute_name", "attribute_type", "nullable", "is_primary")
+
+  private def describeEntity(spark: SparkSession, serviceRoot: String, entity: String,
+                             secret: Option[String],
+                             nameCol: String, typeCol: String,
+                             nullCol: String, keyCol: String): DataFrame = {
+    import spark.implicits._
+    val auth = SecretRegistry.authFor(spark, serviceRoot, secret)
+    val resp = HttpCore.shared.get(serviceRoot + "/$metadata", auth = auth)
+    if (resp.status != 200)
+      throw new RuntimeException(s"GET $serviceRoot/$$metadata -> HTTP ${resp.status}")
+    val model = EdmxParser.parse(resp.text)
+    val set = model.entitySets.find(s => s.name.equalsIgnoreCase(entity))
+      .getOrElse(throw new IllegalArgumentException(s"no entity set '$entity' at $serviceRoot"))
+    val et = model.entityTypes(set.entityTypeName.split('.').last)
+    et.properties.map(p => (p.name, p.edmType, p.nullable, et.keys.contains(p.name)))
+      .toDF(nameCol, typeCol, nullCol, keyCol)
+  }
 
   // ---- Microsoft Graph -----------------------------------------------------
 

@@ -17,7 +17,7 @@ class ServicesSpec extends SparkSpecBase with BeforeAndAfterAll {
   test("odataDescribe lists entity sets, properties, keys") {
     val df = Services.odataDescribe(spark, stub.serviceUrl)
     val rows = df.collect()
-    assert(rows.map(_.getString(0)).toSet == Set("Customers", "OdpCustomers"))
+    assert(rows.map(_.getString(0)).toSet == Set("Customers", "OdpCustomers", "companies"))
     val keyRow = rows.find(r => r.getString(0) == "Customers" && r.getString(3) == "CustomerID").get
     assert(keyRow.getBoolean(6)) // is_key
     assert(rows.exists(r => r.getString(3) == "Revenue" && r.getString(4) == "Edm.Int64"))
@@ -85,6 +85,43 @@ class ServicesSpec extends SparkSpecBase with BeforeAndAfterAll {
     val urls = rows.map(_.getAs[String]("entity_set_url"))
     assert(urls.exists(_.endsWith("/svc/EntityOfSalesOrder"))) // description casing
     assert(rows.forall(_.getAs[String]("service_id") == "ZSVC_1"))
+  }
+
+  test("bc_show_companies / bc_describe / crm_show_entities / crm_describe") {
+    val base = s"http://localhost:${stub.port}"
+    val companies = Services.bcShowCompanies(spark, base)
+    assert(companies.count() == 20) // dynamic schema from $metadata
+    assert(stub.requests.exists(_.contains("/api/v2.0/companies")))
+    val bcd = Services.bcDescribe(spark, base, "Customers").collect()
+    assert(bcd.map(_.getString(0)).contains("CustomerID"))
+    assert(bcd.find(_.getString(0) == "CustomerID").get.getBoolean(3)) // is_key
+    val ents = Services.crmShowEntities(spark, base).collect()
+    assert(ents.length == 2)
+    assert(ents.exists(r => r.getAs[String]("logical_name") == "new_widget" &&
+      r.getAs[Boolean]("is_custom_entity")))
+    val crmd = Services.crmDescribe(spark, base, "Customers").collect()
+    assert(crmd.map(_.getString(0)).contains("Revenue"))
+    assert(!crmd.find(_.getString(0) == "Revenue").get.getBoolean(3)) // not primary
+  }
+
+  test("odataDescribeStructured: one nested row with LIST<STRUCT> columns") {
+    val svc = Services.odataDescribeStructured(spark, stub.serviceUrl)
+    val r = svc.collect().head
+    assert(r.getAs[String]("resource_type") == "service")
+    val sets = r.getSeq[org.apache.spark.sql.Row](6)
+    assert(sets.exists(_.getString(0) == "Customers"))
+    // entity-set URL form
+    val one = Services.odataDescribeStructured(spark, stub.serviceUrl + "/Customers")
+      .collect().head
+    assert(one.getAs[String]("resource_type") == "entity_set")
+    assert(one.getAs[String]("entity_set_name") == "Customers")
+    val props = one.getSeq[org.apache.spark.sql.Row](4)
+    val cid = props.find(_.getString(0) == "CustomerID").get
+    assert(cid.getString(2) == "Edm.String" && cid.getBoolean(4)) // edm type, is_key
+    val navs = one.getSeq[org.apache.spark.sql.Row](5)
+    val orders = navs.find(_.getString(0) == "Orders").get
+    assert(orders.getBoolean(3)) // is_collection
+    assert(orders.getStruct(2).getLong(1) == 2L) // Order has 2 properties
   }
 
   test("excelRange: values matrix -> DataFrame with header-row column names") {

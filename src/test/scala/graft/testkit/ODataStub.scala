@@ -109,6 +109,7 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
        |      <EntityContainer Name="Container">
        |        <EntitySet Name="Customers" EntityType="Stub.Customer"/>
        |        <EntitySet Name="OdpCustomers" EntityType="Stub.Customer"/>
+       |        <EntitySet Name="companies" EntityType="Stub.Customer"/>
        |      </EntityContainer>
        |    </Schema>
        |  </edmx:DataServices>
@@ -226,6 +227,13 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
         respond(ex, 200, "application/xml", metadataXml)
       case p if p.endsWith("/Customers") && ex.getRequestMethod == "GET" =>
         serveRows(ex, q)
+      case p if p.endsWith("/companies") && ex.getRequestMethod == "GET" =>
+        serveRows(ex, q)
+      case p if p.endsWith("/EntityDefinitions") =>
+        respond(ex, 200, "application/json",
+          """{"value":[{"LogicalName":"account","SchemaName":"Account","EntitySetName":"accounts","PrimaryIdAttribute":"accountid","IsCustomEntity":false},
+            |{"LogicalName":"new_widget","SchemaName":"new_Widget","EntitySetName":"new_widgets","PrimaryIdAttribute":"new_widgetid","IsCustomEntity":true}]}"""
+            .stripMargin.replace("\n", ""))
       case p if p.endsWith("/Customers/$count") =>
         respond(ex, 200, "text/plain",
           applyFilter(rows, q.get("$filter")).size.toString)
