@@ -105,6 +105,35 @@ object PipelineQueries {
           JOIN sizes sb ON id_b = sb.doc_id)
         WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
 
+    // ---- p18: Jaccard pairs WITH the hot-shingle skew cap engaged — the
+    // guard that bounds candidate blowup at 100 TB (a shingle shared by 1M
+    // docs is 10^12 pairs on one reducer). Oracle drops the same shingles,
+    // keeps FULL set sizes in the union (cap only prunes the inverted
+    // index), so results hash-match exactly. ------------------------------
+    QueryDef("p18_jaccard_capped",
+      (s, d) => Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
+        n = 3, minJaccard = 0.2, maxDocFreq = Some(3L)).orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+        sets AS (SELECT doc_id,
+            list_distinct(list_transform(range(0, len(tk)-2),
+              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shs
+          FROM t WHERE len(tk) >= 3),
+        posts0 AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
+        hot AS (SELECT sh FROM posts0 GROUP BY sh HAVING COUNT(*) > 3),
+        posts AS (SELECT * FROM posts0 WHERE sh NOT IN (SELECT sh FROM hot)),
+        sizes AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS sz FROM sets),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM posts a JOIN posts b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, inter, uni, jaccard FROM (
+          SELECT id_a, id_b, i AS inter, sa.sz + sb.sz - i AS uni,
+                 i / (sa.sz + sb.sz - i) AS jaccard
+          FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id)
+        WHERE jaccard >= 0.2 ORDER BY id_a, id_b""")),
+
     // ---- p05: MinHash-LSH near-dup pairs, exactly verified. The oracle
     // re-derives the whole pipeline: md5-based 31-bit shingle fingerprints
     // (mdHash31), the (a_i*f+b_i) mod P universal-hash family of
