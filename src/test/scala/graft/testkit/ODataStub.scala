@@ -48,6 +48,9 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
   /** REST item sink: rows POSTed to /items collect here. */
   val postedItems = mutable.ListBuffer[String]()
 
+  /** Raw bodies POSTed to /token. */
+  val tokenRequests = mutable.ListBuffer[String]()
+
   val flakyCounts = mutable.Map[String, Int]()
   var counterHits = 0
   val deletedKeys = mutable.ListBuffer[String]()
@@ -190,9 +193,14 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
         respond(ex, 200, "text/plain", s"hit $n")
       case "/token" if ex.getRequestMethod == "POST" =>
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        tokenRequests.synchronized { tokenRequests += body }
         if (body.contains("grant_type=client_credentials") && body.contains("client_id="))
           respond(ex, 200, "application/json",
             """{"access_token":"cc-token-123","token_type":"Bearer","expires_in":3600}""")
+        else if (body.contains("grant_type=authorization_code") &&
+          body.contains("code=auth-code-42") && body.contains("code_verifier="))
+          respond(ex, 200, "application/json",
+            """{"access_token":"pkce-token-9","refresh_token":"r1","token_type":"Bearer","expires_in":3600}""")
         else respond(ex, 400, "application/json", """{"error":"invalid_request"}""")
       case "/items" if ex.getRequestMethod == "POST" =>
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
