@@ -254,6 +254,20 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
       v4.requests.filter(_.contains("expand")).toString)
   }
 
+  test("SQL UPDATE on a catalog entity set PATCHes by key (SupportsRowLevelOperations)") {
+    v4.patchedKeys.clear()
+    val cat = s"ucat${v4.port}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.odata.ODataCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.url", v4.serviceUrl)
+    spark.sql(
+      s"UPDATE $cat.main.Customers SET CompanyName = 'Patched Co' WHERE Country = 'Germany'")
+    // customers with i%3==0 -> C00, C03, ..., C18
+    assert(v4.patchedKeys.map(_._1).sorted == (0 until 20 by 3).map(i => f"C$i%02d"),
+      v4.patchedKeys.toString)
+    assert(v4.patchedKeys.forall(_._2.contains(""""CompanyName":"Patched Co"""")),
+      v4.patchedKeys.headOption.toString)
+  }
+
   test("$expand on v2 unwraps the results-wrapper and mirrors navs into $select") {
     v2.requests.clear()
     val df = read(v2, "expand" -> "Orders").select("CustomerID", "Orders")

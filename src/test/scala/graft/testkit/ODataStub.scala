@@ -51,6 +51,7 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
   /** Raw bodies POSTed to /token. */
   val tokenRequests = mutable.ListBuffer[String]()
 
+  val patchedKeys = mutable.ListBuffer[(String, String)]() // (key, body)
   val flakyCounts = mutable.Map[String, Int]()
   var counterHits = 0
   val deletedKeys = mutable.ListBuffer[String]()
@@ -149,6 +150,12 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
       case "/svc/Customers/$count" =>
         val filtered = applyFilter(rows, q.get("$filter"))
         respond(ex, 200, "text/plain", filtered.size.toString)
+      case p if p.startsWith("/svc/Customers(") && ex.getRequestMethod == "PATCH" =>
+        val key = p.stripPrefix("/svc/Customers(").stripSuffix(")")
+          .stripPrefix("'").stripSuffix("'")
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        patchedKeys.synchronized { patchedKeys += (key -> body) }
+        respond(ex, 200, "application/json", "{}")
       case p if p.startsWith("/svc/Customers(") && ex.getRequestMethod == "DELETE" =>
         val key = p.stripPrefix("/svc/Customers(").stripSuffix(")")
           .stripPrefix("'").stripSuffix("'")
