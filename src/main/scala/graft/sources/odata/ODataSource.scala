@@ -60,7 +60,8 @@ final case class ODataConf(
     user: Option[String] = None,
     password: Option[String] = None,
     schemaDdl: Option[String] = None,
-    unwrap: Option[String] = None) {
+    unwrap: Option[String] = None,
+    filterPushdown: Boolean = true) {
   def auth: HttpAuth = HttpAuth(bearer, user, password)
 }
 
@@ -82,7 +83,8 @@ object ODataConf {
       user = o.get("user"),
       password = o.get("password"),
       schemaDdl = o.get("schemaddl"),
-      unwrap = o.get("unwrap"))
+      unwrap = o.get("unwrap"),
+      filterPushdown = o.getOrElse("filterpushdown", "true").toBoolean)
   }
 }
 
@@ -391,6 +393,11 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // servers that cannot evaluate field predicates (SharePoint list items —
+    // the reference attaches those with projection-only pushdown,
+    // `graph_sharepoint_catalog.cpp:682`) keep every filter residual:
+    // claiming a filter a server ignores would silently drop the predicate
+    if (!conf.filterPushdown) return filters
     val compiled = ODataFilterCompiler.compile(filters, v2 = meta.version == 2)
     pushedFilterExpr = compiled.expr
     pushed = compiled.pushed

@@ -273,7 +273,18 @@ object Graph {
                 secret: Option[String] = None): DataFrame = {
     val sid = resolveSiteId(spark, site, baseUrl, secret)
     val lid = resolveListId(spark, sid, list, baseUrl, secret)
-    val defs = listColumnDefs(spark, sid, lid, baseUrl, secret)
+    val schema = listItemsSchema(spark, sid, lid, baseUrl, secret)
+    fixedRead(spark,
+      s"${baseUrl.stripSuffix("/")}/sites/$sid/lists/$lid/items?expand=fields",
+      schema.toDDL, secret, unwrap = Some("fields"))
+  }
+
+  /** `id` + the list's facet-typed columns (internal columns skipped,
+    * case-insensitive dedup — the reference's list_read bind schema). */
+  def listItemsSchema(spark: SparkSession, siteId: String, listId: String,
+                      baseUrl: String = DefaultBaseUrl,
+                      secret: Option[String] = None): StructType = {
+    val defs = listColumnDefs(spark, siteId, listId, baseUrl, secret)
     val seen = scala.collection.mutable.Set("id")
     val fields = defs.flatMap { c =>
       val name = str(c, "name")
@@ -281,10 +292,9 @@ object Graph {
         !seen.add(name.toLowerCase)) None
       else Some(StructField(name, facetDataType(c)))
     }
-    val schema = StructType(StructField("id", StringType) +: fields)
-    fixedRead(spark,
-      s"${baseUrl.stripSuffix("/")}/sites/$sid/lists/$lid/items?expand=fields",
-      schema.toDDL, secret, unwrap = Some("fields"))
+    // id is the Graph item GUID — always present, and row-level operations
+    // require a non-nullable row id
+    StructType(StructField("id", StringType, nullable = false) +: fields)
   }
 
   /** Per-row item creation (the reference's LATERAL mutation functions,
