@@ -82,6 +82,29 @@ object Profile {
         Similarity.annLshTopK(emb, "vec_id", emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10).count()
       }
+      time("p09.full2") {
+        Similarity.annLshTopK(emb, "vec_id", emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10).count()
+      }
+      time("p09.corpusKeys") {
+        Similarity.withNorm(emb, "vec_id", "embedding")
+          .select(col("vec_id"), posexplode(
+            call_function("vec_lsh_keys", col("v"), lit(8), lit(8))))
+          .count()
+      }
+    }
+
+    if (which == "all" || which == "p12") {
+      val ev = Tables.events(spark, sfDir)
+      ev.count()
+      time("p12.full") {
+        Sessions.sessionStats(ev, "user_id", "ts",
+          tieBreak = "event_id", gapMicros = 1800000000L).count()
+      }
+      time("p12.full2") {
+        Sessions.sessionStats(ev, "user_id", "ts",
+          tieBreak = "event_id", gapMicros = 1800000000L).count()
+      }
     }
 
     if (which == "all" || which == "p04") {
