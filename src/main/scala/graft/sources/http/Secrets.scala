@@ -60,12 +60,12 @@ object SecretRegistry {
       .map(_.auth).getOrElse(HttpAuth())
 }
 
-/** OAuth2: client-credentials (machine auth) and the PKCE primitives of the
-  * authorization-code flow (reference `src/oauth2_flow_v2.cpp:46,78-116`).
-  * The interactive browser/callback part of PKCE requires a user agent and
-  * is not runnable in this environment; the verifier/challenge math and the
-  * token POST are the tested surface. Tokens are cached per endpoint+client
-  * until expiry, like the reference persists refreshed tokens. */
+/** OAuth2: client-credentials (machine auth) and the full PKCE
+  * authorization-code flow (reference `src/oauth2_flow_v2.cpp:46,78-116` +
+  * `oauth2_server.cpp`): verifier/challenge math, a loopback callback server
+  * for the redirect, and the code→token exchange. Tokens are cached per
+  * endpoint+client until expiry, like the reference persists refreshed
+  * tokens. */
 object OAuth2 {
 
   private case class Tok(value: String, expiresAt: Long)
