@@ -89,9 +89,13 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, corpusId: String, queries: DataFrame,
               queryId: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    // deterministic centroid seed set: hash-ordered sample of corpus vectors
+    // deterministic centroid seed set: hash-ordered sample of corpus vectors.
+    // The hash is md5-derived (like Dedup.mdHash31) so any engine can
+    // re-derive the same seeds: DuckDB mirrors it as
+    // `('0x' || substring(md5(CAST(id AS VARCHAR)),1,15))::BIGINT % 9973`.
     val seedRows = withNorm(corpus, corpusId, vecCol)
-      .orderBy(pmod(xxhash64(col(corpusId)), lit(9973)), col(corpusId))
+      .orderBy(pmod(conv(substring(md5(col(corpusId).cast("string")), 1, 15),
+        16, 10).cast("long"), lit(9973)), col(corpusId))
       .limit(nCentroids)
       .select(col("v"), col("nrm")).collect()
     val centroids: Seq[Seq[Double]] = seedRows.map { r =>

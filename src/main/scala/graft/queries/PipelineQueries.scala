@@ -273,7 +273,12 @@ object PipelineQueries {
           FROM sims)
         WHERE rnk <= 10 ORDER BY q_id, rnk""")),
 
-    // ---- p15: IVF approximate NN (rows-only; recall + sim-parity in spec) --
+    // ---- p15: IVF approximate NN. Oracle re-derives the whole index:
+    // md5-hash-ordered centroid seeds (portable by construction — see
+    // Similarity.ivfTopK), normalized centroids, argmax cell assignment
+    // (tie: higher cid, Spark's array_max struct order), nProbe=4 probes
+    // (sim DESC, cid DESC — reverse(array_sort) order), exact cosine on
+    // candidates. Bit-exact: strict left-to-right double folds both sides. --
     QueryDef("p15_ann_ivf",
       (s, d) => {
         val e = T.embeddings(s, d)
@@ -282,7 +287,33 @@ object PipelineQueries {
           .withColumnRenamed("id", "vec_id")
           .orderBy("q_id", "rnk")
       },
-      None),
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        seed AS (SELECT vec_id, v, nrm,
+            ROW_NUMBER() OVER (ORDER BY
+              ('0x' || substring(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 9973,
+              vec_id) - 1 AS cid
+          FROM n QUALIFY cid < 16),
+        cent AS (SELECT cid,
+            CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x/nrm) END AS cv
+          FROM seed),
+        asim AS (SELECT n.vec_id, cent.cid, ${dotSql("n.v", "cent.cv")} AS sim
+          FROM n CROSS JOIN cent),
+        assign AS (SELECT vec_id, cid AS cell FROM asim
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) = 1),
+        probes AS (SELECT vec_id AS q_id, cid AS cell FROM asim WHERE vec_id < 5
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) <= 4),
+        cand AS (SELECT p.q_id, a.vec_id AS id FROM probes p JOIN assign a ON p.cell = a.cell),
+        sims AS (SELECT cand.q_id, cand.id AS vec_id,
+            ${dotSql("c.v", "q.v")} / (c.nrm * q.nrm) AS sim
+          FROM cand JOIN n c ON cand.id = c.vec_id JOIN n q ON cand.q_id = q.vec_id)
+        SELECT q_id, vec_id, sim, rnk FROM (
+          SELECT q_id, vec_id, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+              AS INTEGER) AS rnk
+          FROM sims)
+        WHERE rnk <= 10 ORDER BY q_id, rnk""")),
 
     // ---- p10: winnowing fingerprints (rolling-hash mirror in DuckDB) -------
     QueryDef("p10_winnowing",
