@@ -56,15 +56,19 @@ object Multimodal {
         bytes.slice(i * frame, math.min(bytes.length, i * frame + frame))
       }
     }
-    /** Fixed-dim float features from bytes (stands in for a vision tower). */
+    /** Fixed-dim float features from bytes (stands in for a vision tower):
+      * integer byte sums per lane, normalized by one float32 division at the
+      * end — exact lane sums make the output engine-portable (a DuckDB
+      * oracle reproduces it bit-for-bit; float32 division is correctly
+      * rounded IEEE in both engines). */
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val out = new Array[Float](dim)
+      val sums = new Array[Long](dim)
       var i = 0
       while (i < bytes.length) {
-        out(i % dim) += (bytes(i) & 0xff) / 255.0f
+        sums(i % dim) += (bytes(i) & 0xff)
         i += 1
       }
-      out
+      sums.map(s => s.toFloat / 255.0f)
     }
   }
 

@@ -407,6 +407,11 @@ object PipelineQueries {
     // ---- p14: stubbed decode + feature extraction via mapPartitions --------
     // (rows-only: the mapPartitions path has no SQL equivalent; determinism
     // and shape are spec-verified)
+    // Oracle re-derives the stub codec byte-for-byte: UTF-8 bytes via
+    // hex(encode(text)), the (a*31+b) % 1000003 dimension fold, integer
+    // lane-0 sum + one float32 division for the feature (see
+    // Multimodal.StubCodec — designed portable; a real codec would make this
+    // rows-only again, honestly).
     QueryDef("p14_media_decode",
       (s, d) => {
         val media = Multimodal.attachBinary(
@@ -414,11 +419,30 @@ object PipelineQueries {
         val decoded = Multimodal.decodeMeta(media, "content")
         Multimodal.extractFeatures(decoded, "content", dim = 8)
           .select(col("doc_id"), col("decoded_width"), col("decoded_height"),
-            element_at(col("features"), 1).as("f0"),
+            element_at(col("features"), 1).cast("double").as("f0"),
             size(col("features")).as("feat_dim"))
           .orderBy("doc_id")
       },
-      None),
+      Some("""
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+            octet_length(encode(text)) AS olen
+          FROM documents),
+        ch AS (SELECT doc_id,
+            list_transform(range(0, olen),
+              i -> ('0x' || substring(hx, 2*i+1, 2))::BIGINT) AS bytes
+          FROM b),
+        h AS (SELECT doc_id,
+            list_reduce(list_prepend(CAST(17 AS BIGINT), bytes),
+              (a, c) -> (a*31 + c) % 1000003) AS hv,
+            COALESCE(list_sum(list_transform(range(0, len(bytes)),
+              i -> CASE WHEN i % 8 = 0 THEN bytes[i+1] ELSE 0 END)), 0) AS lane0
+          FROM ch)
+        SELECT doc_id,
+          CAST((hv % 1920) + 1 AS INT) AS decoded_width,
+          CAST(((hv // 1920) % 1080) + 1 AS INT) AS decoded_height,
+          CAST(CAST(lane0 AS FLOAT) / CAST(255.0 AS FLOAT) AS DOUBLE) AS f0,
+          CAST(8 AS INT) AS feat_dim
+        FROM h ORDER BY doc_id""")),
 
     // ---- p17: composed cleaning pipeline (the end-to-end use case) ---------
     // quality-filter -> exact dedup -> per-source stats: the shape of a real
@@ -455,6 +479,9 @@ object PipelineQueries {
         FROM deduped GROUP BY source ORDER BY source""")),
 
     // ---- p16: video-style frame sampling (per-partition stub demuxer) ------
+    // Oracle mirrors the frame-window arithmetic on byte lengths alone:
+    // frame = max(1, len/4), min(4, len) windows, last window truncated at
+    // len — all integer, no byte content needed.
     QueryDef("p16_media_frames",
       (s, d) => {
         val media = Multimodal.attachBinary(
@@ -467,6 +494,16 @@ object PipelineQueries {
             length(element_at(col("frames"), 1)).cast("long").as("first_frame_bytes"))
           .orderBy("doc_id")
       },
-      None)
+      Some("""
+        WITH m AS (SELECT doc_id, octet_length(encode(text)) AS olen FROM documents),
+        f AS (SELECT doc_id, olen,
+            GREATEST(1, olen // 4) AS fr, LEAST(4, olen) AS nf FROM m)
+        SELECT doc_id, CAST(nf AS INT) AS n_frames,
+          CAST(COALESCE(list_sum(list_transform(range(0, nf),
+            i -> GREATEST(0, LEAST(olen, (i+1)*fr) - i*fr))), 0) AS BIGINT)
+            AS total_frame_bytes,
+          CAST(CASE WHEN nf > 0 THEN LEAST(olen, fr) ELSE NULL END AS BIGINT)
+            AS first_frame_bytes
+        FROM f ORDER BY doc_id"""))
   )
 }
