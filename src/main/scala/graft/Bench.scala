@@ -22,7 +22,8 @@ object Bench {
       val q = SparkEntry.queries
       Seq("q01_pricing_summary", "q02_revenue_by_nation", "p07_knn_cosine",
         "p01_dedup_exact", "q12_daily_event_stats", "p04_jaccard_pairs",
-        "p06_simhash_pairs", "p09_ann_lsh", "p12_sessionize", "p18_jaccard_capped")
+        "p06_simhash_pairs", "p09_ann_lsh", "p12_sessionize", "p18_jaccard_capped",
+        "p15_ann_ivf", "p17_clean_pipeline")
         .foreach(n => q.get(n).foreach(f => f(spark, sfDir).count()))
     } catch { case _: Throwable => }
     // deterministic name order: map-iteration order made run-to-run totals
