@@ -49,6 +49,32 @@ object DemoDrive {
     println("== http_get ==")
     graft.sources.http.HttpFunctions.httpGet(spark, stub.serviceUrl + "/Customers?$top=2").show(truncate = false)
 
+    println("== business central catalog ==")
+    spark.conf.set("spark.sql.catalog.bc", "graft.sources.services.BusinessCentralCatalog")
+    spark.conf.set("spark.sql.catalog.bc.url", s"http://localhost:${stub.port}")
+    spark.conf.set("spark.sql.catalog.bc.company", "c1")
+    spark.sql("SELECT CustomerID, Country FROM bc.main.Customers WHERE Country = 'France' LIMIT 3").show()
+
+    val gstub = new GraphStub().start()
+    println("== sharepoint lists catalog (read-write) ==")
+    spark.conf.set("spark.sql.catalog.sp", "graft.sources.services.SharePointListsCatalog")
+    spark.conf.set("spark.sql.catalog.sp.url", gstub.baseUrl)
+    spark.conf.set("spark.sql.catalog.sp.site", "Finance")
+    spark.sql("SHOW TABLES IN sp.main").show()
+    spark.sql("SELECT id, Title, Amount FROM sp.main.`Budget List` WHERE Amount > 5.0 LIMIT 3").show()
+    spark.sql("UPDATE sp.main.`Budget List` SET Title = 'Demo' WHERE id = '3'")
+    println(s"sharepoint PATCHes: ${gstub.patchedItems.size}")
+
+    println("== copy-to formats ==")
+    Seq(("Demo Row", 9.5)).toDF("Title", "Amount").write.format("sharepoint-list")
+      .option("url", gstub.baseUrl).option("site", "Finance").option("list", "Budget")
+      .mode("append").save()
+    Seq(("North", "7", "2.00")).toDF("Region", "Qty", "Price").write.format("graph-excel")
+      .option("url", gstub.baseUrl).option("path", "book.xlsx").option("table", "Sales")
+      .mode("append").save()
+    println(s"sharepoint items created: ${gstub.createdItems.size}, excel row batches: ${gstub.appendedRows.size}")
+    gstub.stop()
+
     println("== server saw ==")
     stub.requests.foreach(r => println("  " + r))
     stub.stop()
