@@ -125,6 +125,35 @@ object Similarity {
       .select(col("q_id"), col(corpusId).as("id"), col("sim"), col("rnk"))
   }
 
+  /** Embedding-cosine near-duplicate pairs WITHOUT a natural blocking key:
+    * LSH bucket collisions (any of `tables` bands) propose candidates, which
+    * are deduped while still narrow — (id_a, id_b) only — and then verified
+    * with exact cosine >= minSim after the vectors re-join. The standard
+    * trade vs [[cosineNearDupBlocked]]: recall < 1 (a pair colliding in no
+    * band is missed) in exchange for no quadratic block — at 100 TB the
+    * pair-generation join moves only (t, bk, id) triples.
+    * Output: (id_a, id_b, sim) with id_a < id_b, sim >= minSim. */
+  def cosineNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+                       minSim: Double, tables: Int = 8,
+                       planesPerTable: Int = 8): DataFrame = {
+    val e = withNorm(df, idCol, vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+    val keys = e.select(col("id"), posexplode(
+        call_function("vec_lsh_keys", col("v"), lit(tables), lit(planesPerTable))))
+      .toDF("id", "t", "bk")
+    val cand = keys.as("a").join(keys.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= minSim)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Approximate NN via random-hyperplane LSH: per table, corpus and queries
     * hash to a signed-projection bucket; candidates are bucket collisions in
     * any table; exact cosine is computed on candidates only and the top-k

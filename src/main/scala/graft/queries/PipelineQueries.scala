@@ -479,6 +479,35 @@ object PipelineQueries {
         FROM deduped GROUP BY source ORDER BY source""")),
 
     // ---- p16: video-style frame sampling (per-partition stub demuxer) ------
+    // ---- p19: embedding-cosine near-dup with NO blocking key: LSH bucket
+    // collisions propose narrow (id_a, id_b) candidates, exact cosine
+    // verifies >= 0.3. Oracle re-derives the same integer-LCG hyperplanes as
+    // p09, the collision pair set, and the bit-exact cosine. ---------------
+    QueryDef("p19_cosine_lsh_pairs",
+      (s, d) => Similarity.cosineNearDupLsh(T.embeddings(s, d),
+        "vec_id", "embedding", minSim = 0.3).orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        proj AS (SELECT vec_id, t, j,
+            list_reduce(list_transform(range(0, len(v)), d ->
+              v[d+1] * (((1103515245 * (t*8191 + j*131 + d) + 12345) % 2147483648)
+                        / 2147483648.0 - 0.5)),
+              (x, y) -> x + y) AS s
+          FROM n CROSS JOIN range(8) rt(t) CROSS JOIN range(8) rj(j)),
+        keys AS (SELECT vec_id, t,
+            SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bk
+          FROM proj GROUP BY vec_id, t),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM keys a JOIN keys b ON a.t = b.t AND a.bk = b.bk
+            AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, sim FROM (
+          SELECT cand.id_a, cand.id_b,
+            ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+          FROM cand JOIN n a ON cand.id_a = a.vec_id
+                    JOIN n b ON cand.id_b = b.vec_id)
+        WHERE sim >= 0.3 ORDER BY id_a, id_b""")),
+
     // Oracle mirrors the frame-window arithmetic on byte lengths alone:
     // frame = max(1, len/4), min(4, len) windows, last window truncated at
     // len — all integer, no byte content needed.

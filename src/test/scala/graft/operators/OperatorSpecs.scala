@@ -127,6 +127,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.5, s"IVF recall@10 $recall") // nProbe=4 of 8 cells
   }
 
+  test("cosineNearDupLsh: precision 1 vs exact all-pairs; recall measured") {
+    // exact all-pairs >= 0.3 (the ground truth the LSH variant approximates)
+    val e = Similarity.withNorm(emb, "vec_id", "embedding")
+    val exact = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        (Similarity.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("sim"))
+      .filter($"sim" >= 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.cosineNearDupLsh(emb, "vec_id", "embedding", minSim = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every emitted pair is a true near-dup with the identical exact cosine
+    lsh.foreach { case (a, b, sim) =>
+      assert(exact.get((a, b)).contains(sim), s"false positive or sim drift ($a,$b)")
+    }
+    // recall is a banding-parameter trade: P(pair collides) =
+    // 1-(1-(1-acos(s)/pi)^bits)^bands — ~12% at s=0.3 with 8x8 (these
+    // synthetic pairs all sit near the 0.3 threshold), ~66% with 4-bit
+    // bands. Assert both operating points behave as designed.
+    val recall8 = lsh.count(p => exact.contains((p._1, p._2))).toDouble / exact.size
+    assert(recall8 >= 0.1, s"LSH near-dup recall (8x8) $recall8")
+    val lsh4 = Similarity.cosineNearDupLsh(emb, "vec_id", "embedding",
+        minSim = 0.3, planesPerTable = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val recall4 = lsh4.count(exact.contains).toDouble / exact.size
+    assert(recall4 >= 0.5, s"LSH near-dup recall (8x4) $recall4")
+    assert(recall4 > recall8, "wider buckets must not lower recall")
+  }
+
   test("cosineNearDupBlocked only pairs within a block") {
     val out = Similarity.cosineNearDupBlocked(emb, "vec_id", "embedding", "label", 0.0)
     val labels = emb.select($"vec_id", $"label").collect()
