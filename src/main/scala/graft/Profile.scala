@@ -94,6 +94,17 @@ object Profile {
       }
     }
 
+    if (which == "all" || which == "p15") {
+      time("p15.full") {
+        Similarity.ivfTopK(emb, "vec_id", emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4).count()
+      }
+      time("p15.full2") {
+        Similarity.ivfTopK(emb, "vec_id", emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4).count()
+      }
+    }
+
     if (which == "all" || which == "p12") {
       val ev = Tables.events(spark, sfDir)
       ev.count()

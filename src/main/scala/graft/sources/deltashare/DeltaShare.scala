@@ -115,6 +115,26 @@ object DeltaShare {
       .map((share, schema, _)).toDF("share", "schema", "table")
   }
 
+  /** ATTACH analog (the reference registers a `delta_share` storage type but
+    * never implemented it — README.md:166; we deliver the queryable-name
+    * semantics it planned): registers one temp view per shared table,
+    * named `<prefix><share>_<schema>_<table>`. Returns the view names.
+    * Listing is driver-side REST (bounded metadata); data stays lazy —
+    * presigned-file claims happen only when a view is actually queried. */
+  def attach(spark: SparkSession, profile: DeltaShareProfile,
+             prefix: String = ""): Seq[String] = {
+    val client = new DeltaShareClient(profile)
+    for {
+      share <- client.listShares()
+      schema <- client.listSchemas(share)
+      table <- client.listTables(share, schema)
+    } yield {
+      val view = s"$prefix${share}_${schema}_$table"
+      read(spark, profile, share, schema, table).createOrReplaceTempView(view)
+      view
+    }
+  }
+
   /** Read a shared table. `file://` URLs go straight to the Parquet source;
     * presigned http(s) URLs are downloaded executor-side in parallel (one
     * task per file — the distributed analog of the reference's thread-per-

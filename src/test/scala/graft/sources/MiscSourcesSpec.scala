@@ -48,6 +48,20 @@ class MiscSourcesSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(out.agg(sum("id")).head().getLong(0) == 4950L)
   }
 
+  test("delta sharing: attach registers SQL views for every shared table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("share-att")
+    val df = (0 until 40).map(i => (i.toLong, s"a$i")).toDF("id", "name")
+    df.coalesce(1).write.parquet(dir.toString + "/tx")
+    stub.shareFiles = java.nio.file.Files.list(java.nio.file.Paths.get(dir.toString + "/tx"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    stub.shareSchemaJson = df.schema.json
+    val views = DeltaShare.attach(spark, profile, prefix = "ds_")
+    assert(views == Seq("ds_sales_core_tx"))
+    assert(spark.sql("SELECT count(*) FROM ds_sales_core_tx").head().getLong(0) == 40L)
+  }
+
   test("http_get returns the reference response shape (headers as map)") {
     val df = HttpFunctions.httpGet(spark, stub.serviceUrl + "/Customers?$top=1")
     val r = df.head()
