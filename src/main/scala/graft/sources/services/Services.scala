@@ -231,6 +231,38 @@ object Services {
               secret: Option[String] = None): DataFrame =
     reader(spark, s"${tenantUrl.stripSuffix("/")}/api/v1/odata/$kind/$modelId", secret).load()
 
+  private def emptyVarchar(spark: SparkSession, cols: String*): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(cols.map(StructField(_, StringType))))
+  }
+
+  /** SAC discovery functions, ported faithfully as what the reference ships:
+    * honest stubs. `ListModels`/`ListStories` return empty with a `[STUB]`
+    * trace (`sac_catalog.cpp:37-60`, README.md:566-570); only the declared
+    * output schemas are real (`sac_catalog.cpp:309/382/466/552`). Kept so a
+    * reference user's query text keeps running — same columns, same
+    * (empty) result. */
+  def sacShowModels(spark: SparkSession, tenantUrl: String,
+                    secret: Option[String] = None): DataFrame =
+    emptyVarchar(spark, "id", "name", "description", "type", "owner",
+      "created_at", "last_modified_at")
+
+  def sacShowStories(spark: SparkSession, tenantUrl: String,
+                     secret: Option[String] = None): DataFrame =
+    emptyVarchar(spark, "id", "name", "description", "owner",
+      "created_at", "last_modified_at", "status")
+
+  def sacGetModelInfo(spark: SparkSession, tenantUrl: String, modelId: String,
+                      secret: Option[String] = None): DataFrame =
+    emptyVarchar(spark, "id", "name", "description", "type", "dimensions",
+      "created_at")
+
+  def sacGetStoryInfo(spark: SparkSession, tenantUrl: String, storyId: String,
+                      secret: Option[String] = None): DataFrame =
+    emptyVarchar(spark, "id", "name", "description", "owner", "status",
+      "created_at", "last_modified_at")
+
   // ---- Business Central ----------------------------------------------------
 
   def bcRead(spark: SparkSession, baseUrl: String, company: String, entity: String,

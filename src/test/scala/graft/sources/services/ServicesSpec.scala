@@ -104,6 +104,22 @@ class ServicesSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(!crmd.find(_.getString(0) == "Revenue").get.getBoolean(3)) // not primary
   }
 
+  test("sac discovery stubs: reference schemas, empty results (sac_catalog.cpp stubs)") {
+    val base = s"http://localhost:${stub.port}"
+    val models = Services.sacShowModels(spark, base)
+    assert(models.schema.fieldNames.toSeq == Seq("id", "name", "description",
+      "type", "owner", "created_at", "last_modified_at"))
+    assert(models.count() == 0)
+    val stories = Services.sacShowStories(spark, base)
+    assert(stories.schema.fieldNames.toSeq == Seq("id", "name", "description",
+      "owner", "created_at", "last_modified_at", "status"))
+    assert(stories.count() == 0)
+    assert(Services.sacGetModelInfo(spark, base, "M1").schema.fieldNames.toSeq ==
+      Seq("id", "name", "description", "type", "dimensions", "created_at"))
+    assert(Services.sacGetStoryInfo(spark, base, "S1").schema.fieldNames.toSeq ==
+      Seq("id", "name", "description", "owner", "status", "created_at", "last_modified_at"))
+  }
+
   test("odataDescribeStructured: one nested row with LIST<STRUCT> columns") {
     val svc = Services.odataDescribeStructured(spark, stub.serviceUrl)
     val r = svc.collect().head
