@@ -508,6 +508,54 @@ object PipelineQueries {
                     JOIN n b ON cand.id_b = b.vec_id)
         WHERE sim >= 0.3 ORDER BY id_a, id_b""")),
 
+    // ---- p20: deterministic train/val/test split. Map-only at any scale —
+    // the salted md5 bucket decides the split row-locally, reproducible
+    // across runs and engines (the property that keeps test docs out of
+    // training forever). Oracle mirrors mdHash31 exactly. ------------------
+    QueryDef("p20_split_assign",
+      (s, d) => Shards.assignSplit(T.documents(s, d), "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("split"),
+      Some("""
+        WITH b AS (SELECT doc_id,
+            (('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 2147483648) % 1000 AS bk
+          FROM documents)
+        SELECT CASE WHEN bk < 100 THEN 'test'
+                    WHEN bk < 200 THEN 'val'
+                    ELSE 'train' END AS split,
+          COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM b GROUP BY 1 ORDER BY split""")),
+
+    // ---- p21: token-budget shard packing. One partitioned window per
+    // source (each source cumsums independently — no global sort), shard =
+    // floor(exclusive running tokens / budget): contiguous shards bounded by
+    // budget + one doc, the shape of writing ~fixed-token training files. --
+    QueryDef("p21_pack_shards",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk"))
+        Shards.packShards(docs, "source", "doc_id", "tk", budget = 2000L)
+          .groupBy("source", "shard_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("shard_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "shard_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, source, CAST(len($ToksSql) AS BIGINT) AS tk
+          FROM documents),
+        w AS (SELECT doc_id, source, tk,
+            SUM(tk) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk AS ecs
+          FROM t)
+        SELECT source, CAST(ecs // 2000 AS BIGINT) AS shard_id,
+          COUNT(*) AS n_docs, CAST(SUM(tk) AS BIGINT) AS shard_tokens,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM w GROUP BY 1, 2 ORDER BY source, shard_id""")),
+
     // Oracle mirrors the frame-window arithmetic on byte lengths alone:
     // frame = max(1, len/4), min(4, len) windows, last window truncated at
     // len — all integer, no byte content needed.

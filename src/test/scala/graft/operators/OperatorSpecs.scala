@@ -267,3 +267,43 @@ class TextOpsSpec extends SparkSpecBase {
     assert((fps(1) & fps(3)).isEmpty)
   }
 }
+
+class ShardsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("assignSplit is deterministic and partitioning-invariant; proportions track permilles") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").select("doc_id")
+    val a = Shards.assignSplit(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Shards.assignSplit(docs.repartition(7), "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b) // map-only: immune to physical layout
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.7 && frac("test") > 0.02 && frac("val") > 0.02)
+    // different salt re-deals
+    val c = Shards.assignSplit(docs, "doc_id", salt = "other").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(c != a)
+  }
+
+  test("packShards: shards are contiguous, and within budget + one document") {
+    val budget = 500L
+    val docs = Seq(
+      ("s1", 1L, 200L), ("s1", 2L, 200L), ("s1", 3L, 200L), ("s1", 4L, 450L),
+      ("s2", 5L, 600L), ("s2", 6L, 100L))
+      .toDF("source", "doc_id", "tk")
+    val out = Shards.packShards(docs, "source", "doc_id", "tk", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // s1: cum-excl 0,200,400,600 -> shards 0,0,0,1; s2: 0,600 -> 0,1
+    val shard = out.map { case (s, id, _, sh) => (s, id) -> sh }.toMap
+    assert(shard(("s1", 1L)) == 0 && shard(("s1", 3L)) == 0 && shard(("s1", 4L)) == 1)
+    assert(shard(("s2", 5L)) == 0 && shard(("s2", 6L)) == 1)
+    // bound: every shard's total minus its last doc is < budget
+    val perShard = out.groupBy { case (s, _, _, sh) => (s, sh) }
+    perShard.values.foreach { rows =>
+      val toks = rows.sortBy(_._2).map(_._3)
+      assert(toks.sum - toks.last < budget)
+    }
+  }
+}
