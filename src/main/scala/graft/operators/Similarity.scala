@@ -154,6 +154,43 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Sign-quantized (binary) approximate NN: every embedding compresses to a
+    * single `bits`-bit signature (bit j = sign of v · plane(0, j), the same
+    * engine-portable integer-LCG planes as [[graft.functions.VecLshKeys]]) —
+    * 8 bytes per vector at bits=64, the standard 32× memory reduction for
+    * web-scale search. Stage 1 ranks candidates by Hamming distance between
+    * signatures (one xor + popcount per pair, no floating point); stage 2
+    * re-ranks the `rerank` closest by exact cosine, restoring precision at
+    * the top. Queries broadcast like [[knnBruteForce]]; the corpus side of
+    * the scan carries only (id, sig) = 16 bytes/row, so at 100 TB of
+    * embeddings the distance pass touches ~0.8 TB of signatures and full
+    * vectors are fetched only for rerank winners.
+    * Output: (q_id, id, hamming, sim, rnk). */
+  def hammingTopK(corpus: DataFrame, corpusId: String, queries: DataFrame,
+                  queryId: String, vecCol: String, k: Int,
+                  bits: Int = 64, rerank: Int = 40): DataFrame = {
+    val c = withNorm(corpus, corpusId, vecCol)
+      .select(col(corpusId).as("id"), col("v"), col("nrm"))
+    val q = withNorm(queries, queryId, vecCol)
+      .select(col(queryId).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    def sig(v: Column): Column =
+      element_at(call_function("vec_lsh_keys", v, lit(1), lit(bits)), 1)
+    val csig = c.select(col("id"), sig(col("v")).as("sig"))
+    val qsig = broadcast(q.select(col("q_id"), sig(col("qv")).as("qsig")))
+    val wh = Window.partitionBy("q_id").orderBy(col("hamming"), col("id"))
+    val cand = csig.crossJoin(qsig)
+      .withColumn("hamming", bit_count(col("sig").bitwiseXOR(col("qsig"))))
+      .withColumn("hrnk", row_number().over(wh))
+      .filter(col("hrnk") <= rerank)
+      .select("q_id", "id", "hamming")
+    val sims = cand.join(c, "id").join(q, "q_id")
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "id", "hamming", "sim", "rnk")
+  }
+
   /** Approximate NN via random-hyperplane LSH: per table, corpus and queries
     * hash to a signed-projection bucket; candidates are bucket collisions in
     * any table; exact cosine is computed on candidates only and the top-k

@@ -273,6 +273,51 @@ object PipelineQueries {
           FROM sims)
         WHERE rnk <= 10 ORDER BY q_id, rnk""")),
 
+    // ---- p22: sign-quantized (binary) NN — 64-bit signatures, Hamming
+    // pre-rank, exact cosine rerank. Oracle re-derives the signatures from
+    // the same integer-LCG planes as p09 (t=0 table), the same xor/popcount
+    // distance and both rank windows — hash-exact end to end. --------------
+    QueryDef("p22_ann_hamming",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.hammingTopK(e, "vec_id", e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, rerank = 40)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        proj AS (SELECT vec_id, j,
+            list_reduce(list_transform(range(0, len(v)), d ->
+              v[d+1] * (((1103515245 * (j*131 + d) + 12345) % 2147483648)
+                        / 2147483648.0 - 0.5)),
+              (x, y) -> x + y) AS s
+          FROM n CROSS JOIN range(64) rj(j)),
+        sigs AS (SELECT vec_id,
+            -- bit 63 is the BIGINT sign bit: DuckDB rejects 1<<63, so it is
+            -- added as the min-long constant; CAST pulls the HUGEINT SUM
+            -- back to the same 64-bit value Spark's long carries
+            CAST(SUM(CASE WHEN s > 0 THEN
+                CASE WHEN j = 63 THEN -9223372036854775807 - 1
+                     ELSE (1::BIGINT << j) END
+              ELSE 0 END) AS BIGINT) AS sig
+          FROM proj GROUP BY vec_id),
+        cand AS (SELECT q.vec_id AS q_id, c.vec_id AS id,
+            CAST(bit_count(xor(c.sig, q.sig)) AS INTEGER) AS hamming
+          FROM sigs c, sigs q WHERE q.vec_id < 5
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY bit_count(xor(c.sig, q.sig)), c.vec_id) <= 40),
+        sims AS (SELECT cand.q_id, cand.id AS vec_id, cand.hamming,
+            ${dotSql("c.v", "q.v")} / (c.nrm * q.nrm) AS sim
+          FROM cand JOIN n c ON cand.id = c.vec_id JOIN n q ON cand.q_id = q.vec_id)
+        SELECT q_id, vec_id, hamming, sim, rnk FROM (
+          SELECT q_id, vec_id, hamming, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+              AS INTEGER) AS rnk
+          FROM sims)
+        WHERE rnk <= 10 ORDER BY q_id, rnk""")),
+
     // ---- p15: IVF approximate NN. Oracle re-derives the whole index:
     // md5-hash-ordered centroid seeds (portable by construction — see
     // Similarity.ivfTopK), normalized centroids, argmax cell assignment

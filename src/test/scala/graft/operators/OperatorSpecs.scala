@@ -110,6 +110,24 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("hammingTopK: self at rank 1 (hamming 0); sims exact; recall measured") {
+    val bf = Similarity.knnBruteForce(emb, "vec_id", emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val hq = Similarity.hammingTopK(emb, "vec_id", emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 10, rerank = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    (0L until 5L).foreach { q =>
+      val self = hq.find(a => a._1 == q && a._2 == q)
+      assert(self.exists(s => s._3 == 0 && s._5 == 1), s"self not rank-1/hamming-0 for $q")
+    }
+    hq.foreach { case (q, id, _, sim, _) =>
+      bf.get((q, id)).foreach(bfSim => assert(bfSim == sim)) // exact same cosine
+    }
+    val recall = hq.count(a => bf.contains((a._1, a._2))).toDouble / bf.size
+    assert(recall >= 0.5, s"hamming recall@10 $recall (rerank=150)")
+  }
+
   test("ivfTopK: self found at rank 1; sims match brute force; recall measured") {
     val bf = Similarity.knnBruteForce(emb, "vec_id", emb.filter($"vec_id" < 5),
       "vec_id", "embedding", 10)
