@@ -62,4 +62,40 @@ class ScaleTechniquesSpec extends SparkSpecBase {
       lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey").count()
     assert(joined.count() == plainCount)
   }
+
+  test("end-to-end corpus publish: clean -> dedup -> split -> pack -> partitioned parquet") {
+    // the full training-data publishing shape: every stage an operator from
+    // this module, landing as hive-partitioned parquet whose directory tree
+    // IS the split/source layout a 100 TB consumer lists, prunes, and reads
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val cleaned = Dedup.dedupExact(
+      docs.filter(TextOps.qualityScore(col("text")) >= 0.3), "doc_id", "text")
+    val split = Shards.assignSplit(cleaned, "doc_id")
+    // pack independently per (split, source): a shard never spans splits
+    val packed = Shards.packShards(
+      split.withColumn("tk", TextOps.tokenCount(col("text")).cast("long"))
+        .withColumn("pk", concat_ws("/", col("split"), col("source"))),
+      "pk", "doc_id", "tk", budget = 5000L).drop("pk")
+    val out = java.nio.file.Files.createTempDirectory("graft_publish").toString
+    try {
+      packed.write.mode("overwrite")
+        .partitionBy("split", "source").parquet(out)
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs.exists(_.startsWith("split=train")) && dirs.size >= 2, dirs.toString)
+      // partition pruning: a split=train read lists only that subtree
+      val back = spark.read.parquet(out)
+      assert(back.count() == packed.count())
+      val train = back.filter(col("split") === "train")
+      assert(train.count() ==
+        packed.filter(col("split") === "train").count())
+      // every (split, source, shard) honors the budget bound (modulo its
+      // last doc)
+      val viol = back.groupBy("split", "source", "shard_id")
+        .agg(sum("tk").as("t"), max("tk").as("m"))
+        .filter(col("t") - col("m") >= 5000L).count()
+      assert(viol == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
 }
