@@ -122,6 +122,34 @@ object Dedup {
       .groupBy("id")
       .agg(call_function("minhash_sketch", col("f"), lit(k)).as("sig"))
 
+  /** Per-row MinHash signature from a shingle array — the MAP-ONLY twin of
+    * [[minhashSigTable]]: identical hash family (the `(a_i·f + b_i) mod P`
+    * constants of [[graft.functions.MinHashSketchAgg]]) over the same
+    * [[mdHash31]] fingerprints, so the two produce identical signatures
+    * (parity-tested). Use it when a document's shingles already live in one
+    * row: streaming (no blocking groupBy state — the signature is a scalar
+    * projection, so it never waits on a watermark) or map-side batch. The
+    * aggregate's advantage (mergeable partial state) only matters when a
+    * group's values span rows. */
+  def rowMinhashSig(shingles: Column, k: Int): Column = {
+    val fps = transform(shingles, sh => mdHash31(sh))
+    transform(sequence(lit(0), lit(k - 1)), i => {
+      val ai = pmod(lit(2654435769L) * (i.cast("long") * 2 + 1), lit(2147483645L)) + 1
+      val bi = pmod(lit(3266489917L) * (i.cast("long") + 1), lit(2147483647L))
+      array_min(transform(fps, f => pmod(ai * f + bi, lit(2147483647L))))
+    })
+  }
+
+  /** The LSH band keys of a signature: `bands` strings, each the
+    * comma-joined slice of r = k/bands components (engine-portable — no
+    * murmur3; the p05 oracle mirrors it with array_to_string). Shared by the
+    * batch pair join and the streaming dedup. */
+  def bandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",", slice(sig, b * r + 1, lit(r)).cast("array<string>")))
+  }
+
   /** MinHash-LSH near-duplicate pairs, exactly verified.
     *
     * Pipeline: signature → band hashes (bands × rowsPerBand = k) → explode
@@ -136,19 +164,14 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                       minJaccard: Double, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     val sets = shingleSets(df, idCol, textCol, n).cache()
     // cached: the band self-join otherwise evaluates the whole signature
     // aggregation once per branch (plan-verified — no ReusedExchange fires
     // for self-joins on aggregated subtrees). k longs per doc: tiny relative
     // to the corpus at any scale.
     val sig = minhashSigTable(sets, k).cache()
-    // band key = the band's signature slice rendered as a string — engine-
-    // portable (the oracle mirrors it with array_to_string), no murmur3
-    val bandRows = sig.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(",", slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))
-    )).toDF("id", "band", "bh")
+    val bandRows = sig.select(col("id"),
+      posexplode(bandKeys(col("sig"), k, bands))).toDF("id", "band", "bh")
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

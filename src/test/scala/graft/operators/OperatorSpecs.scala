@@ -43,6 +43,16 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh == exact, s"missing=${exact -- lsh} spurious=${lsh -- exact}")
   }
 
+  test("rowMinhashSig (map-only) equals the minhash_sketch aggregate signature") {
+    val sets = Dedup.shingleSets(corpus, "doc_id", "text", 3)
+    val agg = Dedup.minhashSigTable(sets, 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val row = sets.select($"id", Dedup.rowMinhashSig($"shingles", 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(row.keySet == agg.keySet)
+    row.foreach { case (id, sig) => assert(sig == agg(id), s"sig mismatch doc $id") }
+  }
+
   test("minhash signatures of identical texts are identical") {
     val sets = Dedup.shingleSets(corpus.filter($"doc_id".isin(0, 20000)), "doc_id", "text", 3)
     val sigs = Dedup.minhashSigTable(sets, 64)

@@ -49,4 +49,65 @@ class StreamingDedupSpec extends SparkSpecBase {
     // all 20 injected duplicates were dropped
     assert(keptFps.length == docs.size)
   }
+
+  test("streaming near-dedup: later near-dups dropped, collision-free originals kept") {
+    import spark.implicits._
+    import graft.operators.Dedup
+
+    val base = 1700000000000L
+    val docsDf = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val originals = docsDf.collect()
+      .map(r => Doc(r.getLong(0), new Timestamp(base), r.getString(1)))
+      .sortBy(_.doc_id).toSeq
+    // near-dups of the first 10 docs: last two words dropped, later arrival
+    val dups = originals.take(10).map { d =>
+      val words = d.text.split(" ")
+      Doc(d.doc_id + 100000L, new Timestamp(base + 5000L),
+        words.dropRight(2).mkString(" "))
+    }
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamingDedup.dedupNearStream(mem.toDF(), "ts", "doc_id", "text",
+      watermark = "10 seconds", windowDur = "10 seconds")
+      .writeStream.format("memory").queryName("neardedup_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(originals: _*)
+    q.processAllAvailable()
+    mem.addData(dups: _*)
+    q.processAllAvailable()
+    // sentinel far past the watermark + window flushes the append-mode agg
+    mem.addData(Doc(999999L, new Timestamp(base + 120000L), "flush flush flush now"))
+    q.processAllAvailable()
+    mem.addData(Doc(999998L, new Timestamp(base + 180000L), "flush again and again"))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("neardedup_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // order-robust batch ground truth: a batch-1 doc whose 16 band keys
+    // collide with NO other batch-1 doc is kept regardless of intra-batch
+    // claim races
+    val sets = Dedup.shingleSets(docsDf, "doc_id", "text", 3)
+    val bandRows = sets
+      .select(col("id"), posexplode(
+        Dedup.bandKeys(Dedup.rowMinhashSig(col("shingles"), 64), 64, 16)))
+      .toDF("id", "band", "bh")
+    val contended = bandRows.groupBy("band", "bh")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    val collidingIds = bandRows.join(contended, Seq("band", "bh"))
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val eligible = sets.select("id").collect().map(_.getLong(0)).toSet
+    val collisionFree = eligible -- collidingIds
+
+    assert(collisionFree.subsetOf(kept),
+      s"${(collisionFree -- kept).size} collision-free originals missing")
+    // every injected near-dup shares >= 1 band with its original -> dropped
+    val dupIds = dups.map(_.doc_id).toSet
+    assert(kept.intersect(dupIds).isEmpty, s"near-dups kept: ${kept.intersect(dupIds)}")
+    // no phantom ids beyond batch-1 docs and the (novel) sentinel flushers
+    assert((kept -- Set(999999L, 999998L)).subsetOf(eligible))
+  }
 }
