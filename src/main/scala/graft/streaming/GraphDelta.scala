@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.util
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.sources.http.{HttpAuth, HttpCore}
+import graft.sources.odata.ODataJson
+
+/** Microsoft Graph delta-query CDC as a Structured Streaming source —
+  * beyond reference (the reference reads Graph snapshots only; Graph's
+  * public `/delta` protocol is the Graph-side analog of the ODP delta
+  * subscription it DOES implement):
+  *
+  * {{{
+  * spark.readStream.format("graph-delta")
+  *   .option("url", "https://graph.microsoft.com/v1.0/users/delta")
+  *   .option("schemaDdl", "id STRING, displayName STRING, ...")
+  *   .load()
+  * }}}
+  *
+  * Protocol (public Graph API docs): the first GET of `{resource}/delta`
+  * pages through the full current state via `@odata.nextLink`; the final
+  * page carries `@odata.deltaLink`. Polling that link returns only changes
+  * since — the deltaLink URL itself is the resume token, so Offset = the
+  * link, carried by the same checkpointed [[OdpMicroBatchStream]] that runs
+  * ODP (identical scale story: each raw page spills to the checkpoint FS,
+  * executors decode, the driver holds one page at a time). Like Graph
+  * endpoints generally there is no `$metadata`; the fixed schema comes from
+  * the required `schemaDdl` option (same contract as the `Graph` family's
+  * fixed-schema reads). Delivery is at-least-once — Graph may resend a
+  * changed object in multiple delta rounds.
+  */
+class GraphDeltaSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graph-delta"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType.fromDDL(Option(options.get("schemaddl")).getOrElse(
+      throw new IllegalArgumentException(
+        "graph-delta requires option 'schemaDdl' (Graph has no $metadata)")))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    import scala.jdk.CollectionConverters._
+    new GraphDeltaTable(schema, properties.asScala.toMap)
+  }
+}
+
+class GraphDeltaTable(schema: StructType, options: Map[String, String])
+  extends Table with SupportsRead {
+  override def name(): String = s"graph-delta(${options("url")})"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new OdpMicroBatchStream(schema, options, checkpointLocation,
+          clientFor = a => new GraphDeltaClient(a))
+    }
+}
+
+/** Graph `/delta` page walk: the token IS the deltaLink URL (resume GETs it
+  * verbatim); no Prefer headers, no token splicing. Page spill identical to
+  * [[OdpClient]]. */
+class GraphDeltaClient(auth: HttpAuth = HttpAuth(),
+                       http: HttpCore = HttpCore.shared) extends PagedDeltaClient {
+
+  override def fetchPaged(url: String, token: Option[String],
+                          store: OdpStateStore, subId: String,
+                          batch: Long): OdpPagedResult = {
+    val files = Seq.newBuilder[String]
+    var rowCount = 0L
+    var pageIdx = 0
+    var next: Option[String] = Some(token.getOrElse(url))
+    var newToken: Option[String] = None
+    var status = 0
+    while (next.isDefined) {
+      val resp = http.get(next.get, auth = auth, useCache = false)
+      status = resp.status
+      if (resp.status != 200)
+        throw new RuntimeException(s"Graph delta GET ${next.get} -> HTTP ${resp.status}")
+      val root = ODataJson.parse(resp.text)
+      val page = ODataJson.extractPage(root)
+      if (page.rows.nonEmpty) {
+        files += store.writePage(subId, batch, pageIdx, resp.text)
+        pageIdx += 1
+        rowCount += page.rows.size
+      }
+      Option(root.get("@odata.deltaLink")).filter(!_.isNull)
+        .foreach(l => newToken = Some(l.asText))
+      next = page.nextLink
+    }
+    OdpPagedResult(files.result(), rowCount, newToken, preferenceApplied = false, status)
+  }
+}

@@ -157,13 +157,24 @@ final case class OdpPagedResult(pageFiles: Seq[String], rowCount: Long,
                                 newToken: Option[String],
                                 preferenceApplied: Boolean, httpStatus: Int)
 
+/** One delta-protocol page walk: fetch everything since `token`, spill raw
+  * pages to the store, return the next token. Implemented by [[OdpClient]]
+  * (SAP ODP: `!deltatoken` + Prefer headers) and
+  * [[GraphDeltaClient]] (Microsoft Graph `/delta`: the deltaLink URL is the
+  * token) — both drive the same [[OdpMicroBatchStream]] spill architecture. */
+trait PagedDeltaClient {
+  def fetchPaged(url: String, token: Option[String],
+                 store: OdpStateStore, subId: String, batch: Long): OdpPagedResult
+}
+
 /** Driver-side ODP page WALK: one full load or delta fetch, following
   * nextLinks, capturing the delta token from the final page. Each raw page
   * body is streamed straight to the state store's page spill (never
   * accumulated) — driver memory is O(one page) regardless of extraction
   * size; decoding happens executor-side over the spilled files. */
 class OdpClient(auth: HttpAuth = HttpAuth(),
-                maxPageSize: Option[Int] = None, http: HttpCore = HttpCore.shared) {
+                maxPageSize: Option[Int] = None, http: HttpCore = HttpCore.shared)
+  extends PagedDeltaClient {
 
   private val V2TokenRe = """[!?]deltatoken=([^&\s"]+)""".r
 

@@ -73,7 +73,9 @@ object OdpOffset {
 }
 
 class OdpMicroBatchStream(schema: StructType, options: Map[String, String],
-                          checkpointLocation: String) extends MicroBatchStream {
+                          checkpointLocation: String,
+                          clientFor: HttpAuth => PagedDeltaClient = null)
+  extends MicroBatchStream {
 
   private val url = options("url")
   private val stateDir = options.getOrElse("statedir",
@@ -85,7 +87,8 @@ class OdpMicroBatchStream(schema: StructType, options: Map[String, String],
   private val store = new OdpStateStore(stateDir)
   private val subId = java.util.UUID.nameUUIDFromBytes(
     url.getBytes("UTF-8")).toString
-  private val client = new OdpClient(auth, maxPageSize)
+  private val client: PagedDeltaClient =
+    if (clientFor != null) clientFor(auth) else new OdpClient(auth, maxPageSize)
 
   // page-file URIs per batch fetched by THIS instance (restart replans from
   // the spill dir listing instead)

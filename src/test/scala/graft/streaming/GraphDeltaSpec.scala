@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+import graft.SparkSpecBase
+import graft.testkit.GraphStub
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+
+/** Graph `/delta` CDC streaming e2e against the stub: initial two-page load,
+  * deltaLink resume across query restarts, change rounds delivered
+  * incrementally (public protocol: nextLink pages, deltaLink on the final
+  * page, the link itself is the token). */
+class GraphDeltaSpec extends SparkSpecBase with BeforeAndAfterAll {
+
+  private var stub: GraphStub = _
+
+  override def beforeAll(): Unit = {
+    stub = new GraphStub().start()
+    super.beforeAll()
+  }
+  override def afterAll(): Unit = {
+    if (stub != null) stub.stop()
+    super.afterAll()
+  }
+
+  private val Ddl = "id STRING, displayName STRING, userPrincipalName STRING, " +
+    "mail STRING, jobTitle STRING, department STRING, accountEnabled BOOLEAN"
+
+  private def changed(i: Int, title: String) =
+    s"""{"id":"u$i","displayName":"User $i","userPrincipalName":"user$i@contoso.com",""" +
+      s""""mail":"user$i@contoso.com","jobTitle":"$title","department":"R&D","accountEnabled":true}"""
+
+  test("initial load pages through nextLink; delta rounds resume from the deltaLink across restarts") {
+    stub.userDeltas.clear()
+    val ckpt = Files.createTempDirectory("gd-ckpt").toUri.toString
+    val out = Files.createTempDirectory("gd-out").toString
+    def runOnce(): Unit = {
+      val df = spark.readStream.format("graph-delta")
+        .option("url", s"${stub.baseUrl}/users/delta")
+        .option("schemaDdl", Ddl)
+        .load()
+      val q = df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    runOnce() // initial load: 3 + 2 users over two pages
+    assert(spark.read.parquet(out).count() == 5)
+
+    stub.userDeltas += Seq(changed(1, "Principal Engineer"), changed(6, "New Hire"))
+    runOnce() // restart: only the delta round arrives (token resumed)
+    val all = spark.read.parquet(out)
+    assert(all.count() == 7, s"expected 7 rows, got ${all.count()}")
+    assert(all.filter("jobTitle = 'Principal Engineer'").count() == 1)
+    assert(all.filter("id = 'u6'").count() == 1)
+
+    // the resume GET carried the deltaLink token, and the initial walk ran once
+    val reqs = stub.requests.filter(_.contains("/users/delta"))
+    assert(reqs.exists(_.contains("$deltatoken=T0")), reqs.mkString("\n"))
+    assert(reqs.count(r => r.contains("GET") && !r.contains("deltatoken") &&
+      !r.contains("__page")) == 1, reqs.mkString("\n"))
+
+    // empty delta: no new rows, no progress batch
+    runOnce()
+    assert(spark.read.parquet(out).count() == 7)
+  }
+}

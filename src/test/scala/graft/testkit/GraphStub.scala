@@ -74,10 +74,38 @@ class GraphStub {
        |"ID":"$i","_Hidden":"x"}}""".stripMargin.replace("\n", "")
   }
 
+  /** Delta rounds for /users/delta: each entry is one round of changed
+    * objects; a `$deltatoken=Tk` request returns rounds k.. and advances. */
+  val userDeltas = mutable.ListBuffer[Seq[String]]()
+
   private def route(ex: HttpExchange, path: String, q: Map[String, String]): Unit = {
     val method = ex.getRequestMethod
     def body(): String = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     path match {
+      // ---- Graph delta protocol (users/delta) ----
+      case "/v1.0/users/delta" =>
+        q.get("$deltatoken") match {
+          case None => // initial load: two pages, deltaLink on the last
+            if (q.getOrElse("__page", "0").toInt == 0)
+              respond(ex, 200, vals((1 to 3).map(userJson),
+                Some(s"$baseUrl/users/delta?__page=1")))
+            else {
+              val consumed = userDeltas.synchronized(userDeltas.size)
+              respond(ex, 200,
+                s"""{"value":[${(4 to 5).map(userJson).mkString(",")}],""" +
+                  s""""@odata.deltaLink":"$baseUrl/users/delta?$$deltatoken=T$consumed"}""")
+            }
+          case Some(t) => // changes since round k; token advances only on data
+            val k = t.stripPrefix("T").toInt
+            val (slice, consumed) = userDeltas.synchronized {
+              (userDeltas.drop(k).flatten.toSeq, userDeltas.size)
+            }
+            val newTok = if (slice.isEmpty) k else consumed
+            respond(ex, 200,
+              s"""{"value":[${slice.mkString(",")}],""" +
+                s""""@odata.deltaLink":"$baseUrl/users/delta?$$deltatoken=T$newTok"}""")
+        }
+
       // ---- Entra ----
       case "/v1.0/users" =>
         // two pages to exercise nextLink-following in the DSv2 reader
