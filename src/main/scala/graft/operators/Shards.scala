@@ -51,7 +51,9 @@ object Shards {
                  tokensCol: String, budget: Long): DataFrame = {
     val w = Window.partitionBy(partCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("shard_id",
-      floor((sum(col(tokensCol)).over(w) - col(tokensCol)) / budget))
+    // integral divide (`div`), not floor(double /): a partition whose token
+    // total passes 2^53 would misround shard boundaries in double arithmetic
+    df.withColumn("shard_id", call_function("div",
+      sum(col(tokensCol)).over(w) - col(tokensCol), lit(budget)))
   }
 }

@@ -169,6 +169,8 @@ object Similarity {
   def hammingTopK(corpus: DataFrame, corpusId: String, queries: DataFrame,
                   queryId: String, vecCol: String, k: Int,
                   bits: Int = 64, rerank: Int = 40): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits (one long signature)")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k) or top-k is truncated")
     val c = withNorm(corpus, corpusId, vecCol)
       .select(col(corpusId).as("id"), col("v"), col("nrm"))
     val q = withNorm(queries, queryId, vecCol)

@@ -131,8 +131,8 @@ class HttpCore(val policy: HttpPolicy = HttpPolicy()) {
       }
       try {
         val r = send(method, url, body, headers, auth)
-        // retry server-side errors; return everything else
-        if (r.status < 500 || attempt == policy.retries) return r
+        // retry server-side errors and 429 throttling; return everything else
+        if ((r.status < 500 && r.status != 429) || attempt == policy.retries) return r
         last = Right(r)
       } catch {
         case e: Exception => last = Left(e)

@@ -57,11 +57,14 @@ class ODataCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException("odata catalog is read-only")
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
     meta.entitySets.map(es => Identifier.of(Array("main"), es.name)).toArray
+  }
 
   override def tableExists(ident: Identifier): Boolean =
-    meta.entitySets.exists(_.name == ident.name)
+    namespaceExists(ident.namespace) && meta.entitySets.exists(_.name == ident.name)
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident))

@@ -92,12 +92,15 @@ class BusinessCentralCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException("business_central storage is read-only")
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
     model.entitySets.filterNot(_.name == "companies")
       .map(es => Identifier.of(Array("main"), es.name)).toArray
+  }
 
   override def tableExists(ident: Identifier): Boolean =
-    model.entitySets.exists(_.name == ident.name)
+    namespaceExists(ident.namespace) && model.entitySets.exists(_.name == ident.name)
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident))

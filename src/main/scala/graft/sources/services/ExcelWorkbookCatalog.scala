@@ -73,11 +73,14 @@ class ExcelWorkbookCatalog extends TableCatalog with SupportsNamespaces {
     out.result()
   }
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
     tableNames.map(t => Identifier.of(Array("main"), t)).toArray
+  }
 
   override def tableExists(ident: Identifier): Boolean =
-    tableNames.contains(ident.name)
+    namespaceExists(ident.namespace) && tableNames.contains(ident.name)
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident))

@@ -86,20 +86,31 @@ class SacCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException("sac storage is read-only")
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
     models.map { case (m, _) => Identifier.of(Array("main"), m) }.toArray
+  }
 
   override def tableExists(ident: Identifier): Boolean =
-    models.exists(_._1 == ident.name)
+    namespaceExists(ident.namespace) && models.exists(_._1 == ident.name)
+
+  /** One `$metadata` round trip per model per catalog instance — Spark may
+    * call `loadTable` several times while planning a single statement. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   override def loadTable(ident: Identifier): Table = {
-    val kind = models.collectFirst { case (m, k) if m == ident.name => k }
-      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    val kind = models.collectFirst {
+      case (m, k) if m == ident.name && namespaceExists(ident.namespace) => k
+    }.getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
     val a = auth
     val conf = ODataConf(
       url = s"$tenant/api/v1/odata/$kind/${ident.name}",
       bearer = a.bearer, user = a.basicUser, password = a.basicPassword)
-    val inner = new ODataTable(conf, ODataMeta.resolve(conf).sparkSchema)
+    val schema = schemaCache.computeIfAbsent(ident.name,
+      _ => ODataMeta.resolve(conf).sparkSchema)
+    val inner = new ODataTable(conf, schema)
     // read-only wrapper: the generic entity-set table is writable; SAC is not
     new Table with SupportsRead {
       override def name(): String = s"sac:$kind/${ident.name}"

@@ -89,12 +89,16 @@ class SharePointListsCatalog extends TableCatalog with SupportsNamespaces {
     out.result()
   }
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
     lists().map(l => Identifier.of(Array("main"),
       if (l._3.nonEmpty) l._3 else l._2)).toArray
+  }
 
   override def tableExists(ident: Identifier): Boolean =
-    lists().exists(l => l._2 == ident.name || l._3 == ident.name)
+    namespaceExists(ident.namespace) &&
+      lists().exists(l => l._2 == ident.name || l._3 == ident.name)
 
   override def loadTable(ident: Identifier): Table = {
     val spark = SparkSession.active

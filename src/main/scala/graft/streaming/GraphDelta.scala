@@ -61,40 +61,77 @@ class GraphDeltaTable(schema: StructType, options: Map[String, String])
       override def readSchema(): StructType = schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new OdpMicroBatchStream(schema, options, checkpointLocation,
-          clientFor = a => new GraphDeltaClient(a))
+          clientFor = (a, pageSize) => new GraphDeltaClient(a, pageSize))
     }
 }
 
 /** Graph `/delta` page walk: the token IS the deltaLink URL (resume GETs it
-  * verbatim); no Prefer headers, no token splicing. Page spill identical to
-  * [[OdpClient]]. */
+  * verbatim); `Prefer: odata.maxpagesize=n` when configured. Page spill
+  * identical to [[OdpClient]], with two Graph-protocol behaviors on top:
+  *
+  *  - **410 Gone = token expiry** (public protocol: delta tokens are
+  *    retained for a bounded period). The walk restarts ONCE from the
+  *    `Location` restart URL when the server provides one, else from the
+  *    base resource — a full resync, consistent with the source's
+  *    at-least-once contract. Without this, an expired checkpointed link
+  *    would wedge the stream permanently.
+  *  - **`@removed` deleted-object entries** are rewritten at spill time into
+  *    a scalar `removedReason` field (value e.g. "deleted"/"changed"), so a
+  *    caller who includes `removedReason STRING` in `schemaDdl` sees
+  *    deletions as typed tombstone rows instead of indistinguishable
+  *    all-null upserts. (429 throttling is absorbed by HttpCore's
+  *    retry/backoff.)
+  */
 class GraphDeltaClient(auth: HttpAuth = HttpAuth(),
+                       maxPageSize: Option[Int] = None,
                        http: HttpCore = HttpCore.shared) extends PagedDeltaClient {
 
   override def fetchPaged(url: String, token: Option[String],
                           store: OdpStateStore, subId: String,
                           batch: Long): OdpPagedResult = {
+    val headers = maxPageSize
+      .map(n => Map("Prefer" -> s"odata.maxpagesize=$n"))
+      .getOrElse(Map.empty[String, String])
     val files = Seq.newBuilder[String]
     var rowCount = 0L
     var pageIdx = 0
     var next: Option[String] = Some(token.getOrElse(url))
     var newToken: Option[String] = None
     var status = 0
+    var resyncedOnce = false
     while (next.isDefined) {
-      val resp = http.get(next.get, auth = auth, useCache = false)
+      val resp = http.get(next.get, headers = headers, auth = auth, useCache = false)
       status = resp.status
-      if (resp.status != 200)
+      if (resp.status == 410 && !resyncedOnce) {
+        // token expired: full resync from the server-provided restart URL
+        resyncedOnce = true
+        next = Some(resp.headers.get("location").getOrElse(url))
+      } else if (resp.status != 200) {
         throw new RuntimeException(s"Graph delta GET ${next.get} -> HTTP ${resp.status}")
-      val root = ODataJson.parse(resp.text)
-      val page = ODataJson.extractPage(root)
-      if (page.rows.nonEmpty) {
-        files += store.writePage(subId, batch, pageIdx, resp.text)
-        pageIdx += 1
-        rowCount += page.rows.size
+      } else {
+        val root = ODataJson.parse(resp.text)
+        val page = ODataJson.extractPage(root)
+        if (page.rows.nonEmpty) {
+          // tombstones: lift @removed.reason into a plain field before spill
+          var removed = false
+          page.rows.foreach {
+            case o: com.fasterxml.jackson.databind.node.ObjectNode if o.has("@removed") =>
+              removed = true
+              val reason = Option(o.get("@removed").get("reason"))
+                .map(_.asText).getOrElse("deleted")
+              o.remove("@removed")
+              o.put("removedReason", reason)
+            case _ =>
+          }
+          val body = if (removed) root.toString else resp.text
+          files += store.writePage(subId, batch, pageIdx, body)
+          pageIdx += 1
+          rowCount += page.rows.size
+        }
+        Option(root.get("@odata.deltaLink")).filter(!_.isNull)
+          .foreach(l => newToken = Some(l.asText))
+        next = page.nextLink
       }
-      Option(root.get("@odata.deltaLink")).filter(!_.isNull)
-        .foreach(l => newToken = Some(l.asText))
-      next = page.nextLink
     }
     OdpPagedResult(files.result(), rowCount, newToken, preferenceApplied = false, status)
   }

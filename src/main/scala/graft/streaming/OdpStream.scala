@@ -74,7 +74,8 @@ object OdpOffset {
 
 class OdpMicroBatchStream(schema: StructType, options: Map[String, String],
                           checkpointLocation: String,
-                          clientFor: HttpAuth => PagedDeltaClient = null)
+                          clientFor: (HttpAuth, Option[Int]) => PagedDeltaClient =
+                            (a, m) => new OdpClient(a, m))
   extends MicroBatchStream {
 
   private val url = options("url")
@@ -87,8 +88,7 @@ class OdpMicroBatchStream(schema: StructType, options: Map[String, String],
   private val store = new OdpStateStore(stateDir)
   private val subId = java.util.UUID.nameUUIDFromBytes(
     url.getBytes("UTF-8")).toString
-  private val client: PagedDeltaClient =
-    if (clientFor != null) clientFor(auth) else new OdpClient(auth, maxPageSize)
+  private val client: PagedDeltaClient = clientFor(auth, maxPageSize)
 
   // page-file URIs per batch fetched by THIS instance (restart replans from
   // the spill dir listing instead)

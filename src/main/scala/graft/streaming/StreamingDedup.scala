@@ -55,8 +55,8 @@ object StreamingDedup {
                       windowDur: String = "10 seconds"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     import graft.operators.{Dedup, TextOps}
-    val sets = docs
-      .withColumn("toks", TextOps.tokens(col(textCol)))
+    val toked = docs.withColumn("toks", TextOps.tokens(col(textCol)))
+    val sets = toked
       .filter(size(col("toks")) >= n)
       .withColumn("shingles", TextOps.wordShinglesFromTokens(col("toks"), n))
       .withColumn("sig", Dedup.rowMinhashSig(col("shingles"), k))
@@ -66,10 +66,16 @@ object StreamingDedup {
     val claims = bandRows
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("band", "bh")
-    claims
+    val voted = claims
       .groupBy(window(col(tsCol), windowDur), col(idCol))
       .agg(count(lit(1)).as("n_claimed"))
       .filter(col("n_claimed") === bands)
       .select(col(idCol), col("window.start").as("w_start"))
+    // docs too short to shingle can't near-dup — the batch twin keeps them
+    // (they produce no pairs and survive the anti join), so the stream does
+    // too: a stateless map-only branch, emitted immediately
+    val short = toked.filter(size(col("toks")) < n)
+      .select(col(idCol), window(col(tsCol), windowDur).getField("start").as("w_start"))
+    voted.unionByName(short)
   }
 }

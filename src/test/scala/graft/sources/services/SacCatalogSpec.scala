@@ -45,6 +45,15 @@ class SacCatalogSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(wire.exists(_.contains("$select=")), wire.toString)
   }
 
+  test("ghost namespaces are rejected, not silently treated as main") {
+    intercept[Exception] {
+      spark.sql("SHOW TABLES IN sac.nonexistent").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM sac.bogus.Customers").collect()
+    }
+  }
+
   test("writes are rejected at planning: SAC storage is read-only") {
     stub.postedItems.clear()
     intercept[Exception] {

@@ -24,7 +24,8 @@ class GraphDeltaSpec extends SparkSpecBase with BeforeAndAfterAll {
   }
 
   private val Ddl = "id STRING, displayName STRING, userPrincipalName STRING, " +
-    "mail STRING, jobTitle STRING, department STRING, accountEnabled BOOLEAN"
+    "mail STRING, jobTitle STRING, department STRING, accountEnabled BOOLEAN, " +
+    "removedReason STRING"
 
   private def changed(i: Int, title: String) =
     s"""{"id":"u$i","displayName":"User $i","userPrincipalName":"user$i@contoso.com",""" +
@@ -67,5 +68,21 @@ class GraphDeltaSpec extends SparkSpecBase with BeforeAndAfterAll {
     // empty delta: no new rows, no progress batch
     runOnce()
     assert(spark.read.parquet(out).count() == 7)
+
+    // deleted-object tombstone: @removed becomes a typed removedReason row
+    stub.userDeltas += Seq("""{"id":"u2","@removed":{"reason":"deleted"}}""")
+    runOnce()
+    val tomb = spark.read.parquet(out).filter("removedReason = 'deleted'")
+    assert(tomb.count() == 1 && tomb.head().getAs[String]("id") == "u2")
+    // live rows carry a null marker — deletions are distinguishable
+    assert(spark.read.parquet(out).filter("removedReason IS NULL").count() == 7)
+
+    // token expiry: 410 Gone triggers a one-shot resync from the Location
+    // restart URL instead of wedging the stream (at-least-once re-delivery)
+    val before = spark.read.parquet(out).count()
+    stub.expireNextDelta = true
+    runOnce()
+    val after = spark.read.parquet(out).count()
+    assert(after == before + 5, s"resync should re-deliver the 5 current users, got ${after - before}")
   }
 }

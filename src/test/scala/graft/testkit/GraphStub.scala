@@ -78,6 +78,10 @@ class GraphStub {
     * objects; a `$deltatoken=Tk` request returns rounds k.. and advances. */
   val userDeltas = mutable.ListBuffer[Seq[String]]()
 
+  /** When set, the next `$deltatoken` request answers 410 Gone with a
+    * restart Location (the public token-expiry protocol), then clears. */
+  @volatile var expireNextDelta = false
+
   private def route(ex: HttpExchange, path: String, q: Map[String, String]): Unit = {
     val method = ex.getRequestMethod
     def body(): String = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -95,6 +99,10 @@ class GraphStub {
                 s"""{"value":[${(4 to 5).map(userJson).mkString(",")}],""" +
                   s""""@odata.deltaLink":"$baseUrl/users/delta?$$deltatoken=T$consumed"}""")
             }
+          case Some(t) if expireNextDelta =>
+            expireNextDelta = false
+            ex.getResponseHeaders.set("Location", s"$baseUrl/users/delta")
+            respond(ex, 410, """{"error":{"code":"syncStateNotFound"}}""")
           case Some(t) => // changes since round k; token advances only on data
             val k = t.stripPrefix("T").toInt
             val (slice, consumed) = userDeltas.synchronized {
