@@ -65,6 +65,30 @@ object DemoDrive {
     spark.sql("UPDATE sp.main.`Budget List` SET Title = 'Demo' WHERE id = '3'")
     println(s"sharepoint PATCHes: ${gstub.patchedItems.size}")
 
+    println("== sac catalog ==")
+    spark.conf.set("spark.sql.catalog.sac", "graft.sources.services.SacCatalog")
+    spark.conf.set("spark.sql.catalog.sac.url", s"http://localhost:${stub.port}")
+    spark.conf.set("spark.sql.catalog.sac.models", "Customers")
+    spark.sql("SELECT CustomerID, Country FROM sac.main.Customers WHERE Country = 'Germany' LIMIT 3").show()
+
+    println("== graph delta CDC stream ==")
+    val ckpt = java.nio.file.Files.createTempDirectory("demo-gd-ckpt").toUri.toString
+    val gdOut = java.nio.file.Files.createTempDirectory("demo-gd-out").toString
+    def deltaOnce(): Unit = {
+      val q = spark.readStream.format("graph-delta")
+        .option("url", s"${gstub.baseUrl}/users/delta")
+        .option("schemaDdl", "id STRING, displayName STRING, jobTitle STRING, removedReason STRING")
+        .load()
+        .writeStream.format("parquet").option("path", gdOut)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    deltaOnce()
+    gstub.userDeltas += Seq("""{"id":"u9","displayName":"New User","jobTitle":"Analyst"}""")
+    deltaOnce()
+    println(s"delta rows landed: ${spark.read.parquet(gdOut).count()} (5 initial + 1 delta)")
+
     println("== copy-to formats ==")
     Seq(("Demo Row", 9.5)).toDF("Title", "Amount").write.format("sharepoint-list")
       .option("url", gstub.baseUrl).option("site", "Finance").option("list", "Budget")
