@@ -95,6 +95,41 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination: contaminated corpus documents — those
+    * sharing at least `minShared` distinct word n-gram shingles with ANY
+    * benchmark document — as (id, n_shared). The standard training-data
+    * hygiene op (drop eval-set look-alikes from the training corpus before
+    * training; the published recipes use 8-13-gram overlap).
+    *
+    * Scale design (100 TB): the benchmark side is tiny relative to the
+    * corpus — its distinct shingle set is BROADCAST, so the corpus-side scan
+    * is map-only (broadcast semi-join per posting) and the only shuffle is
+    * the per-doc hit count over the matching postings, which is at most
+    * |matches|, not |corpus|. */
+  def contaminationHits(corpus: DataFrame, corpusId: String, corpusText: String,
+                        bench: DataFrame, benchText: String,
+                        n: Int = 3, minShared: Long = 1L): DataFrame = {
+    val corpusPosts = shingleSets(corpus, corpusId, corpusText, n)
+      .select(col("id"), explode(col("shingles")).as("sh"))
+    val benchShingles = broadcast(
+      shingleSets(bench.select(monotonically_increasing_id().as("bid"),
+          col(benchText).as("btext")), "bid", "btext", n)
+        .select(explode(col("shingles")).as("sh")).distinct())
+    corpusPosts.join(benchShingles, Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Survivors of decontamination: the corpus minus every contaminated doc
+    * (one broadcast semi-join + one anti join). */
+  def decontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
+                    bench: DataFrame, benchText: String,
+                    n: Int = 3, minShared: Long = 1L): DataFrame = {
+    val bad = contaminationHits(corpus, corpusId, corpusText, bench, benchText,
+      n, minShared).select(col("id").as(corpusId))
+    corpus.join(bad, Seq(corpusId), "left_anti")
+  }
+
   /** MinHash prime modulus (2^31-1) — universal-hash arithmetic stays within
     * Long range under ANSI mode: a,f < 2^31 so a*f+b < 2^62 + 2^31. */
   private val MinhashP = 2147483647L

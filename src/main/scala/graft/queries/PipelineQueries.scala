@@ -553,6 +553,31 @@ object PipelineQueries {
                     JOIN n b ON cand.id_b = b.vec_id)
         WHERE sim >= 0.3 ORDER BY id_a, id_b""")),
 
+    // ---- p23: benchmark decontamination — corpus docs sharing word
+    // 3-grams with the (broadcast) benchmark set. The 100 TB shape: the
+    // benchmark shingle set broadcasts, the corpus scan is map-only, the
+    // only shuffle is the per-doc hit count over matches. ------------------
+    QueryDef("p23_decontaminate",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        Dedup.contaminationHits(
+          docs.filter(col("doc_id") >= 5), "doc_id", "text",
+          docs.filter(col("doc_id") < 5), "text", n = 3, minShared = 1L)
+          .select(col("id").as("doc_id"), col("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+        sets AS (SELECT doc_id,
+            list_distinct(list_transform(range(0, len(tk)-2),
+              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shs
+          FROM t WHERE len(tk) >= 3),
+        cposts AS (SELECT doc_id, unnest(shs) AS sh FROM sets WHERE doc_id >= 5),
+        bsh AS (SELECT DISTINCT unnest(shs) AS sh FROM sets WHERE doc_id < 5)
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM cposts WHERE sh IN (SELECT sh FROM bsh)
+        GROUP BY 1 HAVING COUNT(*) >= 1 ORDER BY doc_id""")),
+
     // ---- p20: deterministic train/val/test split. Map-only at any scale —
     // the salted md5 bucket decides the split row-locally, reproducible
     // across runs and engines (the property that keeps test docs out of

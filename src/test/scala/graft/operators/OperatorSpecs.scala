@@ -79,6 +79,22 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.exists(p => p._1 == 0 && p._2 == 20000 && p._3 == 0))
   }
 
+  test("decontaminate removes exactly the docs sharing shingles with the benchmark") {
+    // bench = originals 0..4; corpus = everything else incl. the near-dups
+    // of docs 0..9 (those of 0..4 share shingles with the bench -> removed)
+    val bench = corpus.filter($"doc_id" < 5)
+    val train = corpus.filter($"doc_id" >= 5)
+    val hits = Dedup.contaminationHits(train, "doc_id", "text", bench, "text")
+      .collect().map(_.getLong(0)).toSet
+    // the near-dups of bench docs (ids 10000..10004) must be caught
+    (10000L to 10004L).foreach(id => assert(hits.contains(id), s"near-dup $id not flagged"))
+    val survivors = Dedup.decontaminate(train, "doc_id", "text", bench, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // survivors and hits partition the corpus
+    assert(survivors.intersect(hits).isEmpty)
+    assert((survivors ++ hits) == train.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("jaccardPairs maxDocFreq cap drops hot shingles but keeps output shape") {
     val capped = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.7, maxDocFreq = Some(50))
     assert(capped.columns.toSeq == Seq("id_a", "id_b", "inter", "uni", "jaccard"))
