@@ -73,4 +73,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       "asof must not fall back to a product join")
   }
+
+  test("p23 decontamination: bench shingle set broadcasts, corpus side never shuffles pre-join") {
+    val p = plan("p23_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"bench shingles must broadcast into a semi join:\n${p.take(2000)}")
+  }
+
+  test("p20 split assignment is map-only before the final aggregate") {
+    val p = plan("p20_split_assign")
+    // exactly the two agg exchanges (partial->final, final->sort); any more
+    // would mean the split column itself forced a shuffle
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2000))
+  }
 }
