@@ -23,7 +23,7 @@ object Bench {
       Seq("q01_pricing_summary", "q02_revenue_by_nation", "p07_knn_cosine",
         "p01_dedup_exact", "q12_daily_event_stats", "p04_jaccard_pairs",
         "p06_simhash_pairs", "p09_ann_lsh", "p12_sessionize", "p18_jaccard_capped",
-        "p15_ann_ivf", "p17_clean_pipeline")
+        "p15_ann_ivf", "p17_clean_pipeline", "p22_ann_hamming", "p23_decontaminate")
         .foreach(n => q.get(n).foreach(f => f(spark, sfDir).count()))
     } catch { case _: Throwable => }
     // deterministic name order: map-iteration order made run-to-run totals

@@ -166,23 +166,29 @@ object Dedup {
     * projection, so it never waits on a watermark) or map-side batch. The
     * aggregate's advantage (mergeable partial state) only matters when a
     * group's values span rows. */
-  def rowMinhashSig(shingles: Column, k: Int): Column = {
-    val fps = transform(shingles, sh => mdHash31(sh))
-    transform(sequence(lit(0), lit(k - 1)), i => {
-      val ai = pmod(lit(2654435769L) * (i.cast("long") * 2 + 1), lit(2147483645L)) + 1
-      val bi = pmod(lit(3266489917L) * (i.cast("long") + 1), lit(2147483647L))
-      array_min(transform(fps, f => pmod(ai * f + bi, lit(2147483647L))))
-    })
-  }
+  def rowMinhashSig(shingles: Column, k: Int): Column =
+    // fps bound once: without it every one of the k outer lambda elements
+    // re-evaluates the md5 transform over the whole shingle array
+    bindOnce(transform(shingles, sh => mdHash31(sh))) { fps =>
+      transform(sequence(lit(0), lit(k - 1)), i => {
+        val ai = pmod(lit(2654435769L) * (i.cast("long") * 2 + 1), lit(2147483645L)) + 1
+        val bi = pmod(lit(3266489917L) * (i.cast("long") + 1), lit(2147483647L))
+        array_min(transform(fps, f => pmod(ai * f + bi, lit(2147483647L))))
+      })
+    }
 
   /** The LSH band keys of a signature: `bands` strings, each the
     * comma-joined slice of r = k/bands components (engine-portable — no
     * murmur3; the p05 oracle mirrors it with array_to_string). Shared by the
     * batch pair join and the streaming dedup. */
-  def bandKeys(sig: Column, k: Int, bands: Int): Column = {
+  def bandKeys(sigIn: Column, k: Int, bands: Int): Column = {
     val r = k / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => concat_ws(",", slice(sig, b * r + 1, lit(r)).cast("array<string>")))
+    // sig bound once: each band's slice would otherwise re-evaluate the
+    // whole signature expression (ruinous when sig is an inline rowMinhashSig)
+    bindOnce(sigIn) { sig =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(sig, b * r + 1, lit(r)).cast("array<string>")))
+    }
   }
 
   /** MinHash-LSH near-duplicate pairs, exactly verified.

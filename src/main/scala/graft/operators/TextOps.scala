@@ -70,16 +70,18 @@ object TextOps {
   /** Exact-dedup fingerprint — hex MD5, identical in Spark and DuckDB. */
   def fingerprint(text: Column): Column = md5(text)
 
-  /** Word n-gram shingles (distinct) from an already-materialized token-array
-    * COLUMN (not an expression — Catalyst copies, not CSEs, subexpressions
-    * referenced inside higher-order-function lambdas, and HOFs run
-    * interpreted; an inline `split()` here would be re-evaluated per shingle).
-    * Docs shorter than n words produce an empty set. */
-  def wordShinglesFromTokens(t: Column, n: Int): Column =
+  /** Word n-gram shingles (distinct). The token input is [[bindOnce]]-bound,
+    * so however the caller's projections collapse, the token array is
+    * evaluated ONCE per row — without the binding, each `element_at` in the
+    * lambda re-evaluates the whole token subtree (Catalyst copies, not CSEs,
+    * subexpressions inside HOF lambdas). Docs shorter than n words produce
+    * an empty set. */
+  def wordShinglesFromTokens(toks: Column, n: Int): Column = bindOnce(toks) { t =>
     when(size(t) >= n,
       array_distinct(transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** Modulus for rolling hashes: prime < 2^50 so `acc*31 + c` stays far from
     * Long overflow (ANSI mode would throw on wrap). Mirrored in oracle SQL. */
@@ -95,23 +97,24 @@ object TextOps {
       (acc, c) => pmod(acc * lit(31L) + c, lit(RollingHashMod)))
 
   /** Winnowing-style fingerprints (Schleimer et al., SIGMOD'03): rolling hash
-    * over each k-gram character window, then per-window minima. The three
-    * stages MUST each read a materialized column (see the staging warning on
-    * [[wordShinglesFromTokens]]) — use them via `withColumn` chains:
-    * charCodes → kgramHashes → winnowFromKgrams. */
+    * over each k-gram character window, then per-window minima. Each stage
+    * [[bindOnce]]-binds its array input, so the chain is safe to compose
+    * inline or via collapsed `withColumn` projections alike. */
   def charCodes(text: Column): Column =
     transform(split(text, ""), ch => ascii(ch).cast("long"))
 
-  def kgramHashes(chars: Column, k: Int = 8): Column =
+  def kgramHashes(charsIn: Column, k: Int = 8): Column = bindOnce(charsIn) { chars =>
     when(size(chars) >= k,
       transform(sequence(lit(0), size(chars) - k),
         i => aggregate(slice(chars, i + 1, lit(k)), lit(0L),
           (acc, c) => pmod(acc * lit(31L) + c, lit(RollingHashMod)))))
       .otherwise(array().cast("array<bigint>"))
+  }
 
-  def winnowFromKgrams(kgrams: Column, w: Int = 4): Column =
+  def winnowFromKgrams(kgramsIn: Column, w: Int = 4): Column = bindOnce(kgramsIn) { kgrams =>
     when(size(kgrams) >= w,
       array_sort(array_distinct(transform(sequence(lit(0), size(kgrams) - w),
         i => array_min(slice(kgrams, i + 1, lit(w)))))))
       .otherwise(array_sort(array_distinct(kgrams)))
+  }
 }
