@@ -51,7 +51,11 @@ object Dedup {
     * `maxDocFreq` (optional) drops shingles appearing in more than that many
     * documents before the pair join — the standard skew guard: a stop-shingle
     * shared by 1M docs would otherwise produce 10^12 candidate pairs in one
-    * reduce task. Disabled (None) for oracle-checked correctness runs.
+    * reduce task. When the cap is engaged, set SIZES come from the capped
+    * postings too, so jaccard is the exact similarity of the capped-universe
+    * sets — pruning the intersection but not the union would systematically
+    * underestimate every surviving pair and silently drop true near-dups at
+    * the threshold. Disabled (None) for uncapped runs.
     *
     * Output: (id_a, id_b, inter, uni, jaccard) with id_a < id_b,
     * jaccard >= minJaccard.
@@ -64,10 +68,13 @@ object Dedup {
       case Some(cap) =>
         val hot = posts0.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("sh")
-        posts0.join(hot, Seq("sh"), "left_anti")
+        posts0.join(hot, Seq("sh"), "left_anti").cache()
       case None => posts0
     }
-    val sizes = sets.select(col("id"), size(col("shingles")).cast("long").as("sz"))
+    val sizes = maxDocFreq match {
+      case Some(_) => posts.groupBy("id").agg(count(lit(1)).as("sz"))
+      case None => sets.select(col("id"), size(col("shingles")).cast("long").as("sz"))
+    }
     val inter = posts.as("a")
       .join(posts.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

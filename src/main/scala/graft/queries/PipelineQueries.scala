@@ -107,9 +107,10 @@ object PipelineQueries {
 
     // ---- p18: Jaccard pairs WITH the hot-shingle skew cap engaged — the
     // guard that bounds candidate blowup at 100 TB (a shingle shared by 1M
-    // docs is 10^12 pairs on one reducer). Oracle drops the same shingles,
-    // keeps FULL set sizes in the union (cap only prunes the inverted
-    // index), so results hash-match exactly. ------------------------------
+    // docs is 10^12 pairs on one reducer). Oracle mirrors the capped
+    // universe exactly: sizes come from the CAPPED postings too, so the
+    // score is the true jaccard of the pruned sets (not a biased
+    // underestimate), and results hash-match. -----------------------------
     QueryDef("p18_jaccard_capped",
       (s, d) => Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
         n = 3, minJaccard = 0.2, maxDocFreq = Some(3L)).orderBy("id_a", "id_b"),
@@ -122,7 +123,8 @@ object PipelineQueries {
         posts0 AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
         hot AS (SELECT sh FROM posts0 GROUP BY sh HAVING COUNT(*) > 3),
         posts AS (SELECT * FROM posts0 WHERE sh NOT IN (SELECT sh FROM hot)),
-        sizes AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS sz FROM sets),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM posts GROUP BY doc_id),
         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
           FROM posts a JOIN posts b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY 1, 2)

@@ -119,8 +119,11 @@ object DeltaShare {
     * never implemented it — README.md:166; we deliver the queryable-name
     * semantics it planned): registers one temp view per shared table,
     * named `<prefix><share>_<schema>_<table>`. Returns the view names.
-    * Listing is driver-side REST (bounded metadata); data stays lazy —
-    * presigned-file claims happen only when a view is actually queried. */
+    * EAGER, like the reference scan's InitGlobal: each table's file list is
+    * claimed (and presigned https files fetched) at attach time — presigned
+    * URLs expire, so deferring the claim to first query would hand the view
+    * dead links. Attach selectively (or use [[read]] directly) when a share
+    * holds many large tables. */
   def attach(spark: SparkSession, profile: DeltaShareProfile,
              prefix: String = ""): Seq[String] = {
     val client = new DeltaShareClient(profile)
@@ -138,7 +141,13 @@ object DeltaShare {
   /** Read a shared table. `file://` URLs go straight to the Parquet source;
     * presigned http(s) URLs are downloaded executor-side in parallel (one
     * task per file — the distributed analog of the reference's thread-per-
-    * file claim loop) into `downloadDir`, then read locally. */
+    * file claim loop) into `downloadDir`, then read from there.
+    *
+    * `downloadDir` is resolved through Hadoop's FileSystem, so on a real
+    * cluster it MUST be shared storage every node can reach (`s3a://`,
+    * `hdfs://`, a mounted NFS path); a driver-local temp default would be
+    * invisible to executors, so it is only applied under `local[*]` masters
+    * and any other deployment without an explicit dir fails fast. */
   def read(spark: SparkSession, profile: DeltaShareProfile,
            share: String, schema: String, table: String,
            downloadDir: Option[String] = None): DataFrame = {
@@ -149,20 +158,26 @@ object DeltaShare {
     val paths: Seq[String] =
       if (files.forall(_.url.startsWith("file:"))) files.map(_.url)
       else {
-        val dir = downloadDir.getOrElse(
-          Files.createTempDirectory("delta-share").toString)
-        Files.createDirectories(Paths.get(dir))
+        val dir = downloadDir.getOrElse {
+          require(spark.sparkContext.isLocal,
+            "delta-share presigned files need downloadDir on SHARED storage " +
+              "(s3a://, hdfs://, mounted path) when not running a local master " +
+              "— a driver-local temp dir is invisible to executors")
+          Files.createTempDirectory("delta-share").toUri.toString
+        }
         val bearer = profile.bearerToken
         spark.sparkContext.parallelize(files.map(f => (f.url, f.id)), files.size)
           .map { case (url, id) =>
             // executor-side: rebuild the client (never serialized), stream to
-            // the shared download dir; id-keyed name dedupes re-reads
-            val target = Paths.get(dir, s"$id.parquet")
-            if (!Files.exists(target)) {
+            // the shared download dir via Hadoop FS; id-keyed name dedupes
+            val target = new org.apache.hadoop.fs.Path(dir, s"$id.parquet")
+            val fs = target.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            if (!fs.exists(target)) {
               val resp = HttpCore.shared.get(url, auth = HttpAuth(bearer = bearer), useCache = false)
               if (resp.status != 200)
                 throw new RuntimeException(s"presigned GET $url -> ${resp.status}")
-              Files.write(target, resp.body)
+              val out = fs.create(target, true)
+              try out.write(resp.body) finally out.close()
             }
             target.toString
           }.collect().toSeq

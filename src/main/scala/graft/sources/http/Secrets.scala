@@ -104,9 +104,12 @@ object OAuth2 {
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(digest)
   }
 
-  def newPkceVerifier(seed: Long = System.nanoTime()): String = {
+  /** Cryptographically random verifier — PKCE's interception protection (and
+    * the CSRF `state` built from the same generator) is void if the value is
+    * predictable, so this is SecureRandom, never a seeded PRNG. */
+  def newPkceVerifier(): String = {
     val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
-    val rnd = new scala.util.Random(seed)
+    val rnd = new java.security.SecureRandom()
     (1 to 64).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
   }
 

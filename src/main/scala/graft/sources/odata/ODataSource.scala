@@ -226,20 +226,24 @@ class ODataTable(conf: ODataConf, schema: StructType) extends Table
     compiled.expr.foreach(e => u = u.mergeFilter(e))
     if (meta.version == 2) u = u.withParam("$format", "json")
     val http = graft.sources.http.HttpCore.shared
+    // collect ALL matching keys BEFORE deleting anything: interleaving
+    // deletes with a $skip-paged walk shifts the remaining rows under the
+    // pagination and silently skips ~half the matches. Keys only — bounded.
+    val keys = Seq.newBuilder[String]
     var next: Option[String] = Some(u.render)
     while (next.isDefined) {
       val resp = http.get(next.get, auth = conf.auth, useCache = false)
       if (resp.status != 200)
         throw new RuntimeException(s"delete key fetch -> HTTP ${resp.status}")
       val page = ODataJson.extractPage(ODataJson.parse(resp.text))
-      page.rows.foreach { row =>
-        val kv = row.get(key).asText
-        val lit = if (keyIsString) s"'${kv.replace("'", "''")}'" else kv
-        val del = http.request("DELETE", s"${meta.entitySetUrl}($lit)", None, auth = conf.auth)
-        if (del.status >= 300)
-          throw new RuntimeException(s"DELETE ($lit) -> HTTP ${del.status}")
-      }
+      page.rows.foreach(row => keys += row.get(key).asText)
       next = page.nextLink
+    }
+    keys.result().foreach { kv =>
+      val lit = if (keyIsString) s"'${kv.replace("'", "''")}'" else kv
+      val del = http.request("DELETE", s"${meta.entitySetUrl}($lit)", None, auth = conf.auth)
+      if (del.status >= 300)
+        throw new RuntimeException(s"DELETE ($lit) -> HTTP ${del.status}")
     }
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -432,7 +436,8 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
 
   /** Build the request URL exactly like the reference's
     * UpdateUrlFromPredicatePushdown (SURVEY §3.1 step 3). */
-  private def buildUrl(skipOverride: Option[Long], topOverride: Option[Long]): String = {
+  private def buildUrl(skipOverride: Option[Long], topOverride: Option[Long],
+                       orderOverride: Option[String] = None): String = {
     var u = ODataUrl.parse(conf.url.replace(ODataUrl.parse(conf.url).base,
       meta.entitySetUrl))
     filterExpr.foreach(e => u = u.mergeFilter(e))
@@ -459,7 +464,7 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
       val s = conf.skip.getOrElse(0L) + offset.map(_.toLong).getOrElse(0L)
       if (s > 0) Some(s) else None
     }
-    orderBy.foreach(o => u = u.withParam("$orderby", o))
+    orderBy.orElse(orderOverride).foreach(o => u = u.withParam("$orderby", o))
     effTop.foreach(t => u = u.withParam("$top", t.toString))
     effSkip.foreach(sk => u = u.withParam("$skip", sk.toString))
     conf.pageSize.foreach(_ => ()) // page size rides the Prefer header, not the URL
@@ -472,8 +477,18 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
       Array(ODataInputPartition(buildUrl(None, None), 0))
     } else {
       // Beyond-reference parallel scan: probe $count, then $skip/$top ranges.
-      countRows() match {
-        case Some(total) if total > 0 =>
+      // OData guarantees NO stable ordering across independent requests, so
+      // the ranges are pinned with $orderby on the entity key(s) — without
+      // it, partitions taken from differently-ordered result sets silently
+      // duplicate and drop rows. No key metadata (fixed-schema mode) -> the
+      // ranges cannot be pinned -> serial scan.
+      val keyOrder: Option[String] =
+        if (conf.schemaDdl.isDefined) None
+        else meta.model.entitySets.find(_.name == meta.setName)
+          .flatMap(es => meta.model.entityTypes.get(es.entityTypeName.split('.').last))
+          .map(_.keys).filter(_.nonEmpty).map(_.mkString(","))
+      (countRows(), keyOrder) match {
+        case (Some(total), Some(ord)) if total > 0 =>
           // at least partitionRows rows per range; cap at `parallelism`
           val nParts = math.min(conf.parallelism.toLong,
             math.max(1L, (total + conf.partitionRows - 1) / conf.partitionRows)).toInt
@@ -481,7 +496,7 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
           (0 until nParts).map { i =>
             val skipBase = conf.skip.getOrElse(0L) + offset.map(_.toLong).getOrElse(0L)
             ODataInputPartition(
-              buildUrl(Some(skipBase + i * per), Some(per)), i)
+              buildUrl(Some(skipBase + i * per), Some(per), Some(ord)), i)
           }.toArray
         case _ => Array(ODataInputPartition(buildUrl(None, None), 0))
       }

@@ -174,7 +174,7 @@ object Excel {
     rows.grouped(chunk).foreach { g =>
       val body = g.map(_.map {
         case null => "null"
-        case s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case s => graft.writes.JsonEncode.str(s)
       }.mkString("[", ",", "]")).mkString("""{"values":[""", ",", "]}")
       val resp = HttpCore.shared.request("POST",
         s"$itemUrl/workbook/tables/$table/rows/add",

@@ -342,16 +342,11 @@ object Graph {
       .drop("response")
   }
 
-  private def rowJson(r: Row, cols: Seq[String]): String =
-    cols.map { c =>
-      val v = r.getAs[Any](c) match {
-        case null => "null"
-        case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-        case b: Boolean => b.toString
-        case other => other.toString
-      }
-      s""""$c":$v"""
-    }.mkString("{", ",", "}")
+  private def rowJson(r: Row, cols: Seq[String]): String = {
+    import graft.writes.JsonEncode
+    cols.map(c => s"${JsonEncode.str(c)}:${JsonEncode.anyValue(r.getAs[Any](c))}")
+      .mkString("{", ",", "}")
+  }
 
   // ---- Outlook — graph_outlook_functions.cpp -------------------------------
 
@@ -540,7 +535,7 @@ object Graph {
     RestWrites.mapHttp(df, "POST", _ => url, Some { r =>
       val parts = Seq.newBuilder[String]
       parts += s""""planId":"${r.getAs[String]("plan_id")}""""
-      parts += s""""title":"${r.getAs[String]("title").replace("\"", "\\\"")}""""
+      parts += s""""title":${graft.writes.JsonEncode.str(r.getAs[String]("title"))}"""
       if (hasBucket && r.getAs[String]("bucket_id") != null)
         parts += s""""bucketId":"${r.getAs[String]("bucket_id")}""""
       if (hasDue && r.getAs[String]("due_date") != null)

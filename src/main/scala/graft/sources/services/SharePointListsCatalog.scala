@@ -185,19 +185,10 @@ private object SharePointJson {
   /** Field columns of a row as a JSON object, skipping the `id` system
     * column (item ids are server-assigned; PATCHing them is rejected). */
   def fieldsJson(row: InternalRow, schema: StructType): String = {
+    import graft.writes.JsonEncode
     val fields = schema.fields.zipWithIndex.filterNot(_._1.name == "id")
     fields.map { case (f, i) =>
-      val v =
-        if (row.isNullAt(i)) "null"
-        else f.dataType match {
-          case StringType =>
-            "\"" + row.getUTF8String(i).toString
-              .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-          case org.apache.spark.sql.types.TimestampType =>
-            "\"" + java.time.Instant.ofEpochSecond(0, row.getLong(i) * 1000L).toString + "\""
-          case _ => String.valueOf(row.get(i, f.dataType))
-        }
-      s""""${f.name}":$v"""
+      s"${JsonEncode.str(f.name)}:${JsonEncode.value(row, i, f.dataType)}"
     }.mkString("{", ",", "}")
   }
 }

@@ -31,41 +31,60 @@ object StreamingSessions {
 
   /** Gap-based sessionization over a stream: state per user tracks the open
     * session; an event past the gap closes it and emits the finished
-    * session. ProcessingTimeTimeout flushes idle users' sessions.
+    * session, and an EVENT-TIME timeout emits the open session once the
+    * watermark passes its close point — so an idle user's final session IS
+    * delivered (a NoTimeout version would hold it forever), deterministically
+    * (event-time, not wall-clock, so the parity spec can drive it).
     *
     * Event-time caveat (documented divergence from the batch operator): a
     * micro-batch's events are processed in ts order WITHIN the batch, but
     * late events across batches follow at-least-once semantics — the batch
     * operator is the ground truth for bounded data (parity spec runs both
     * over the same input). */
-  def sessionizeStream(events: Dataset[Event], gapMicros: Long)
+  def sessionizeStream(events: Dataset[Event], gapMicros: Long,
+                       watermark: String = "10 minutes")
                       (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val tUs = e.ts.getTime * 1000L
-            if (st.sessionId == 0L) {
-              st = SessionState(1L, tUs, 1L, tUs)
-            } else if (tUs - st.lastTsMicros > gapMicros) {
-              out += SessionOut(userId, st.sessionId, st.nEvents,
-                new Timestamp(st.startMicros / 1000L), new Timestamp(st.lastTsMicros / 1000L))
-              st = SessionState(st.sessionId + 1, tUs, 1L, tUs)
-            } else {
-              st = st.copy(lastTsMicros = tUs, nEvents = st.nEvents + 1)
+          if (state.hasTimedOut) {
+            // watermark passed the open session's close point: flush it.
+            // The state becomes a TOMBSTONE (nEvents = 0) keeping the
+            // session counter — removing it would restart the user's
+            // numbering at 1 and break parity with the batch operator.
+            // State is then one small record per user ever seen, the same
+            // cardinality the batch operator's groupBy carries.
+            val st = state.get
+            state.update(st.copy(nEvents = 0L))
+            Iterator.single(SessionOut(userId, st.sessionId, st.nEvents,
+              new Timestamp(st.startMicros / 1000L), new Timestamp(st.lastTsMicros / 1000L)))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val tUs = e.ts.getTime * 1000L
+              if (st.nEvents == 0L) { // fresh user or flushed tombstone
+                st = SessionState(st.sessionId + 1, tUs, 1L, tUs)
+              } else if (tUs - st.lastTsMicros > gapMicros) {
+                out += SessionOut(userId, st.sessionId, st.nEvents,
+                  new Timestamp(st.startMicros / 1000L), new Timestamp(st.lastTsMicros / 1000L))
+                st = SessionState(st.sessionId + 1, tUs, 1L, tUs)
+              } else {
+                st = st.copy(lastTsMicros = tUs, nEvents = st.nEvents + 1)
+              }
             }
+            state.update(st)
+            // wake when the watermark passes session close (must stay above
+            // the current watermark or Spark rejects the timestamp)
+            if (st.nEvents > 0L)
+              state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs() + 1,
+                st.lastTsMicros / 1000L + gapMicros / 1000L))
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
-
-  /** Flush helper used by tests / end-of-stream: emit the still-open session
-    * per user from the final state store contents is not directly readable;
-    * instead the batch operator covers the tail. */
 }

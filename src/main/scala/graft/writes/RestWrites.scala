@@ -92,20 +92,11 @@ class RestItemsWriterFactory(schema: StructType, url: String,
 
 object RestWrites {
 
-  /** InternalRow → flat JSON object (string/numeric/bool/null). */
+  /** InternalRow → flat JSON object ([[JsonEncode]]: full string escaping,
+    * ISO temporals). */
   def rowToJson(row: InternalRow, schema: StructType): String =
     schema.fields.zipWithIndex.map { case (f, i) =>
-      val v =
-        if (row.isNullAt(i)) "null"
-        else f.dataType match {
-          case StringType =>
-            "\"" + row.getUTF8String(i).toString
-              .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-          case org.apache.spark.sql.types.TimestampType =>
-            "\"" + java.time.Instant.ofEpochSecond(0, row.getLong(i) * 1000L).toString + "\""
-          case _ => String.valueOf(row.get(i, f.dataType))
-        }
-      s""""${f.name}":$v"""
+      s"${JsonEncode.str(f.name)}:${JsonEncode.value(row, i, f.dataType)}"
     }.mkString("{", ",", "}")
 
   /** Per-row mutation table function (the reference's LATERAL pattern,

@@ -199,7 +199,7 @@ class ServicesSpec extends SparkSpecBase with BeforeAndAfterAll {
     // verifier from the RFC -> expected S256 challenge
     val verifier = "dBjftJeZ4CVP-mB92K27uhbUJU1p1r_wW1gFWFOEjXk"
     assert(OAuth2.pkceChallenge(verifier) == "E9Melhoa2OwvFrEMTJguCHaoeK1t8URWbuGJSstw-cM")
-    val v = OAuth2.newPkceVerifier(42L)
+    val v = OAuth2.newPkceVerifier()
     assert(v.length == 64 && v.forall(
       c => c.isLetterOrDigit || "-._~".contains(c)))
   }

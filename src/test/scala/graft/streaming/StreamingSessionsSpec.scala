@@ -30,11 +30,20 @@ class StreamingSessionsSpec extends SparkSpecBase {
     q.processAllAvailable()
     mem.addData(b2: _*)
     q.processAllAvailable()
+    // sentinels far past the watermark: the event-time timeout then flushes
+    // every still-open session (two batches — the watermark advances at
+    // batch end, timeouts fire in the NEXT batch)
+    val maxMs = events.map(_.ts.getTime).max
+    mem.addData(Event(999999L, new java.sql.Timestamp(maxMs + 86400000L), 1L))
+    q.processAllAvailable()
+    mem.addData(Event(999998L, new java.sql.Timestamp(maxMs + 2 * 86400000L), 1L))
+    q.processAllAvailable()
     q.stop()
 
     val streamed = spark.table("sess_out")
       .select("user_id", "session_id", "n_events")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 < 999000L).toSet
 
     val batch = Sessions.sessionStats(
       graft.Tables.events(spark, sf("sf0.001")),
@@ -42,12 +51,11 @@ class StreamingSessionsSpec extends SparkSpecBase {
       .select("user_id", "session_id", "n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
-    // streaming emits only CLOSED sessions; every emitted session must match
-    // the batch ground truth exactly, and most sessions should have closed
-    assert(streamed.nonEmpty)
-    assert(streamed.subsetOf(batch),
-      s"streaming emitted sessions not in batch: ${(streamed -- batch).take(5)}")
-    assert(streamed.size >= batch.size / 2, s"${streamed.size} vs batch ${batch.size}")
+    // closed sessions emit on the closing event, open ones on event-time
+    // timeout — with the watermark advanced past everything, streaming
+    // matches the batch operator EXACTLY
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
   }
 
   test("watermarked windowed aggregation runs over a stream") {
