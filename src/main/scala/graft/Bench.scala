@@ -28,7 +28,9 @@ object Bench {
     } catch { case _: Throwable => }
     // deterministic name order: map-iteration order made run-to-run totals
     // incomparable (which query paid a shared cache's materialization was
-    // effectively random)
+    // effectively random). Caches stay WARM across the run (the warmup list
+    // pre-materializes them): measured numbers are the steady state, and
+    // clearing between queries measurably increased both total and variance.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
