@@ -445,12 +445,25 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
     val expandNavs = expandSpecs.map(_.nav)
     // $select skipped when all columns requested (reference `:430-435`)
     if (schema.fieldNames.length < meta.sparkSchema.fieldNames.length) {
-      val base = schema.fieldNames.filterNot(expandNavs.contains)
-      if (base.nonEmpty) {
-        val sel: Seq[String] = if (meta.version == 2)
-          (base.toSeq ++ expandNavs).distinct // v2: expanded navs mirrored into $select
-        else base.toSeq
-        u = u.withParam("$select", sel.mkString(","))
+      conf.unwrap match {
+        case Some(wrap) =>
+          // Unwrap mode (SharePoint list items: the row is the `fields`
+          // payload): projected names are keys of the WRAPPED payload, not
+          // properties of the item itself — real Graph rejects a top-level
+          // $select of them with HTTP 400. Narrow inside the expand instead,
+          // the shape the Graph API requires: $select=id&$expand=fields($select=...)
+          u = ODataUrl(u.base,
+              u.params.filterNot(p => p._1 == "$expand" || p._1 == "expand"))
+            .withParam("$select", "id")
+            .withParam("$expand", s"$wrap($$select=${schema.fieldNames.mkString(",")})")
+        case None =>
+          val base = schema.fieldNames.filterNot(expandNavs.contains)
+          if (base.nonEmpty) {
+            val sel: Seq[String] = if (meta.version == 2)
+              (base.toSeq ++ expandNavs).distinct // v2: expanded navs mirrored into $select
+            else base.toSeq
+            u = u.withParam("$select", sel.mkString(","))
+          }
       }
     }
     // v4 nests sub-expands/options in parens; v2 takes slash paths
@@ -566,9 +579,15 @@ class ODataCountScan(conf: ODataConf, meta: ODataMeta, filterExpr: Option[String
             if (done) return false
             val auth = HttpAuth(bearer, user, password)
             val resp = HttpCore.shared.get(url, useCache = false, auth = auth)
+            // Page-walk fallback ONLY for "this server doesn't do /$count"
+            // statuses; auth/server errors rethrow directly — an expired
+            // token must not trigger an expensive full-table crawl that
+            // then fails with a less diagnostic page-walk error.
+            val countUnsupported = Set(400, 404, 405, 501)
             val n =
               if (resp.status == 200) resp.text.trim.toLong
-              else pageCount(auth) // server without /$count: count the pages
+              else if (countUnsupported(resp.status)) pageCount(auth)
+              else throw new RuntimeException(s"GET $url -> HTTP ${resp.status}")
             row = InternalRow(n)
             done = true
             true

@@ -143,6 +143,20 @@ class OdpStateStore(dir: String) {
   def deletePages(id: String, batch: Long): Unit =
     fs.delete(pageDir(id, batch), true)
 
+  /** Delete spilled pages of every batch OLDER than `keep`. The streaming
+    * tier cleans on commit; the batch reader calls this after persisting a
+    * new fetch — without it, repeated delta fetches grow the state dir
+    * without bound. Pages of `keep` itself stay: the just-returned DataFrame
+    * reads them lazily. */
+  def deletePagesBefore(id: String, keep: Long): Unit = {
+    val d = new Path(base, s"pages/$id")
+    if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+      val b = try st.getPath.getName.toLong
+              catch { case _: NumberFormatException => Long.MaxValue }
+      if (b < keep) fs.delete(st.getPath, true)
+    }
+  }
+
   /** Page-file URIs of a batch, in page order (restart re-planning). */
   def listPages(id: String, batch: Long): Seq[String] = {
     val d = pageDir(id, batch)
@@ -278,6 +292,10 @@ class OdpReader(spark: SparkSession, url: String, stateDir: String,
       res.preferenceApplied, batch))
     store.audit(subscriptionId, res.httpStatus, res.rowCount,
       token, res.newToken.orElse(token), System.currentTimeMillis() - t0)
+    // prior batches' spill is dead now that this fetch is persisted
+    // (a DataFrame returned by an EARLIER read() must be consumed before
+    // the next read() — same contract as the reference's delta fetch)
+    store.deletePagesBefore(subscriptionId, batch)
     // decode the spilled pages executor-side: the driver never materializes
     // rows — an arbitrarily large initial load streams page->file->executor
     val s = schema

@@ -50,6 +50,21 @@ class HttpCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(http.get(url).text == "hit 2") // TTL expired
   }
 
+  test("cache never crosses principals: distinct auth/headers get distinct entries") {
+    val http = new HttpCore(HttpPolicy(cacheTtlMs = 60000))
+    stub.counterHits = 0
+    val url = s"http://localhost:${stub.port}/counter"
+    val alice = HttpAuth(bearer = Some("alice-token"))
+    val bob = HttpAuth(bearer = Some("bob-token"))
+    assert(http.get(url, auth = alice).text == "hit 1")
+    // a different principal must NOT see alice's cached body
+    assert(http.get(url, auth = bob).text == "hit 2")
+    assert(http.get(url, auth = alice).text == "hit 1") // alice still cached
+    // different request headers are a different cache entry too
+    assert(http.get(url, Map("Accept" -> "text/plain"), alice).text == "hit 3")
+    assert(stub.counterHits == 3)
+  }
+
   test("basic auth header is emitted") {
     val r = HttpAuth(basicUser = Some("u"), basicPassword = Some("p"))
     assert(r.headerValue.contains("Basic dTpw"))

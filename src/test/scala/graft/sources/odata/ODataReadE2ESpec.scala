@@ -121,6 +121,29 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
       v4.requests.toString)
   }
 
+  test("COUNT(*): server without /$count (501) falls back to a page walk") {
+    v4.countStatus = 501
+    try {
+      v4.requests.clear()
+      assert(read(v4).count() == 20)
+      assert(v4.requests.exists(r => r.contains("/Customers?") && !r.contains("$count")),
+        s"expected a page-walk fallback in ${v4.requests}")
+    } finally v4.countStatus = 200
+  }
+
+  test("COUNT(*): auth failure (403) on /$count rethrows — never a page walk") {
+    v4.countStatus = 403
+    try {
+      v4.requests.clear()
+      val e = intercept[Exception](read(v4).count())
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+      assert(chain(e).exists(m => m != null && m.contains("403")), e.toString)
+      val dataReqs = v4.requests.filter(r => r.contains("/Customers?") && !r.contains("$count"))
+      assert(dataReqs.isEmpty, s"auth failure triggered a page crawl: $dataReqs")
+    } finally v4.countStatus = 200
+  }
+
   test("ORDER BY + LIMIT pushes $orderby + $top (beyond-reference TopN)") {
     v4.requests.clear()
     val df = read(v4).orderBy(col("Revenue").desc).limit(3).select("CustomerID", "Revenue")

@@ -41,6 +41,13 @@ class SharePointCatalogSpec extends SparkSpecBase with BeforeAndAfterAll {
     // the items endpoint must NOT have been sent a $filter
     assert(!stub.requests.exists(r => r.contains("/items") && r.contains("$filter")),
       stub.requests.filter(_.contains("/items")).toString)
+    // projection reaches the wire as the Graph-API shape
+    // $select=id&$expand=fields($select=...) — projected names are
+    // fields-payload keys, and real Graph 400s them in a top-level $select
+    // (the stub now emulates that rejection)
+    val itemReqs = stub.requests.filter(r => r.contains("/items?"))
+    assert(itemReqs.exists(r => r.contains("fields($select=")),
+      s"expected narrowing inside expand in $itemReqs")
   }
 
   test("INSERT INTO POSTs items with the fields wrapper") {

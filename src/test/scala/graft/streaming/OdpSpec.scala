@@ -39,6 +39,10 @@ class OdpSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(second.collect().map(_.getString(0)).toSet == Set("D1", "D2"))
     assert(reader.listSubscriptions().head.deltaToken.contains("T1"))
     assert(reader.listSubscriptions().head.status == "DELTA_FETCH")
+    // prior batches' spilled pages are cleaned once the new fetch persists
+    // (without this, repeated delta fetches grow the state dir unboundedly)
+    assert(reader.store.listPages(reader.subscriptionId, 0).isEmpty,
+      "stale batch-0 pages were not cleaned")
 
     // empty delta: zero rows, token stays
     val third = reader.read()

@@ -175,14 +175,28 @@ class GraphStub {
         }
         respond(ex, 204, "")
       case p if p == s"/v1.0/sites/$SiteId/lists/$ListId/items" =>
-        // paged: 3 per page
-        val page = q.getOrElse("__page", "0").toInt
-        val slice = listItems.slice(page * 3, (page + 1) * 3)
-        val next =
-          if (listItems.size > (page + 1) * 3)
-            Some(s"$baseUrl/sites/$SiteId/lists/$ListId/items?expand=fields&__page=${page + 1}")
-          else None
-        respond(ex, 200, vals(slice, next))
+        // real Graph rejects a top-level $select of names that aren't
+        // listItem properties (fields-payload keys must be selected INSIDE
+        // expand=fields($select=...)) — emulate that so the source's
+        // projection pushdown is validated end-to-end, not masked
+        val itemProps = Set("id", "webUrl", "fields", "eTag", "contentType",
+          "createdDateTime", "lastModifiedDateTime")
+        val badSelect = q.get("$select").toSeq.flatMap(_.split(','))
+          .map(_.trim).filterNot(itemProps.contains)
+        if (badSelect.nonEmpty)
+          respond(ex, 400,
+            s"""{"error":{"code":"invalidRequest","message":"Property '${badSelect.head}' does not exist"}}""",
+            400)
+        else {
+          // paged: 3 per page
+          val page = q.getOrElse("__page", "0").toInt
+          val slice = listItems.slice(page * 3, (page + 1) * 3)
+          val next =
+            if (listItems.size > (page + 1) * 3)
+              Some(s"$baseUrl/sites/$SiteId/lists/$ListId/items?expand=fields&__page=${page + 1}")
+            else None
+          respond(ex, 200, vals(slice, next))
+        }
 
       // ---- Outlook (/me and /users/{id}) ----
       case OutlookPath(seg, "calendars") =>

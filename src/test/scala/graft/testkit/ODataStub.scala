@@ -51,6 +51,10 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
   /** Raw bodies POSTed to /token. */
   val tokenRequests = mutable.ListBuffer[String]()
 
+  /** When != 200, /$count endpoints answer with this status (e.g. 501 = a
+    * server without $count support; 403 = auth failure on the probe). */
+  var countStatus: Int = 200
+
   val patchedKeys = mutable.ListBuffer[(String, String)]() // (key, body)
   val flakyCounts = mutable.Map[String, Int]()
   var counterHits = 0
@@ -148,8 +152,11 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
       case "/svc/$metadata" =>
         respond(ex, 200, "application/xml", metadataXml)
       case "/svc/Customers/$count" =>
-        val filtered = applyFilter(rows, q.get("$filter"))
-        respond(ex, 200, "text/plain", filtered.size.toString)
+        if (countStatus != 200) respond(ex, countStatus, "text/plain", "count disabled")
+        else {
+          val filtered = applyFilter(rows, q.get("$filter"))
+          respond(ex, 200, "text/plain", filtered.size.toString)
+        }
       case p if p.startsWith("/svc/Customers(") && ex.getRequestMethod == "PATCH" =>
         val key = p.stripPrefix("/svc/Customers(").stripSuffix(")")
           .stripPrefix("'").stripSuffix("'")
@@ -250,7 +257,8 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
             |{"LogicalName":"new_widget","SchemaName":"new_Widget","EntitySetName":"new_widgets","PrimaryIdAttribute":"new_widgetid","IsCustomEntity":true}]}"""
             .stripMargin.replace("\n", ""))
       case p if p.endsWith("/Customers/$count") =>
-        respond(ex, 200, "text/plain",
+        if (countStatus != 200) respond(ex, countStatus, "text/plain", "count disabled")
+        else respond(ex, 200, "text/plain",
           applyFilter(rows, q.get("$filter")).size.toString)
       case _ => respond(ex, 404, "text/plain", s"not found: $path")
     }
