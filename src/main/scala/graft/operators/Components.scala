@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the clustering step
+  * a production dedup pipeline needs AFTER pair generation: near-dup pairs
+  * (p04/p05/p06/p19) are edges, and a duplicate CLUSTER is a connected
+  * component (A~B, B~C ⇒ {A,B,C} even when A≁C directly). The reference has
+  * no graph operator at all; this is part of the beyond-reference
+  * training-data tier (SURVEY.md §7.5).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — each round is
+  * two key-shuffles (groupBy the edge endpoint) and the edge set converges
+  * to stars centered at each component's minimum id in O(log n) rounds.
+  * That is the 100 TB shape: no driver-side graph, no O(diameter)
+  * label-propagation rounds, per-round cost bounded by the (shrinking) edge
+  * list. Lineage is cut with `localCheckpoint` each round — an iterative
+  * DataFrame loop otherwise compounds the plan until planning dominates.
+  */
+object Components {
+
+  /** (id, component) for every node incident to at least one edge, where
+    * `component` is the minimum node id in the node's connected component.
+    * Nodes absent from `edges` (singletons) are the caller's to add back —
+    * see [[dedupClusters]] for the canonical coalesce pattern. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // canonical undirected edge list, self-loops dropped
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
+      .filter($"lo" =!= $"hi").distinct().localCheckpoint()
+
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: per node u over its FULL neighborhood Γ(u), connect every
+      // strictly-larger neighbor to m = min(Γ(u) ∪ {u}). Shape: the per-node
+      // min is a partial-aggregatable groupBy (map-side combine — NOT
+      // collect_list, which would materialize a hot node's whole
+      // neighborhood in one buffer) re-joined onto the neighbor list; AQE
+      // handles join skew on celebrity nodes.
+      val nbrs = e.select($"lo".as("u"), $"hi".as("v"))
+        .union(e.select($"hi".as("u"), $"lo".as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
+      val large = nbrs.join(mins, Seq("u"))
+        .filter($"v" > $"u")
+        .select($"v", least($"u", $"mn").as("m"))
+        .select(least($"v", $"m").as("lo"), greatest($"v", $"m").as("hi"))
+        .filter($"lo" =!= $"hi").distinct()
+
+      // small-star: per node u over its SMALLER neighbors Γ⁻(u) (each
+      // canonical edge contributes hi→lo), connect them AND u itself to
+      // m = min(Γ⁻(u) ∪ {u}) — same min+join shape
+      val smins = large.groupBy("hi").agg(min("lo").as("m"))
+      val small = large.join(smins, Seq("hi"))
+        .select(least($"lo", $"m").as("lo"), greatest($"lo", $"m").as("hi"))
+        .union(smins.select($"m".as("lo"), $"hi"))
+        .filter($"lo" =!= $"hi").distinct()
+        .localCheckpoint()
+
+      // fixpoint: the canonical edge set stopped changing
+      val nNew = small.count()
+      converged = nNew == e.count() && small.except(e).isEmpty
+      e = small
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+
+    // stars: every hi hangs off its component's minimum; minima map to themselves
+    e.select($"hi".as("id"), $"lo".as("component"))
+      .union(e.select($"lo".as("id"), $"lo".as("component")))
+      .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** Per-document cluster assignment: every doc mapped to its near-dup
+    * cluster (cluster id = min doc id in the component; singletons are their
+    * own cluster), with the cluster size alongside — the standard "pick one
+    * survivor per cluster / weight by cluster size" dedup input. */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val assigned = docs.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+    val sizes = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+  }
+}

@@ -27,6 +27,41 @@ object PipelineQueries {
   private def normSql(v: String) =
     s"sqrt(list_reduce(list_transform(range(1, len($v)+1), i -> $v[i]*$v[i]), (x,y) -> x+y))"
 
+  /** MinHash-LSH near-dup pair generation (the p05 pipeline) as a reusable
+    * CTE chain ending in `pairs(id_a, id_b, inter, uni, jaccard)` — kept in
+    * lockstep with [[Dedup.minhashLshPairs]] (md5-derived fingerprints,
+    * 64-hash universal family, 16 bands x 4 rows, exact-jaccard verify). */
+  private val MinhashPairsCte = s"""t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+        sets AS (SELECT doc_id,
+            list_distinct(list_transform(range(0, len(tk)-2),
+              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shs
+          FROM t WHERE len(tk) >= 3),
+        posts AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
+        fps AS (SELECT doc_id,
+            ('0x' || substring(md5(sh), 1, 15))::BIGINT % 2147483648 AS f
+          FROM posts),
+        comp AS (SELECT doc_id, i,
+            MIN((((2654435769 * (2*i + 1)) % 2147483645 + 1) * f
+                 + ((3266489917 * (i + 1)) % 2147483647)) % 2147483647) AS h
+          FROM fps CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
+        sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM comp GROUP BY doc_id),
+        bands AS (SELECT doc_id, b AS band,
+            array_to_string(sig[b*4 + 1 : b*4 + 4], ',') AS bh
+          FROM sigs CROSS JOIN range(16) rb(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        verified AS (SELECT id_a, id_b,
+            CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS inter,
+            CAST(len(sa.shs) AS BIGINT) + CAST(len(sb.shs) AS BIGINT)
+              - CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS uni
+          FROM cand
+          JOIN sets sa ON id_a = sa.doc_id
+          JOIN sets sb ON id_b = sb.doc_id),
+        pairs AS (SELECT id_a, id_b, inter, uni, jaccard FROM (
+            SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM verified)
+          WHERE jaccard >= 0.5)"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- p01: exact dedup groups by content fingerprint --------------------
@@ -145,36 +180,38 @@ object PipelineQueries {
       (s, d) => Dedup.minhashLshPairs(T.documents(s, d), "doc_id", "text",
         n = 3, minJaccard = 0.5).orderBy("id_a", "id_b"),
       Some(s"""
-        WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
-        sets AS (SELECT doc_id,
-            list_distinct(list_transform(range(0, len(tk)-2),
-              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shs
-          FROM t WHERE len(tk) >= 3),
-        posts AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
-        fps AS (SELECT doc_id,
-            ('0x' || substring(md5(sh), 1, 15))::BIGINT % 2147483648 AS f
-          FROM posts),
-        comp AS (SELECT doc_id, i,
-            MIN((((2654435769 * (2*i + 1)) % 2147483645 + 1) * f
-                 + ((3266489917 * (i + 1)) % 2147483647)) % 2147483647) AS h
-          FROM fps CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
-        sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM comp GROUP BY doc_id),
-        bands AS (SELECT doc_id, b AS band,
-            array_to_string(sig[b*4 + 1 : b*4 + 4], ',') AS bh
-          FROM sigs CROSS JOIN range(16) rb(b)),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        verified AS (SELECT id_a, id_b,
-            CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS inter,
-            CAST(len(sa.shs) AS BIGINT) + CAST(len(sb.shs) AS BIGINT)
-              - CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS uni
-          FROM cand
-          JOIN sets sa ON id_a = sa.doc_id
-          JOIN sets sb ON id_b = sb.doc_id)
-        SELECT id_a, id_b, inter, uni, jaccard FROM (
-          SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM verified)
-        WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
+        WITH $MinhashPairsCte
+        SELECT id_a, id_b, inter, uni, jaccard FROM pairs
+        ORDER BY id_a, id_b""")),
+
+    // ---- p24: near-dup CLUSTERS — pairs are edges, a duplicate cluster is
+    // a connected component (A~B, B~C => {A,B,C} even when A!~C directly).
+    // Spark side: alternating large-star/small-star (O(log n) key-shuffle
+    // rounds — the 100 TB shape; Components.scala). Oracle: the same LSH
+    // pairs + a recursive min-reachability CTE. ---------------------------
+    QueryDef("p24_dedup_clusters",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, minJaccard = 0.5)
+        Components.dedupClusters(docs, "doc_id", pairs).orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $MinhashPairsCte,
+        sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(v, x) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
+          UNION
+          SELECT r.v, s.v FROM reach r JOIN sym s ON r.x = s.u),
+        cc AS (SELECT v AS doc_id, MIN(x) AS cluster_id FROM reach GROUP BY v),
+        assigned AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cc c USING (doc_id)),
+        csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM assigned GROUP BY 1)
+        SELECT doc_id, cluster_id, cluster_size
+        FROM assigned JOIN csizes USING (cluster_id)
+        ORDER BY doc_id""")),
 
     // ---- p06: SimHash near-dup pairs. Oracle mirrors the 60-bit md5
     // fingerprints (mdHash60), the ±1 bit votes of SimHashAgg, sign packing,

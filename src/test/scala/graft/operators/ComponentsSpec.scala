@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Connected components (large-star/small-star) vs a driver-side union-find
+  * ground truth — fixed topologies that stress the alternation (chains force
+  * many hops, stars finish immediately) plus seeded random graphs. */
+class ComponentsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n.toLong.toInt)(_.toLong)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r.toInt) != r) r = parent(r.toInt)
+      var c = x
+      while (parent(c.toInt) != c) { val nx = parent(c.toInt); parent(c.toInt) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb).toInt) = math.min(ra, rb)
+    }
+    // canonical label = min id in component = root under min-merging
+    (0L until n).map(v => v -> find(v)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, cycle, star, and disjoint cliques resolve to min-id components") {
+    // one 8-node chain (worst case for naive propagation), a 5-cycle,
+    // a star centered high (20 -> 21..24), two triangles
+    val edges = Seq[(Long, Long)](
+      (0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), // chain
+      (10, 11), (11, 12), (12, 13), (13, 14), (14, 10),       // cycle
+      (24, 21), (24, 22), (24, 23), (24, 20),                 // star, hub=24
+      (30, 31), (31, 32), (32, 30), (40, 41), (41, 42), (42, 40))
+    val got = run(edges)
+    assert((0L to 7L).forall(got(_) == 0L))
+    assert((10L to 14L).forall(got(_) == 10L))
+    assert((20L to 24L).forall(got(_) == 20L))
+    assert((30L to 32L).forall(got(_) == 30L))
+    assert((40L to 42L).forall(got(_) == 40L))
+    // only nodes incident to an edge appear
+    assert(got.keySet == edges.flatMap(e => Seq(e._1, e._2)).toSet)
+  }
+
+  test("self-loops and duplicate/reversed edges are harmless") {
+    val got = run(Seq[(Long, Long)]((1, 1), (2, 3), (3, 2), (2, 3), (4, 4)))
+    assert(got == Map(2L -> 2L, 3L -> 2L))
+  }
+
+  test("random graphs match union-find") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val truth = unionFind(n, edges)
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val got = run(edges)
+      assert(got == truth.filter(kv => touched.contains(kv._1)),
+        s"trial $trial mismatch")
+    }
+  }
+
+  test("dedupClusters assigns singletons to themselves and sizes clusters") {
+    val docs = (0L to 9L).toDF("doc_id")
+    val pairs = Seq[(Long, Long)]((1, 3), (3, 5), (7, 8)).toDF("id_a", "id_b")
+    val out = Components.dedupClusters(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (0L, 0L, 1L), (1L, 1L, 3L), (3L, 1L, 3L), (5L, 1L, 3L),
+      (2L, 2L, 1L), (4L, 4L, 1L), (6L, 6L, 1L),
+      (7L, 7L, 2L), (8L, 7L, 2L), (9L, 9L, 1L)))
+  }
+}
