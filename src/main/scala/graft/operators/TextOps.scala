@@ -83,6 +83,53 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  // ---- Gopher-style repetition statistics --------------------------------
+  // (Rae et al. 2021 §A1.1 filter family: excessive duplicate/dominant
+  // n-grams mark low-quality or boilerplate documents.) All MAP-ONLY: the
+  // top n-gram multiplicity is the longest equal run in the SORTED gram
+  // array (equal values are adjacent after sorting), an O(n log n) per-row
+  // fold — no explode, no per-doc groupBy shuffle. At 100 TB these run in
+  // the same codegen stage as the scan.
+
+  /** Fraction of tokens that are repeats of an earlier token. */
+  def dupTokenFrac(toksIn: Column): Column = bindOnce(toksIn) { t =>
+    (size(t) - size(array_distinct(t))).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Longest run of equal values in the sorted array = the maximum
+    * multiplicity of any element. Empty array → 0. */
+  def maxMultiplicity(arrIn: Column): Column = bindOnce(array_sort(arrIn)) { a =>
+    aggregate(a,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  /** Count of the most frequent token / token count. */
+  def topTokenFrac(toksIn: Column): Column = bindOnce(toksIn) { t =>
+    maxMultiplicity(t).cast("double") / greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Word 2-grams WITH multiplicity (no distinct — counts matter here). */
+  def wordBigrams(toksIn: Column): Column = bindOnce(toksIn) { t =>
+    when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Count of the most frequent word 2-gram / 2-gram count. */
+  def top2gramFrac(toksIn: Column): Column = bindOnce(toksIn) { t =>
+    maxMultiplicity(wordBigrams(t)).cast("double") /
+      greatest(size(t) - 1, lit(1)).cast("double")
+  }
+
   /** Modulus for rolling hashes: prime < 2^50 so `acc*31 + c` stays far from
     * Long overflow (ANSI mode would throw on wrap). Mirrored in oracle SQL. */
   val RollingHashMod = 1000000000000037L

@@ -690,6 +690,85 @@ object PipelineQueries {
             AS total_frame_bytes,
           CAST(CASE WHEN nf > 0 THEN LEAST(olen, fr) ELSE NULL END AS BIGINT)
             AS first_frame_bytes
-        FROM f ORDER BY doc_id"""))
+        FROM f ORDER BY doc_id""")),
+
+    // ---- p25: Gopher-style repetition filters. Spark side is MAP-ONLY
+    // (top-multiplicity = longest equal run in the sorted gram array — an
+    // O(n log n) per-row fold, no explode/groupBy); oracle computes the same
+    // values the relational way (unnest + count + max). -------------------
+    QueryDef("p25_repetition",
+      (s, d) => T.documents(s, d).select(
+        col("doc_id"),
+        TextOps.dupTokenFrac(TextOps.tokens(col("text"))).as("dup_token_frac"),
+        TextOps.topTokenFrac(TextOps.tokens(col("text"))).as("top_token_frac"),
+        TextOps.top2gramFrac(TextOps.tokens(col("text"))).as("top_2gram_frac"))
+        .withColumn("repetitive",
+          col("dup_token_frac") > 0.3 || col("top_2gram_frac") > 0.18)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+        toks AS (SELECT doc_id, unnest(tk) AS w FROM t),
+        wcnt AS (SELECT doc_id, MAX(c) AS topw FROM
+          (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2) GROUP BY 1),
+        g AS (SELECT doc_id,
+            list_transform(range(0, len(tk)-1), i -> tk[i+1] || ' ' || tk[i+2]) AS gs
+          FROM t WHERE len(tk) >= 2),
+        grams AS (SELECT doc_id, unnest(gs) AS gm FROM g),
+        gcnt AS (SELECT doc_id, MAX(c) AS topg FROM
+          (SELECT doc_id, gm, COUNT(*) AS c FROM grams GROUP BY 1, 2) GROUP BY 1)
+        SELECT t.doc_id,
+          CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE)
+            / CAST(greatest(len(tk), 1) AS DOUBLE) AS dup_token_frac,
+          CAST(COALESCE(topw, 0) AS DOUBLE)
+            / CAST(greatest(len(tk), 1) AS DOUBLE) AS top_token_frac,
+          CAST(COALESCE(topg, 0) AS DOUBLE)
+            / CAST(greatest(len(tk) - 1, 1) AS DOUBLE) AS top_2gram_frac,
+          (CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE)
+             / CAST(greatest(len(tk), 1) AS DOUBLE) > 0.3)
+          OR (CAST(COALESCE(topg, 0) AS DOUBLE)
+             / CAST(greatest(len(tk) - 1, 1) AS DOUBLE) > 0.18) AS repetitive
+        FROM t
+        LEFT JOIN wcnt ON t.doc_id = wcnt.doc_id
+        LEFT JOIN gcnt ON t.doc_id = gcnt.doc_id
+        ORDER BY t.doc_id""")),
+
+    // ---- p26: PII detect + redact. The synthetic corpus carries no PII, so
+    // the query deterministically plants one email/IP/phone per doc from
+    // doc_id (identically in both engines), then counts and redacts.
+    // Patterns live in the Java∩RE2 regex subset; DuckDB regexp_replace
+    // needs the 'g' flag to match Spark's replace-all. ---------------------
+    QueryDef("p26_pii_redact",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+          concat_ws(" ", col("text"),
+            concat(lit("contact user"), col("doc_id"), lit("@example.com")),
+            concat(lit("host 10.1."), pmod(col("doc_id"), lit(250)), lit(".7")),
+            concat(lit("tel +49 555 "),
+              lpad(pmod(col("doc_id"), lit(100)).cast("string"), 4, "0")))
+            .as("text"))
+        .select(col("doc_id"),
+          Pii.emailCount(col("text")).cast("long").as("n_emails"),
+          Pii.ipv4Count(col("text")).cast("long").as("n_ips"),
+          Pii.phoneCount(col("text")).cast("long").as("n_phones"),
+          Pii.redact(col("text")).as("redacted"))
+        .orderBy("doc_id"),
+      Some("""
+        WITH w AS (SELECT doc_id,
+            concat_ws(' ', text,
+              'contact user' || doc_id || '@example.com',
+              'host 10.1.' || (doc_id % 250) || '.7',
+              'tel +49 555 ' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0')) AS text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+          CAST(len(regexp_extract_all(text,
+            '\+\d{1,3}[ -]\d{3}[ -]\d{4}')) AS BIGINT) AS n_phones,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\+\d{1,3}[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g') AS redacted
+        FROM w ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Hand-computed oracles for the repetition statistics and PII redaction. */
+class TextExtrasSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("repetition stats on crafted docs") {
+    val df = Seq(
+      (1L, "a b c d"),            // no repeats
+      (2L, "a a a b"),            // "a" x3 of 4 tokens; bigram "a a" x2 of 3
+      (3L, "x y x y x y"),        // "x" 3/6; bigrams: "x y" x3, "y x" x2 -> 3/5
+      (4L, "solo"),               // 1 token, 0 bigrams
+      (5L, "")                    // empty text -> [""] after split
+    ).toDF("id", "text")
+    val out = df.select($"id",
+        TextOps.dupTokenFrac(TextOps.tokens($"text")).as("dup"),
+        TextOps.topTokenFrac(TextOps.tokens($"text")).as("topw"),
+        TextOps.top2gramFrac(TextOps.tokens($"text")).as("topg"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == (0.0, 0.25, 1.0 / 3))   // all bigrams distinct: top=1 of 3
+    assert(out(2L) == (0.5, 0.75, 2.0 / 3))
+    assert(out(3L) == (2.0 / 3, 0.5, 0.6))
+    assert(out(4L) == (0.0, 1.0, 0.0))
+    assert(out(5L) == (0.0, 1.0, 0.0))
+  }
+
+  test("maxMultiplicity is the max element count, empty array is 0") {
+    val df = Seq(
+      (1L, Seq("b", "a", "b", "c", "b")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("z"))
+    ).toDF("id", "arr")
+    val out = df.select($"id", TextOps.maxMultiplicity($"arr").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("PII counts and redaction") {
+    val text = "mail bob.smith+x@corp.example.org and carol@ex.io from 10.0.0.1 " +
+      "call +1 555 0100 or +49-555-0101 port 999.999.999.999"
+    val df = Seq((1L, text)).toDF("id", "text")
+    val r = df.select(
+      Pii.emailCount($"text").as("e"), Pii.ipv4Count($"text").as("i"),
+      Pii.phoneCount($"text").as("p"), Pii.redact($"text").as("red")).head()
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) == 2) // the regex is a format matcher, not a validator: 999.* matches
+    assert(r.getInt(2) == 2)
+    assert(r.getString(3) ==
+      "mail <EMAIL> and <EMAIL> from <IP> call <PHONE> or <PHONE> port <IP>")
+  }
+
+  test("clean text is untouched by redaction") {
+    val df = Seq((1L, "no pii here just words")).toDF("id", "text")
+    assert(df.select(Pii.redact($"text")).head().getString(0) ==
+      "no pii here just words")
+  }
+}
