@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming exact deduplication — the streaming twin of
   * `graft.operators.Dedup.dedupExact` (same md5 content fingerprint), for
@@ -74,6 +76,115 @@ object StreamingDedup {
     // docs too short to shingle can't near-dup — the batch twin keeps them
     // (they produce no pairs and survive the anti join), so the stream does
     // too: a stateless map-only branch, emitted immediately
+    val short = toked.filter(size(col("toks")) < n)
+      .select(col(idCol), window(col(tsCol), windowDur).getField("start").as("w_start"))
+    voted.unionByName(short)
+  }
+
+  /** One LSH-band row headed into the verify state: the doc's id, event
+    * time, bucket key, and its full shingle-fingerprint set. */
+  final case class BandRow(id: Long, ts: Timestamp, band: Int, bh: String,
+                           fps: Array[Long])
+  /** Bucket state: the first claimant and its fingerprints (bounded: one
+    * doc's shingle set per live bucket, aged out by event-time timeout). */
+  final case class BucketState(ownerId: Long, ownerTsMs: Long, fps: Array[Long])
+  final case class VerifyOut(id: Long, ts: Timestamp, is_dup: Boolean)
+
+  /** Streaming near-dedup with an EXACT-VERIFY tier — precision restored to
+    * 1 within the watermark: a band collision alone no longer drops a doc;
+    * the colliding doc is compared against the bucket owner's stored
+    * shingle-fingerprint set and dropped only when true Jaccard ≥
+    * `minJaccard`. (The collision-only tier [[dedupNearStream]] trades that
+    * precision away for stateless buckets; this tier pays one doc's
+    * fingerprint set per live bucket to keep it.)
+    *
+    * Policy (deterministic, sequentially replayable — the spec's ground
+    * truth): docs process in (ts, id) order; the first arrival in a bucket
+    * owns it for the watermark lifetime regardless of its own verdict;
+    * later arrivals exact-verify against the owner; a doc is dropped iff
+    * ANY of its `bands` buckets verifies it against that bucket's owner.
+    *
+    * Scale/state design: signatures stay map-only; state is one
+    * (owner id, fingerprint set) per live (band, bucket) — `bands`× one
+    * doc's shingles per bucket, bounded by the event-time timeout that
+    * mirrors `dropDuplicatesWithinWatermark` aging; the final keep/drop
+    * vote is the same watermarked window aggregate as the collision tier
+    * (multiple stateful operators, append mode). */
+  def dedupNearStreamVerified(docs: DataFrame, tsCol: String, idCol: String,
+                              textCol: String, watermarkDelayMs: Long,
+                              minJaccard: Double = 0.5,
+                              n: Int = 3, k: Int = 64, bands: Int = 16,
+                              windowDur: String = "10 seconds")
+                             (implicit spark: SparkSession): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    import spark.implicits._
+    import graft.operators.{Dedup, TextOps}
+    val watermark = s"$watermarkDelayMs milliseconds"
+    // Spark's static chained-stateful-operator check rejects ANY aggregation
+    // downstream of flatMapGroupsWithState because it cannot infer what
+    // event times the user function emits. Ours is provably safe: every
+    // emitted row carries the INPUT row's own ts unchanged, and input rows
+    // older than the watermark were already dropped by the late-record
+    // filter — so no emission is ever late for the downstream aggregate.
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val toked = docs.withColumn("toks", TextOps.tokens(col(textCol)))
+    val sets = toked
+      .filter(size(col("toks")) >= n)
+      .withColumn("shingles", TextOps.wordShinglesFromTokens(col("toks"), n))
+      .withColumn("fps", transform(col("shingles"), Dedup.mdHash31(_)))
+      .withColumn("sig", Dedup.rowMinhashSig(col("shingles"), k))
+    val bandRows = sets.select(col(idCol).as("id"), col(tsCol).as("ts"),
+        posexplode(Dedup.bandKeys(col("sig"), k, bands)).as(Seq("band", "bh")),
+        col("fps"))
+      .withWatermark("ts", watermark)
+      .as[BandRow]
+
+    val verdicts = bandRows
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState[BucketState, VerifyOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.id))
+            var st = state.getOption
+            val out = Seq.newBuilder[VerifyOut]
+            sorted.foreach { r =>
+              st match {
+                case None =>
+                  st = Some(BucketState(r.id, r.ts.getTime, r.fps))
+                  out += VerifyOut(r.id, r.ts, is_dup = false)
+                case Some(owner) =>
+                  val a = r.fps.toSet
+                  val b = owner.fps.toSet
+                  val inter = a.intersect(b).size.toDouble
+                  val jac = inter / (a.size + b.size - inter)
+                  out += VerifyOut(r.id, r.ts, is_dup = r.id != owner.ownerId
+                    && jac >= minJaccard)
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              // expire with the same clock as dropDuplicatesWithinWatermark:
+              // when the watermark passes owner-arrival + delay (kept above
+              // the current watermark, which Spark requires)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                s.ownerTsMs + watermarkDelayMs))
+            }
+            out.result().iterator
+          }
+      }
+
+    // a doc is kept iff none of its `bands` verdicts flagged it (watermark
+    // re-declared: it does not propagate through flatMapGroupsWithState)
+    val voted = verdicts.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("id"))
+      .agg(max(when(col("is_dup"), 1).otherwise(0)).as("flagged"))
+      .filter(col("flagged") === 0)
+      .select(col("id").as(idCol), col("window.start").as("w_start"))
+
     val short = toked.filter(size(col("toks")) < n)
       .select(col(idCol), window(col(tsCol), windowDur).getField("start").as("w_start"))
     voted.unionByName(short)

@@ -110,4 +110,84 @@ class StreamingDedupSpec extends SparkSpecBase {
     // no phantom ids beyond batch-1 docs and the (novel) sentinel flushers
     assert((kept -- Set(999999L, 999998L)).subsetOf(eligible))
   }
+
+  test("verified streaming near-dedup: exact parity with a sequential replay (precision 1)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+
+    val base = 1700000000000L
+    val docsDf = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val originals = docsDf.collect()
+      .map(r => Doc(r.getLong(0), new Timestamp(base), r.getString(1)))
+      .sortBy(_.doc_id).toSeq
+    val dups = originals.take(10).map { d =>
+      val words = d.text.split(" ")
+      Doc(d.doc_id + 100000L, new Timestamp(base + 5000L),
+        words.dropRight(2).mkString(" "))
+    }
+    val fed = originals ++ dups
+
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamingDedup.dedupNearStreamVerified(mem.toDF(), "ts", "doc_id",
+      "text", watermarkDelayMs = 10000L, windowDur = "10 seconds")
+      .writeStream.format("memory").queryName("verified_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(originals: _*)
+    q.processAllAvailable()
+    mem.addData(dups: _*)
+    q.processAllAvailable()
+    mem.addData(Doc(999999L, new Timestamp(base + 120000L), "flush flush flush now"))
+    q.processAllAvailable()
+    mem.addData(Doc(999998L, new Timestamp(base + 180000L), "flush again and again"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("verified_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet -- Set(999999L, 999998L)
+
+    // ground truth: sequential replay of the exact policy over (ts, id)
+    // order — first arrival owns each bucket; later arrivals drop iff
+    // true jaccard vs the owner >= 0.5 in any bucket
+    val fedDf = fed.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val infos = Dedup.shingleSets(fedDf, "doc_id", "text", 3)
+      .withColumn("fps", transform(col("shingles"), Dedup.mdHash31(_)))
+      .withColumn("keys", Dedup.bandKeys(Dedup.rowMinhashSig(col("shingles"), 64), 64, 16))
+      .select("id", "fps", "keys").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Long](1).toSet,
+        r.getSeq[String](2).zipWithIndex.map { case (bh, b) => (b, bh) }))
+    val tsOf = fed.map(d => d.doc_id -> d.ts.getTime).toMap
+    val owners = scala.collection.mutable.Map[(Int, String), (Long, Set[Long])]()
+    val dropped = scala.collection.mutable.Set[Long]()
+    infos.sortBy { case (id, _, _) => (tsOf(id), id) }.foreach { case (id, fps, keys) =>
+      val isDup = keys.exists { k =>
+        owners.get(k).exists { case (oid, ofps) =>
+          val inter = fps.intersect(ofps).size.toDouble
+          oid != id && inter / (fps.size + ofps.size - inter) >= 0.5
+        }
+      }
+      if (isDup) dropped += id
+      keys.foreach(k => if (!owners.contains(k)) owners(k) = (id, fps))
+    }
+    val eligible = infos.map(_._1).toSet
+    val expectedKept = eligible -- dropped
+
+    assert(kept == expectedKept,
+      s"missing=${(expectedKept -- kept).take(5)} extra=${(kept -- expectedKept).take(5)}")
+    // the verify tier's reason to exist: band-colliding NON-duplicates
+    // survive (the collision-only tier would have dropped them)
+    val bandRows2 = Dedup.shingleSets(docsDf, "doc_id", "text", 3)
+      .select(col("id"), posexplode(
+        Dedup.bandKeys(Dedup.rowMinhashSig(col("shingles"), 64), 64, 16)))
+      .toDF("id", "band", "bh")
+    val contended2 = bandRows2.groupBy("band", "bh")
+      .agg(count(lit(1)).as("nc")).filter(col("nc") > 1)
+    val collidingOriginals = bandRows2.join(contended2, Seq("band", "bh"))
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val falseCollisions = collidingOriginals.intersect(expectedKept)
+    assert(falseCollisions.nonEmpty, "fixture lost its band-colliding non-dups")
+    assert(falseCollisions.subsetOf(kept))
+  }
 }
