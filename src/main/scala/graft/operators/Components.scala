@@ -38,6 +38,7 @@ object Components {
 
     var converged = false
     var it = 0
+    var eCount = e.count()
     while (!converged && it < maxIter) {
       // large-star: per node u over its FULL neighborhood Γ(u), connect every
       // strictly-larger neighbor to m = min(Γ(u) ∪ {u}). Shape: the per-node
@@ -64,10 +65,12 @@ object Components {
         .filter($"lo" =!= $"hi").distinct()
         .localCheckpoint()
 
-      // fixpoint: the canonical edge set stopped changing
+      // fixpoint: the canonical edge set stopped changing (counts carried
+      // across iterations — one action saved per round)
       val nNew = small.count()
-      converged = nNew == e.count() && small.except(e).isEmpty
+      converged = nNew == eCount && small.except(e).isEmpty
       e = small
+      eCount = nNew
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
