@@ -61,7 +61,8 @@ final case class ODataConf(
     password: Option[String] = None,
     schemaDdl: Option[String] = None,
     unwrap: Option[String] = None,
-    filterPushdown: Boolean = true) {
+    filterPushdown: Boolean = true,
+    insertBatchSize: Option[Int] = None) {
   def auth: HttpAuth = HttpAuth(bearer, user, password)
 }
 
@@ -84,7 +85,8 @@ object ODataConf {
       password = o.get("password"),
       schemaDdl = o.get("schemaddl"),
       unwrap = o.get("unwrap"),
-      filterPushdown = o.getOrElse("filterpushdown", "true").toBoolean)
+      filterPushdown = o.getOrElse("filterpushdown", "true").toBoolean,
+      insertBatchSize = o.get("insertbatchsize").map(_.toInt))
   }
 }
 
@@ -253,11 +255,19 @@ class ODataTable(conf: ODataConf, schema: StructType) extends Table
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
-          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+            val setUrl = ODataMeta.resolve(conf).entitySetUrl
+            // beyond-reference: insertBatchSize groups INSERT rows into OData
+            // JSON $batch round-trips at the service root
+            val batchOpts = conf.insertBatchSize.map { bs =>
+              Map("batchsize" -> bs.toString,
+                "batchurl" -> (setUrl.substring(0, setUrl.lastIndexOf('/')) + "/$batch"))
+            }.getOrElse(Map.empty)
             new graft.writes.RestItemsBatchWrite(info.schema(), Map(
-              "url" -> ODataMeta.resolve(conf).entitySetUrl) ++
+              "url" -> setUrl) ++ batchOpts ++
               conf.bearer.map("bearertoken" -> _) ++
               conf.user.map("user" -> _) ++ conf.password.map("password" -> _))
+          }
         }
     }
 }

@@ -57,10 +57,13 @@ class RestItemsTable(schema: StructType, options: Map[String, String])
 
 class RestItemsBatchWrite(schema: StructType, options: Map[String, String])
   extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val o = options.map { case (k, v) => k.toLowerCase -> v }
     new RestItemsWriterFactory(schema,
-      options.getOrElse("url", throw new IllegalArgumentException("rest-items needs option url")),
-      options.get("bearertoken"), options.get("user"), options.get("password"))
+      o.getOrElse("url", throw new IllegalArgumentException("rest-items needs option url")),
+      o.get("bearertoken"), o.get("user"), o.get("password"),
+      o.get("batchurl"), o.getOrElse("batchsize", "1").toInt)
+  }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -69,22 +72,52 @@ final case class RestWriteCommit(rows: Long) extends WriterCommitMessage
 
 class RestItemsWriterFactory(schema: StructType, url: String,
                              bearer: Option[String], user: Option[String],
-                             password: Option[String]) extends DataWriterFactory {
+                             password: Option[String],
+                             batchUrl: Option[String] = None,
+                             batchSize: Int = 1) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       // one client per task, rebuilt executor-side (never serialized)
       @transient private lazy val http = HttpCore.shared
       private val auth = HttpAuth(bearer, user, password)
       private var n = 0L
+      private val batched = batchSize > 1 && batchUrl.isDefined
+      private val buf = scala.collection.mutable.ArrayBuffer[String]()
 
       override def write(record: InternalRow): Unit = {
         val json = RestWrites.rowToJson(record, schema)
-        val resp = http.request("POST", url, Some((json, "application/json")), auth = auth)
-        if (resp.status >= 300)
-          throw new RuntimeException(s"POST $url -> HTTP ${resp.status}: ${resp.text.take(200)}")
+        if (batched) {
+          buf += json
+          if (buf.size >= batchSize) flush()
+        } else {
+          val resp = http.request("POST", url, Some((json, "application/json")), auth = auth)
+          if (resp.status >= 300)
+            throw new RuntimeException(s"POST $url -> HTTP ${resp.status}: ${resp.text.take(200)}")
+        }
         n += 1
       }
-      override def commit(): WriterCommitMessage = RestWriteCommit(n)
+
+      /** One `$batch` round-trip for the buffered rows; every sub-response
+        * must succeed (at-least-once on task retry, same as the per-row
+        * path — OData batches are not transactions unless changesets are
+        * used, and the services the reference targets don't support them). */
+      private def flush(): Unit = if (buf.nonEmpty) {
+        val body = ODataJsonBatch.buildPostBatch(url, buf.toSeq)
+        val bu = batchUrl.get
+        val resp = http.request("POST", bu, Some((body, "application/json")), auth = auth)
+        if (resp.status >= 300)
+          throw new RuntimeException(s"POST $bu -> HTTP ${resp.status}: ${resp.text.take(200)}")
+        val bad = ODataJsonBatch.responseStatuses(resp.text).filter(_._2 >= 300)
+        if (bad.nonEmpty)
+          throw new RuntimeException(
+            s"$$batch sub-requests failed: ${bad.take(3).mkString(", ")}")
+        buf.clear()
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (batched) flush()
+        RestWriteCommit(n)
+      }
       override def abort(): Unit = ()
       override def close(): Unit = ()
     }

@@ -92,6 +92,22 @@ class MiscSourcesSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(stub.postedItems.exists(_.contains("""O'\"quote""")))
   }
 
+  test("rest-items with batchSize sends $batch round-trips instead of per-row POSTs") {
+    import spark.implicits._
+    stub.postedItems.clear()
+    stub.batchBodies.clear()
+    val df = (1 to 10).map(i => (s"n$i", i.toLong)).toDF("name", "qty").repartition(1)
+    df.write.format("rest-items")
+      .option("url", s"http://localhost:${stub.port}/items")
+      .option("batchUrl", s"http://localhost:${stub.port}/svc/$$batch")
+      .option("batchSize", "4")
+      .mode("append").save()
+    assert(stub.postedItems.size == 10)
+    assert((1 to 10).forall(i => stub.postedItems.exists(_.contains(s""""name":"n$i""""))))
+    // one partition, 10 rows, size 4 -> exactly 3 round-trips (4+4+2)
+    assert(stub.batchBodies.size == 3, stub.batchBodies.map(_.take(60)).toString)
+  }
+
   test("mapHttp per-row mutation returns status + response per input row") {
     import spark.implicits._
     stub.postedItems.clear()

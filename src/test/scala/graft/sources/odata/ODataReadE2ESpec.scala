@@ -219,6 +219,32 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(v4.postedItems.head.contains(""""Revenue":7"""))
   }
 
+  test("INSERT with insertBatchSize groups rows into $batch round-trips") {
+    v4.postedItems.clear()
+    v4.batchBodies.clear()
+    val cat = s"bcat${v4.port}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.odata.ODataCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.url", v4.serviceUrl)
+    spark.conf.set(s"spark.sql.catalog.$cat.insertBatchSize", "4")
+    spark.sql(
+      s"""INSERT INTO $cat.main.Customers
+         |SELECT concat('B', id) AS CustomerID, 'Batch Co' AS CompanyName,
+         |       'Spain' AS Country, id AS Revenue,
+         |       TIMESTAMP '2024-01-01 00:00:00' AS Founded
+         |FROM (SELECT * FROM range(10) ORDER BY id) t
+         |""".stripMargin.replace("\n", " "))
+    // all 10 entities arrived, none as a bare per-row POST
+    assert(v4.postedItems.size == 10, v4.postedItems.toString)
+    assert((0 until 10).forall(i =>
+      v4.postedItems.exists(_.contains(s""""CustomerID":"B$i""""))))
+    assert(v4.batchBodies.nonEmpty, "no $batch round-trips recorded")
+    // every round-trip carried at most batchSize sub-requests, and the
+    // round-trip count is far below the row count
+    val sizes = v4.batchBodies.map(b => "\"method\":\"POST\"".r.findAllIn(b).size)
+    assert(sizes.sum == 10 && sizes.forall(_ <= 4), sizes.toString)
+    spark.conf.unset(s"spark.sql.catalog.$cat.insertBatchSize")
+  }
+
   test("SQL DELETE FROM a catalog entity set issues per-key DELETE calls") {
     v4.deletedKeys.clear()
     val cat = s"dcat${v4.port}"

@@ -55,6 +55,10 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
     * server without $count support; 403 = auth failure on the probe). */
   var countStatus: Int = 200
 
+  /** Raw bodies POSTed to /$batch (JSON batch round-trips). */
+  val batchBodies = mutable.ListBuffer[String]()
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   val patchedKeys = mutable.ListBuffer[(String, String)]() // (key, body)
   val flakyCounts = mutable.Map[String, Int]()
   var counterHits = 0
@@ -172,6 +176,23 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         postedItems.synchronized { postedItems += body }
         respond(ex, 201, "application/json", body)
+      case p if p.endsWith("/$batch") && ex.getRequestMethod == "POST" =>
+        // OData JSON batch: execute POST sub-requests against the item sinks
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        batchBodies.synchronized { batchBodies += body }
+        val reqs = jsonMapper.readTree(body).get("requests")
+        val resps = (0 until reqs.size).map { i =>
+          val r = reqs.get(i)
+          val id = r.get("id").asText
+          val u = r.get("url").asText.stripSuffix("/")
+          if (r.get("method").asText == "POST" &&
+              (u.endsWith("Customers") || u.endsWith("items"))) {
+            postedItems.synchronized { postedItems += r.get("body").toString }
+            s"""{"id":"$id","status":201,"body":{}}"""
+          } else s"""{"id":"$id","status":400,"body":{}}"""
+        }
+        respond(ex, 200, "application/json",
+          s"""{"responses":[${resps.mkString(",")}]}""")
       case "/svc/Customers" =>
         serveRows(ex, q)
       case "/svc/OdpCustomers" =>
