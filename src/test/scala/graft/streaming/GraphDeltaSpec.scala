@@ -85,4 +85,36 @@ class GraphDeltaSpec extends SparkSpecBase with BeforeAndAfterAll {
     val after = spark.read.parquet(out).count()
     assert(after == before + 5, s"resync should re-deliver the 5 current users, got ${after - before}")
   }
+
+  test("resource-agnostic: a mailbox (messages) CDC stream with its own token space") {
+    stub.messageDeltas.clear()
+    val ckpt = Files.createTempDirectory("gm-ckpt").toUri.toString
+    val out = Files.createTempDirectory("gm-out").toString
+    def runOnce(): Unit = {
+      val df = spark.readStream.format("graph-delta")
+        .option("url", s"${stub.baseUrl}/me/messages/delta")
+        .option("schemaDdl", "id STRING, subject STRING, isRead BOOLEAN")
+        .load()
+      val q = df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    runOnce() // initial mailbox sync
+    assert(spark.read.parquet(out).count() == 4)
+
+    stub.messageDeltas += Seq(
+      """{"id":"m5","subject":"New mail","isRead":false}""",
+      """{"id":"m1","subject":"Subject 1 (edited)","isRead":true}""")
+    runOnce() // only the delta arrives, resumed from the M-token
+    val all = spark.read.parquet(out)
+    assert(all.count() == 6)
+    assert(all.filter("subject = 'Subject 1 (edited)'").count() == 1)
+    val reqs = stub.requests.filter(_.contains("/me/messages/delta"))
+    assert(reqs.exists(_.contains("$deltatoken=M0")), reqs.mkString("\n"))
+  }
 }

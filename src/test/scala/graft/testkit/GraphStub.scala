@@ -78,6 +78,11 @@ class GraphStub {
     * objects; a `$deltatoken=Tk` request returns rounds k.. and advances. */
   val userDeltas = mutable.ListBuffer[Seq[String]]()
 
+  /** Delta rounds for /me/messages/delta (independent token space Mk). */
+  val messageDeltas = mutable.ListBuffer[Seq[String]]()
+  private def msgJson(i: Int) =
+    s"""{"id":"m$i","subject":"Subject $i","isRead":${i % 2 == 0}}"""
+
   /** When set, the next `$deltatoken` request answers 410 Gone with a
     * restart Location (the public token-expiry protocol), then clears. */
   @volatile var expireNextDelta = false
@@ -112,6 +117,26 @@ class GraphStub {
             respond(ex, 200,
               s"""{"value":[${slice.mkString(",")}],""" +
                 s""""@odata.deltaLink":"$baseUrl/users/delta?$$deltatoken=T$newTok"}""")
+        }
+
+      // ---- Graph delta protocol (me/messages/delta) — a second resource
+      // proving the graph-delta source is resource-agnostic ----
+      case "/v1.0/me/messages/delta" =>
+        q.get("$deltatoken") match {
+          case None =>
+            val consumed = messageDeltas.synchronized(messageDeltas.size)
+            respond(ex, 200,
+              s"""{"value":[${(1 to 4).map(msgJson).mkString(",")}],""" +
+                s""""@odata.deltaLink":"$baseUrl/me/messages/delta?$$deltatoken=M$consumed"}""")
+          case Some(t) =>
+            val k = t.stripPrefix("M").toInt
+            val (slice, consumed) = messageDeltas.synchronized {
+              (messageDeltas.drop(k).flatten.toSeq, messageDeltas.size)
+            }
+            val newTok = if (slice.isEmpty) k else consumed
+            respond(ex, 200,
+              s"""{"value":[${slice.mkString(",")}],""" +
+                s""""@odata.deltaLink":"$baseUrl/me/messages/delta?$$deltatoken=M$newTok"}""")
         }
 
       // ---- Entra ----
