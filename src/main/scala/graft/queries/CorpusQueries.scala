@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import graft.operators._
+import org.apache.spark.sql.functions._
+import QuerySql._
+
+/** Corpus/event/multimodal gate queries: as-of join, sessionization, media
+  * plumbing, the end-to-end clean pipeline, splits and shard packing. */
+object CorpusQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- p11: as-of join (latest signup at or before each event) -----------
+    QueryDef("p11_asof_signup",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id", "ts")
+          .agg(max(col("event_id")).as("signup_event_id"))
+          .withColumn("signup_ts", col("ts"))
+        AsofJoin.asofJoin(
+          ev.select("event_id", "user_id", "ts"), signups,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          payload = Seq("signup_event_id", "signup_ts"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH s AS (SELECT user_id, ts, MAX(event_id) AS signup_event_id
+                   FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, e.ts,
+               s.signup_event_id, s.ts AS signup_ts
+        FROM events e ASOF LEFT JOIN s
+          ON e.user_id = s.user_id AND e.ts >= s.ts
+        ORDER BY e.event_id""")),
+
+    // ---- p12: gap-based sessionization (30-min gap) ------------------------
+    QueryDef("p12_sessionize",
+      (s, d) => Sessions.sessionStats(T.events(s, d), "user_id", "ts",
+        tieBreak = "event_id", gapMicros = 1800000000L)
+        .orderBy("user_id", "session_id"),
+      Some("""
+        WITH g AS (SELECT user_id, event_id, ts,
+            CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        se AS (SELECT user_id, ts,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM g)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS t_start, MAX(ts) AS t_end
+        FROM se GROUP BY 1, 2 ORDER BY user_id, session_id""")),
+
+    // ---- p13: multimodal binary plumbing (byte length + fingerprint) -------
+    QueryDef("p13_media_bytes",
+      (s, d) => Multimodal.attachBinary(T.documents(s, d), "text", "image")
+        .select(col("doc_id"),
+          length(col("content")).cast("long").as("n_bytes"),
+          md5(col("text")).as("fp"),
+          col("meta.kind").as("kind"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS fp, 'image' AS kind
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- p14: stubbed decode + feature extraction via mapPartitions --------
+    // (rows-only: the mapPartitions path has no SQL equivalent; determinism
+    // and shape are spec-verified)
+    // Oracle re-derives the stub codec byte-for-byte: UTF-8 bytes via
+    // hex(encode(text)), the (a*31+b) % 1000003 dimension fold, integer
+    // lane-0 sum + one float32 division for the feature (see
+    // Multimodal.StubCodec — designed portable; a real codec would make this
+    // rows-only again, honestly).
+    QueryDef("p14_media_decode",
+      (s, d) => {
+        val media = Multimodal.attachBinary(
+          T.documents(s, d).select("doc_id", "text"), "text", "image")
+        val decoded = Multimodal.decodeMeta(media, "content")
+        Multimodal.extractFeatures(decoded, "content", dim = 8)
+          .select(col("doc_id"), col("decoded_width"), col("decoded_height"),
+            element_at(col("features"), 1).cast("double").as("f0"),
+            size(col("features")).as("feat_dim"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+            octet_length(encode(text)) AS olen
+          FROM documents),
+        ch AS (SELECT doc_id,
+            list_transform(range(0, olen),
+              i -> ('0x' || substring(hx, 2*i+1, 2))::BIGINT) AS bytes
+          FROM b),
+        h AS (SELECT doc_id,
+            list_reduce(list_prepend(CAST(17 AS BIGINT), bytes),
+              (a, c) -> (a*31 + c) % 1000003) AS hv,
+            COALESCE(list_sum(list_transform(range(0, len(bytes)),
+              i -> CASE WHEN i % 8 = 0 THEN bytes[i+1] ELSE 0 END)), 0) AS lane0
+          FROM ch)
+        SELECT doc_id,
+          CAST((hv % 1920) + 1 AS INT) AS decoded_width,
+          CAST(((hv // 1920) % 1080) + 1 AS INT) AS decoded_height,
+          CAST(CAST(lane0 AS FLOAT) / CAST(255.0 AS FLOAT) AS DOUBLE) AS f0,
+          CAST(8 AS INT) AS feat_dim
+        FROM h ORDER BY doc_id""")),
+
+
+    // Oracle mirrors the frame-window arithmetic on byte lengths alone:
+    // frame = max(1, len/4), min(4, len) windows, last window truncated at
+    // len — all integer, no byte content needed.
+    QueryDef("p16_media_frames",
+      (s, d) => {
+        val media = Multimodal.attachBinary(
+          T.documents(s, d).select("doc_id", "text"), "text", "video")
+        Multimodal.sampleFrames(media, "content", n = 4)
+          .select(col("doc_id"),
+            size(col("frames")).as("n_frames"),
+            aggregate(transform(col("frames"), f => length(f).cast("long")),
+              lit(0L), (a, b) => a + b).as("total_frame_bytes"),
+            length(element_at(col("frames"), 1)).cast("long").as("first_frame_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH m AS (SELECT doc_id, octet_length(encode(text)) AS olen FROM documents),
+        f AS (SELECT doc_id, olen,
+            GREATEST(1, olen // 4) AS fr, LEAST(4, olen) AS nf FROM m)
+        SELECT doc_id, CAST(nf AS INT) AS n_frames,
+          CAST(COALESCE(list_sum(list_transform(range(0, nf),
+            i -> GREATEST(0, LEAST(olen, (i+1)*fr) - i*fr))), 0) AS BIGINT)
+            AS total_frame_bytes,
+          CAST(CASE WHEN nf > 0 THEN LEAST(olen, fr) ELSE NULL END AS BIGINT)
+            AS first_frame_bytes
+        FROM f ORDER BY doc_id""")),
+
+    // ---- p17: composed cleaning pipeline (the end-to-end use case) ---------
+    // quality-filter -> exact dedup -> per-source stats: the shape of a real
+    // training-data cleaning job, each stage an operator from this module.
+    QueryDef("p17_clean_pipeline",
+      (s, d) => {
+        val scored = T.documents(s, d)
+          .withColumn("q", TextOps.qualityScore(col("text")))
+          .filter(col("q") >= 0.3)
+        val deduped = Dedup.dedupExact(scored, "doc_id", "text")
+        deduped.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT *,
+            least(CAST(len($ToksSql) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+             + least(CAST(len(list_filter($ToksSql, x -> x IN $StopSql)) AS DOUBLE)
+                       / CAST(greatest(len($ToksSql), 1) AS DOUBLE) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE)
+                - least(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                          / CAST(greatest(len(text), 1) AS DOUBLE) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)
+              AS q
+          FROM documents),
+        filtered AS (SELECT * FROM scored WHERE q >= 0.3),
+        keep AS (SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+        deduped AS (SELECT f.* FROM filtered f JOIN keep USING (doc_id))
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS first_doc
+        FROM deduped GROUP BY source ORDER BY source""")),
+
+    // ---- p20: deterministic train/val/test split. Map-only at any scale —
+    // the salted md5 bucket decides the split row-locally, reproducible
+    // across runs and engines (the property that keeps test docs out of
+    // training forever). Oracle mirrors mdHash31 exactly. ------------------
+    QueryDef("p20_split_assign",
+      (s, d) => Shards.assignSplit(T.documents(s, d), "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("split"),
+      Some("""
+        WITH b AS (SELECT doc_id,
+            (('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 2147483648) % 1000 AS bk
+          FROM documents)
+        SELECT CASE WHEN bk < 100 THEN 'test'
+                    WHEN bk < 200 THEN 'val'
+                    ELSE 'train' END AS split,
+          COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM b GROUP BY 1 ORDER BY split""")),
+
+    // ---- p21: token-budget shard packing. One partitioned window per
+    // source (each source cumsums independently — no global sort), shard =
+    // floor(exclusive running tokens / budget): contiguous shards bounded by
+    // budget + one doc, the shape of writing ~fixed-token training files. --
+    QueryDef("p21_pack_shards",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk"))
+        Shards.packShards(docs, "source", "doc_id", "tk", budget = 2000L)
+          .groupBy("source", "shard_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("shard_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "shard_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, source, CAST(len($ToksSql) AS BIGINT) AS tk
+          FROM documents),
+        w AS (SELECT doc_id, source, tk,
+            SUM(tk) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk AS ecs
+          FROM t)
+        SELECT source, CAST(ecs // 2000 AS BIGINT) AS shard_id,
+          COUNT(*) AS n_docs, CAST(SUM(tk) AS BIGINT) AS shard_tokens,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM w GROUP BY 1, 2 ORDER BY source, shard_id"""))
+  )
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import graft.operators._
+import org.apache.spark.sql.functions._
+import QuerySql._
+
+/** Deduplication-family gate queries: exact groups, n-gram Jaccard pairs
+  * (plain + skew-capped), MinHash-LSH pairs + connected-component clusters,
+  * SimHash banding, embedding-cosine LSH pairs, benchmark decontamination. */
+object DedupQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+
+    // ---- p01: exact dedup groups by content fingerprint --------------------
+    QueryDef("p01_dedup_exact",
+      (s, d) => Dedup.exactGroups(T.documents(s, d), "doc_id", "text")
+        .orderBy("fp"),
+      Some("""
+        SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    // ---- p04: exact word-3-gram Jaccard near-dup pairs ---------------------
+    QueryDef("p04_jaccard_pairs",
+      (s, d) => Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
+        n = 3, minJaccard = 0.5).orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+        sets AS (SELECT doc_id,
+            list_distinct(list_transform(range(0, len(tk)-2),
+              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shs
+          FROM t WHERE len(tk) >= 3),
+        posts AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
+        sizes AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS sz FROM sets),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM posts a JOIN posts b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, inter, uni, jaccard FROM (
+          SELECT id_a, id_b, i AS inter, sa.sz + sb.sz - i AS uni,
+                 i / (sa.sz + sb.sz - i) AS jaccard
+          FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id)
+        WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
+
+    // ---- p18: Jaccard pairs WITH the hot-shingle skew cap engaged — the
+    // guard that bounds candidate blowup at 100 TB (a shingle shared by 1M
+    // docs is 10^12 pairs on one reducer). Oracle mirrors the capped
+    // universe exactly: sizes come from the CAPPED postings too, so the
+    // score is the true jaccard of the pruned sets (not a biased
+    // underestimate), and results hash-match. -----------------------------
+    QueryDef("p18_jaccard_capped",
+      (s, d) => Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
+        n = 3, minJaccard = 0.2, maxDocFreq = Some(3L)).orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+        sets AS (SELECT doc_id,
+            list_distinct(list_transform(range(0, len(tk)-2),
+              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shs
+          FROM t WHERE len(tk) >= 3),
+        posts0 AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
+        hot AS (SELECT sh FROM posts0 GROUP BY sh HAVING COUNT(*) > 3),
+        posts AS (SELECT * FROM posts0 WHERE sh NOT IN (SELECT sh FROM hot)),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM posts GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM posts a JOIN posts b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, inter, uni, jaccard FROM (
+          SELECT id_a, id_b, i AS inter, sa.sz + sb.sz - i AS uni,
+                 i / (sa.sz + sb.sz - i) AS jaccard
+          FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id)
+        WHERE jaccard >= 0.2 ORDER BY id_a, id_b""")),
+
+    // ---- p05: MinHash-LSH near-dup pairs, exactly verified. The oracle
+    // re-derives the whole pipeline: md5-based 31-bit shingle fingerprints
+    // (mdHash31), the (a_i*f+b_i) mod P universal-hash family of
+    // MinHashSketchAgg, 16x4 band keys, bucket-join candidates, exact
+    // Jaccard verification — every stage engine-portable by construction. --
+    QueryDef("p05_minhash_pairs",
+      (s, d) => Dedup.minhashLshPairs(T.documents(s, d), "doc_id", "text",
+        n = 3, minJaccard = 0.5).orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH $MinhashPairsCte
+        SELECT id_a, id_b, inter, uni, jaccard FROM pairs
+        ORDER BY id_a, id_b""")),
+
+    // ---- p24: near-dup CLUSTERS — pairs are edges, a duplicate cluster is
+    // a connected component (A~B, B~C => {A,B,C} even when A!~C directly).
+    // Spark side: alternating large-star/small-star (O(log n) key-shuffle
+    // rounds — the 100 TB shape; Components.scala). Oracle: the same LSH
+    // pairs + a recursive min-reachability CTE. ---------------------------
+    QueryDef("p24_dedup_clusters",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, minJaccard = 0.5)
+        Components.dedupClusters(docs, "doc_id", pairs).orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $MinhashPairsCte,
+        sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(v, x) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
+          UNION
+          SELECT r.v, s.v FROM reach r JOIN sym s ON r.x = s.u),
+        cc AS (SELECT v AS doc_id, MIN(x) AS cluster_id FROM reach GROUP BY v),
+        assigned AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cc c USING (doc_id)),
+        csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM assigned GROUP BY 1)
+        SELECT doc_id, cluster_id, cluster_size
+        FROM assigned JOIN csizes USING (cluster_id)
+        ORDER BY doc_id""")),
+
+    // ---- p06: SimHash near-dup pairs. Oracle mirrors the 60-bit md5
+    // fingerprints (mdHash60), the ±1 bit votes of SimHashAgg, sign packing,
+    // 4x16-bit banding and the Hamming filter. -----------------------------
+    QueryDef("p06_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(T.documents(s, d), "doc_id", "text",
+        maxHamming = 3).orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS tks FROM documents),
+        posts AS (SELECT doc_id, unnest(tks) AS tok FROM t),
+        f AS (SELECT doc_id,
+            ('0x' || substring(md5(tok), 1, 15))::BIGINT AS f
+          FROM posts),
+        votes AS (SELECT doc_id, j,
+            SUM(CASE WHEN (f >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM f CROSS JOIN range(60) rj(j) GROUP BY doc_id, j),
+        sigs AS (SELECT doc_id,
+            SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
+          FROM votes GROUP BY doc_id),
+        chunks AS (SELECT doc_id, sig, c, (sig >> (c*16)) & 65535 AS cv
+          FROM sigs CROSS JOIN range(4) rc(c)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+          FROM chunks a JOIN chunks b
+            ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, hamming FROM cand
+        WHERE hamming <= 3 ORDER BY id_a, id_b""")),
+
+    // ---- p16: video-style frame sampling (per-partition stub demuxer) ------
+    // ---- p19: embedding-cosine near-dup with NO blocking key: LSH bucket
+    // collisions propose narrow (id_a, id_b) candidates, exact cosine
+    // verifies >= 0.3. Oracle re-derives the same integer-LCG hyperplanes as
+    // p09, the collision pair set, and the bit-exact cosine. ---------------
+    QueryDef("p19_cosine_lsh_pairs",
+      (s, d) => Similarity.cosineNearDupLsh(T.embeddings(s, d),
+        "vec_id", "embedding", minSim = 0.3).orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        proj AS (SELECT vec_id, t, j,
+            list_reduce(list_transform(range(0, len(v)), d ->
+              v[d+1] * (((1103515245 * (t*8191 + j*131 + d) + 12345) % 2147483648)
+                        / 2147483648.0 - 0.5)),
+              (x, y) -> x + y) AS s
+          FROM n CROSS JOIN range(8) rt(t) CROSS JOIN range(8) rj(j)),
+        keys AS (SELECT vec_id, t,
+            SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bk
+          FROM proj GROUP BY vec_id, t),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM keys a JOIN keys b ON a.t = b.t AND a.bk = b.bk
+            AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, sim FROM (
+          SELECT cand.id_a, cand.id_b,
+            ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+          FROM cand JOIN n a ON cand.id_a = a.vec_id
+                    JOIN n b ON cand.id_b = b.vec_id)
+        WHERE sim >= 0.3 ORDER BY id_a, id_b""")),
+
+    // ---- p23: benchmark decontamination — corpus docs sharing word
+    // 3-grams with the (broadcast) benchmark set. The 100 TB shape: the
+    // benchmark shingle set broadcasts, the corpus scan is map-only, the
+    // only shuffle is the per-doc hit count over matches. ------------------
+    QueryDef("p23_decontaminate",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        Dedup.contaminationHits(
+          docs.filter(col("doc_id") >= 5), "doc_id", "text",
+          docs.filter(col("doc_id") < 5), "text", n = 3, minShared = 1L)
+          .select(col("id").as("doc_id"), col("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+        sets AS (SELECT doc_id,
+            list_distinct(list_transform(range(0, len(tk)-2),
+              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shs
+          FROM t WHERE len(tk) >= 3),
+        cposts AS (SELECT doc_id, unnest(shs) AS sh FROM sets WHERE doc_id >= 5),
+        bsh AS (SELECT DISTINCT unnest(shs) AS sh FROM sets WHERE doc_id < 5)
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM cposts WHERE sh IN (SELECT sh FROM bsh)
+        GROUP BY 1 HAVING COUNT(*) >= 1 ORDER BY doc_id"""))
+  )
+}

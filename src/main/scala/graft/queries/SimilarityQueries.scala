@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import graft.operators._
+import org.apache.spark.sql.functions._
+import QuerySql._
+
+/** Embedding-similarity gate queries: brute-force kNN, blocked cosine
+  * near-dup, hyperplane-LSH ANN, sign-quantized Hamming ANN, IVF ANN. */
+object SimilarityQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- p07: brute-force cosine top-k (bit-exact vs DuckDB) ---------------
+    QueryDef("p07_knn_cosine",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.knnBruteForce(e, "vec_id",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        sims AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+            ${dotSql("c.v", "q.v")} / (c.nrm * q.nrm) AS sim
+          FROM n c, n q WHERE q.vec_id < 5)
+        SELECT q_id, vec_id, sim, rnk FROM (
+          SELECT q_id, vec_id, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+              AS INTEGER) AS rnk
+          FROM sims)
+        WHERE rnk <= 10 ORDER BY q_id, rnk""")),
+
+    // ---- p08: exact blocked cosine near-dup join (blocking key = label) ----
+    QueryDef("p08_cosine_blocked",
+      (s, d) => Similarity.cosineNearDupBlocked(T.embeddings(s, d),
+        "vec_id", "embedding", "label", minSim = 0.3).orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM e)
+        SELECT id_a, id_b, sim FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        WHERE sim >= 0.3 ORDER BY id_a, id_b""")),
+
+    // ---- p09: LSH approximate NN. The oracle re-derives VecLshKeys'
+    // integer-LCG hyperplanes bit-identically (pure integer ops + one exact
+    // dyadic division), reproduces the bucket-collision candidate set, and
+    // computes the same fold-order cosine — hash-exact end to end. ----------
+    QueryDef("p09_ann_lsh",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.annLshTopK(e, "vec_id", e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        proj AS (SELECT vec_id, t, j,
+            list_reduce(list_transform(range(0, len(v)), d ->
+              v[d+1] * (((1103515245 * (t*8191 + j*131 + d) + 12345) % 2147483648)
+                        / 2147483648.0 - 0.5)),
+              (x, y) -> x + y) AS s
+          FROM n CROSS JOIN range(8) rt(t) CROSS JOIN range(8) rj(j)),
+        keys AS (SELECT vec_id, t,
+            SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bk
+          FROM proj GROUP BY vec_id, t),
+        cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS id
+          FROM keys c JOIN keys q ON c.t = q.t AND c.bk = q.bk
+          WHERE q.vec_id < 5),
+        sims AS (SELECT cand.q_id, cand.id AS vec_id,
+            ${dotSql("c.v", "q.v")} / (c.nrm * q.nrm) AS sim
+          FROM cand JOIN n c ON cand.id = c.vec_id JOIN n q ON cand.q_id = q.vec_id)
+        SELECT q_id, vec_id, sim, rnk FROM (
+          SELECT q_id, vec_id, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+              AS INTEGER) AS rnk
+          FROM sims)
+        WHERE rnk <= 10 ORDER BY q_id, rnk""")),
+
+    // ---- p22: sign-quantized (binary) NN — 64-bit signatures, Hamming
+    // pre-rank, exact cosine rerank. Oracle re-derives the signatures from
+    // the same integer-LCG planes as p09 (t=0 table), the same xor/popcount
+    // distance and both rank windows — hash-exact end to end. --------------
+    QueryDef("p22_ann_hamming",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.hammingTopK(e, "vec_id", e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, rerank = 40)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        proj AS (SELECT vec_id, j,
+            list_reduce(list_transform(range(0, len(v)), d ->
+              v[d+1] * (((1103515245 * (j*131 + d) + 12345) % 2147483648)
+                        / 2147483648.0 - 0.5)),
+              (x, y) -> x + y) AS s
+          FROM n CROSS JOIN range(64) rj(j)),
+        sigs AS (SELECT vec_id,
+            -- bit 63 is the BIGINT sign bit: DuckDB rejects 1<<63, so it is
+            -- added as the min-long constant; CAST pulls the HUGEINT SUM
+            -- back to the same 64-bit value Spark's long carries
+            CAST(SUM(CASE WHEN s > 0 THEN
+                CASE WHEN j = 63 THEN -9223372036854775807 - 1
+                     ELSE (1::BIGINT << j) END
+              ELSE 0 END) AS BIGINT) AS sig
+          FROM proj GROUP BY vec_id),
+        cand AS (SELECT q.vec_id AS q_id, c.vec_id AS id,
+            CAST(bit_count(xor(c.sig, q.sig)) AS INTEGER) AS hamming
+          FROM sigs c, sigs q WHERE q.vec_id < 5
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY bit_count(xor(c.sig, q.sig)), c.vec_id) <= 40),
+        sims AS (SELECT cand.q_id, cand.id AS vec_id, cand.hamming,
+            ${dotSql("c.v", "q.v")} / (c.nrm * q.nrm) AS sim
+          FROM cand JOIN n c ON cand.id = c.vec_id JOIN n q ON cand.q_id = q.vec_id)
+        SELECT q_id, vec_id, hamming, sim, rnk FROM (
+          SELECT q_id, vec_id, hamming, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+              AS INTEGER) AS rnk
+          FROM sims)
+        WHERE rnk <= 10 ORDER BY q_id, rnk""")),
+
+    // ---- p15: IVF approximate NN. Oracle re-derives the whole index:
+    // md5-hash-ordered centroid seeds (portable by construction — see
+    // Similarity.ivfTopK), normalized centroids, argmax cell assignment
+    // (tie: higher cid, Spark's array_max struct order), nProbe=4 probes
+    // (sim DESC, cid DESC — reverse(array_sort) order), exact cosine on
+    // candidates. Bit-exact: strict left-to-right double folds both sides. --
+    QueryDef("p15_ann_ivf",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.ivfTopK(e, "vec_id", e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        seed AS (SELECT vec_id, v, nrm,
+            ROW_NUMBER() OVER (ORDER BY
+              ('0x' || substring(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 9973,
+              vec_id) - 1 AS cid
+          FROM n QUALIFY cid < 16),
+        cent AS (SELECT cid,
+            CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x/nrm) END AS cv
+          FROM seed),
+        asim AS (SELECT n.vec_id, cent.cid, ${dotSql("n.v", "cent.cv")} AS sim
+          FROM n CROSS JOIN cent),
+        assign AS (SELECT vec_id, cid AS cell FROM asim
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) = 1),
+        probes AS (SELECT vec_id AS q_id, cid AS cell FROM asim WHERE vec_id < 5
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) <= 4),
+        cand AS (SELECT p.q_id, a.vec_id AS id FROM probes p JOIN assign a ON p.cell = a.cell),
+        sims AS (SELECT cand.q_id, cand.id AS vec_id,
+            ${dotSql("c.v", "q.v")} / (c.nrm * q.nrm) AS sim
+          FROM cand JOIN n c ON cand.id = c.vec_id JOIN n q ON cand.q_id = q.vec_id)
+        SELECT q_id, vec_id, sim, rnk FROM (
+          SELECT q_id, vec_id, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+              AS INTEGER) AS rnk
+          FROM sims)
+        WHERE rnk <= 10 ORDER BY q_id, rnk"""))
+  )
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import graft.operators._
+import org.apache.spark.sql.functions._
+import QuerySql._
+
+/** Text-analysis gate queries: quality stats, language-ID, winnowing
+  * fingerprints, Gopher-style repetition filters, PII redaction. */
+object TextQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- p02: per-document text statistics & quality score -----------------
+    QueryDef("p02_doc_quality",
+      (s, d) => T.documents(s, d).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_units"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextOps.meanTokenLen(col("text")).as("mean_token_len"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents)
+        SELECT doc_id,
+          len(toks) AS n_tokens,
+          len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_units,
+          CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+            / CAST(greatest(len(text), 1) AS DOUBLE) AS punct_ratio,
+          CAST(len(list_filter(toks, x -> x IN $StopSql)) AS DOUBLE)
+            / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+          CAST(list_reduce(list_transform(toks, x -> len(x)), (a,b) -> a+b) AS DOUBLE)
+            / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_token_len,
+          least(CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+           + least(CAST(len(list_filter(toks, x -> x IN $StopSql)) AS DOUBLE)
+                     / CAST(greatest(len(toks), 1) AS DOUBLE) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+           + (CAST(1.0 AS DOUBLE)
+              - least(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                        / CAST(greatest(len(text), 1) AS DOUBLE) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)
+            AS quality
+        FROM t ORDER BY doc_id""")),
+
+    // ---- p03: language-ID heuristic vs the synthetic label -----------------
+    QueryDef("p03_langid",
+      (s, d) => T.documents(s, d)
+        .withColumn("pred_lang", TextOps.langIdPredict(col("text")))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang"),
+      Some(s"""
+        SELECT lang,
+          CASE WHEN CAST(len(list_filter($ToksSql, x -> x IN $StopSql)) AS DOUBLE)
+                      / CAST(greatest(len($ToksSql), 1) AS DOUBLE) >= CAST(0.02 AS DOUBLE)
+               THEN 'en' ELSE 'unk' END AS pred_lang,
+          COUNT(*) AS n
+        FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""")),
+
+    // ---- p10: winnowing fingerprints (rolling-hash mirror in DuckDB) -------
+    QueryDef("p10_winnowing",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"), TextOps.charCodes(col("text")).as("ch"))
+        .select(col("doc_id"), TextOps.kgramHashes(col("ch")).as("kgrams"))
+        .select(col("doc_id"), TextOps.winnowFromKgrams(col("kgrams")).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          array_min(col("fps")).as("fp_min"),
+          array_max(col("fps")).as("fp_max"),
+          aggregate(col("fps"), lit(0L), (a, b) => a + b).as("fp_sum"))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH c AS (SELECT doc_id,
+            list_transform(range(1, strlen(text)+1), i -> CAST(unicode(text[i]) AS BIGINT)) AS ch
+          FROM documents),
+        kg AS (SELECT doc_id,
+            CASE WHEN len(ch) >= 8 THEN
+              list_transform(range(0, len(ch)-7),
+                i -> list_reduce(ch[i+1:i+8], (a,b) -> (a*31+b) % 1000000000000037))
+            ELSE [] END AS kgrams
+          FROM c),
+        fp AS (SELECT doc_id,
+            CASE WHEN len(kgrams) >= 4 THEN
+              list_sort(list_distinct(list_transform(range(0, len(kgrams)-3),
+                i -> list_min(kgrams[i+1:i+4]))))
+            ELSE list_sort(list_distinct(kgrams)) END AS fps
+          FROM kg)
+        SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+          list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+          list_reduce(fps, (a,b) -> a+b) AS fp_sum
+        FROM fp ORDER BY doc_id""")),
+
+    // ---- p25: Gopher-style repetition filters. Spark side is MAP-ONLY
+    // (top-multiplicity = longest equal run in the sorted gram array — an
+    // O(n log n) per-row fold, no explode/groupBy); oracle computes the same
+    // values the relational way (unnest + count + max). -------------------
+    QueryDef("p25_repetition",
+      (s, d) => T.documents(s, d).select(
+        col("doc_id"),
+        TextOps.dupTokenFrac(TextOps.tokens(col("text"))).as("dup_token_frac"),
+        TextOps.topTokenFrac(TextOps.tokens(col("text"))).as("top_token_frac"),
+        TextOps.top2gramFrac(TextOps.tokens(col("text"))).as("top_2gram_frac"))
+        .withColumn("repetitive",
+          col("dup_token_frac") > 0.3 || col("top_2gram_frac") > 0.18)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+        toks AS (SELECT doc_id, unnest(tk) AS w FROM t),
+        wcnt AS (SELECT doc_id, MAX(c) AS topw FROM
+          (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2) GROUP BY 1),
+        g AS (SELECT doc_id,
+            list_transform(range(0, len(tk)-1), i -> tk[i+1] || ' ' || tk[i+2]) AS gs
+          FROM t WHERE len(tk) >= 2),
+        grams AS (SELECT doc_id, unnest(gs) AS gm FROM g),
+        gcnt AS (SELECT doc_id, MAX(c) AS topg FROM
+          (SELECT doc_id, gm, COUNT(*) AS c FROM grams GROUP BY 1, 2) GROUP BY 1)
+        SELECT t.doc_id,
+          CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE)
+            / CAST(greatest(len(tk), 1) AS DOUBLE) AS dup_token_frac,
+          CAST(COALESCE(topw, 0) AS DOUBLE)
+            / CAST(greatest(len(tk), 1) AS DOUBLE) AS top_token_frac,
+          CAST(COALESCE(topg, 0) AS DOUBLE)
+            / CAST(greatest(len(tk) - 1, 1) AS DOUBLE) AS top_2gram_frac,
+          (CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE)
+             / CAST(greatest(len(tk), 1) AS DOUBLE) > 0.3)
+          OR (CAST(COALESCE(topg, 0) AS DOUBLE)
+             / CAST(greatest(len(tk) - 1, 1) AS DOUBLE) > 0.18) AS repetitive
+        FROM t
+        LEFT JOIN wcnt ON t.doc_id = wcnt.doc_id
+        LEFT JOIN gcnt ON t.doc_id = gcnt.doc_id
+        ORDER BY t.doc_id""")),
+
+    // ---- p26: PII detect + redact. The synthetic corpus carries no PII, so
+    // the query deterministically plants one email/IP/phone per doc from
+    // doc_id (identically in both engines), then counts and redacts.
+    // Patterns live in the Java∩RE2 regex subset; DuckDB regexp_replace
+    // needs the 'g' flag to match Spark's replace-all. ---------------------
+    QueryDef("p26_pii_redact",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+          concat_ws(" ", col("text"),
+            concat(lit("contact user"), col("doc_id"), lit("@example.com")),
+            concat(lit("host 10.1."), pmod(col("doc_id"), lit(250)), lit(".7")),
+            concat(lit("tel +49 555 "),
+              lpad(pmod(col("doc_id"), lit(100)).cast("string"), 4, "0")))
+            .as("text"))
+        .select(col("doc_id"),
+          Pii.emailCount(col("text")).cast("long").as("n_emails"),
+          Pii.ipv4Count(col("text")).cast("long").as("n_ips"),
+          Pii.phoneCount(col("text")).cast("long").as("n_phones"),
+          Pii.redact(col("text")).as("redacted"))
+        .orderBy("doc_id"),
+      Some("""
+        WITH w AS (SELECT doc_id,
+            concat_ws(' ', text,
+              'contact user' || doc_id || '@example.com',
+              'host 10.1.' || (doc_id % 250) || '.7',
+              'tel +49 555 ' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0')) AS text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+          CAST(len(regexp_extract_all(text,
+            '\+\d{1,3}[ -]\d{3}[ -]\d{4}')) AS BIGINT) AS n_phones,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\+\d{1,3}[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g') AS redacted
+        FROM w ORDER BY doc_id"""))
+  )
+}
