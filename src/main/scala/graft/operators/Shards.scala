@@ -41,6 +41,54 @@ object Shards {
         .otherwise(lit("train")))
   }
 
+  /** Uniform [0,1) from the salted id — the same md5 arithmetic as
+    * [[splitBucket]] at 2^31 grain. Engine-portable (DuckDB mirrors it), so
+    * a sample drawn here is REPRODUCIBLE: re-runs, different engines, and
+    * different partitionings all keep exactly the same rows. */
+  def sampleUniform(idCol: Column, salt: String): Column =
+    Dedup.mdHash31(concat(lit(salt), idCol.cast("string"))).cast("double") /
+      lit(2147483648.0)
+
+  /** Deterministic stratified Bernoulli sample: keep a row iff
+    * u(id) < fraction(stratum). MAP-ONLY — no count pass, no shuffle,
+    * no RNG state; the 100 TB shape for corpus downsampling. */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double], defaultFraction: Double,
+                       salt: String = "graft"): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(sampleUniform(col(idCol), salt) < frac)
+  }
+
+  /** Temperature-scaled mixture fractions (the multilingual/source-mixing
+    * recipe: sampling weight q_s ∝ c_s^alpha flattens the source
+    * distribution as alpha → 0): per-stratum Bernoulli fraction
+    * f_s = min(1, targetRows · c_s^alpha / Σc^alpha / c_s). Two small
+    * aggregates; join the result back (broadcast — strata cardinality is
+    * tiny) and filter with [[sampleUniform]] to draw the mixture. */
+  def mixtureFractions(df: DataFrame, strataCol: String, alpha: Double,
+                       targetRows: Long): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
+    val z = counts.agg(sum(pow(col("n"), alpha)).as("z"))
+    counts.crossJoin(broadcast(z))
+      .withColumn("fraction", least(lit(1.0),
+        lit(targetRows.toDouble) * pow(col("n"), alpha) / col("z") / col("n")))
+      .select(col(strataCol), col("n"), col("fraction"))
+  }
+
+  /** Draw the temperature mixture: deterministic per-row keep decision
+    * against the broadcast per-stratum fractions. */
+  def sampleMixture(df: DataFrame, idCol: String, strataCol: String,
+                    alpha: Double, targetRows: Long,
+                    salt: String = "graft"): DataFrame = {
+    val fr = mixtureFractions(df, strataCol, alpha, targetRows)
+      .select(col(strataCol), col("fraction"))
+    df.join(broadcast(fr), Seq(strataCol))
+      .filter(sampleUniform(col(idCol), salt) < col("fraction"))
+      .drop("fraction")
+  }
+
   /** Token-budget shard packing: adds `shard_id` such that consecutive (by
     * `orderCol`) documents within each `partCol` group share a shard until
     * the running token total would pass `budget`. shard_id = floor(exclusive

@@ -215,6 +215,28 @@ object CorpusQueries {
         SELECT source, CAST(ecs // 2000 AS BIGINT) AS shard_id,
           COUNT(*) AS n_docs, CAST(SUM(tk) AS BIGINT) AS shard_tokens,
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        FROM w GROUP BY 1, 2 ORDER BY source, shard_id"""))
+        FROM w GROUP BY 1, 2 ORDER BY source, shard_id""")),
+
+    // ---- p27: deterministic stratified sampling — md5-uniform per row vs a
+    // per-stratum fraction. Map-only and REPRODUCIBLE: re-runs, other
+    // engines, and any repartitioning keep exactly the same rows (the
+    // property that makes a 100 TB downsample auditable). ------------------
+    QueryDef("p27_sample_stratified",
+      (s, d) => Shards.sampleStratified(T.documents(s, d), "doc_id", "source",
+        Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.2),
+        defaultFraction = 0.3, salt = "samp")
+        .select(col("doc_id"), col("source"),
+          Shards.sampleUniform(col("doc_id"), "samp").as("u"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, source,
+          CAST(('0x' || substring(md5('samp' || doc_id), 1, 15))::BIGINT
+               % 2147483648 AS DOUBLE) / 2147483648.0 AS u
+        FROM documents
+        WHERE CAST(('0x' || substring(md5('samp' || doc_id), 1, 15))::BIGINT
+               % 2147483648 AS DOUBLE) / 2147483648.0
+          < CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+                        WHEN 'src2' THEN 0.2 ELSE 0.3 END
+        ORDER BY doc_id"""))
   )
 }

@@ -168,6 +168,34 @@ object SimilarityQueries {
             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
               AS INTEGER) AS rnk
           FROM sims)
-        WHERE rnk <= 10 ORDER BY q_id, rnk"""))
+        WHERE rnk <= 10 ORDER BY q_id, rnk""")),
+
+    // ---- p28: symmetric per-vector int8 quantization — 4x memory/IO cut
+    // for ANN candidate stores. floor(x+0.5) (not round: half-even vs
+    // half-up differs across engines) + explicit double casts keep the codes
+    // AND the L2 reconstruction error bit-identical to DuckDB. ------------
+    QueryDef("p28_quantize_int8",
+      (s, d) => T.embeddings(s, d)
+        .select(col("vec_id"), Quantize.int8QuantStruct(col("embedding")).as("o"))
+        // codes as CSV: the compare harness sorts/hashes rows, which needs
+        // scalar cells — the string carries every code at full fidelity
+        .select(col("vec_id"), col("o.scale").as("scale"),
+          concat_ws(",", col("o.q")).as("q_csv"), col("o.err").as("err"))
+        .orderBy("vec_id"),
+      Some("""
+        WITH sc AS (SELECT vec_id, embedding AS v,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          FROM embeddings),
+        qc AS (SELECT vec_id, v, scale,
+            list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+              ELSE CAST(greatest(-127.0, least(127.0,
+                floor(CAST(x AS DOUBLE) / scale + 0.5))) AS INTEGER) END) AS q
+          FROM sc)
+        SELECT vec_id, scale, array_to_string(q, ',') AS q_csv,
+          sqrt(list_reduce(list_transform(range(1, len(v)+1),
+            i -> (CAST(v[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) * scale)
+               * (CAST(v[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) * scale)),
+            (a, b) -> a + b)) AS err
+        FROM qc ORDER BY vec_id"""))
   )
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Sampling determinism/statistics and int8 quantization edge cases. */
+class SamplingQuantizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+
+  test("stratified sample is deterministic and respects per-stratum fractions") {
+    val fr = Map("src0" -> 0.8, "src1" -> 0.2)
+    val a = Shards.sampleStratified(docs, "doc_id", "source", fr, 0.4, salt = "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Shards.sampleStratified(docs, "doc_id", "source", fr, 0.4, salt = "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same salt must draw the same sample")
+    val c = Shards.sampleStratified(docs, "doc_id", "source", fr, 0.4, salt = "s2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a != c, "a different salt should re-deal")
+    // 25 docs per stratum: src0 keeps most, src1 keeps few (binomial, wide tolerance)
+    val bySrc = Shards.sampleStratified(docs, "doc_id", "source", fr, 0.4, salt = "s1")
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.getOrElse("src0", 0L) >= 14, bySrc.toString)
+    assert(bySrc.getOrElse("src1", 0L) <= 11, bySrc.toString)
+  }
+
+  test("mixture fractions flatten the stratum distribution as alpha shrinks") {
+    // skewed strata: 100 'big' rows, 10 'small' rows
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 110).map(i => (i.toLong, "small"))).toDF("id", "src")
+    // targetRows low enough that neither stratum caps at fraction 1
+    val fr = Shards.mixtureFractions(df, "src", alpha = 0.5, targetRows = 30)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // alpha 0.5: weights sqrt(100):sqrt(10) => per-row fraction for the small
+    // stratum is sqrt(10) larger than the big one
+    assert(fr("small") / fr("big") > 3.0 && fr("small") / fr("big") < 3.4, fr.toString)
+    val kept = Shards.sampleMixture(df, "id", "src", alpha = 0.5, targetRows = 30)
+    assert(kept.count() > 12 && kept.count() < 48) // ~30 expected
+    // alpha = 1 is proportional sampling: equal per-row fractions
+    val fr1 = Shards.mixtureFractions(df, "src", alpha = 1.0, targetRows = 50)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(fr1("small") - fr1("big")) < 1e-12, fr1.toString)
+  }
+
+  test("int8 quantization: codes bounded, zero vector safe, error small") {
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f, 127.5f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),      // zero vector -> scale 0, codes 0
+      (3L, Seq(-1e-8f, 1e-8f, 0.0f, 0.0f))     // tiny but nonzero scale
+    ).toDF("id", "v")
+    val out = df.select($"id", Quantize.int8QuantStruct($"v").as("o"))
+      .select($"id", $"o.scale", $"o.q", $"o.err")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Int](2), r.getDouble(3))).toList.sortBy(_._1)
+    val (_, s1, q1, e1) = out(0)
+    assert(q1.forall(c => c >= -127 && c <= 127))
+    assert(q1.last == 127, q1.toString) // the max element maps to full scale
+    assert(e1 <= s1 * math.sqrt(q1.size) / 2 + 1e-12) // per-dim error <= scale/2
+    val (_, s2, q2, e2) = out(1)
+    assert(s2 == 0.0 && q2.forall(_ == 0) && e2 == 0.0)
+    val (_, _, q3, _) = out(2)
+    assert(q3.take(2) == Seq(-127, 127), q3.toString)
+  }
+}
