@@ -102,6 +102,37 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Corpus-level paragraph deduplication (the C4/Falcon recipe tier between
+    * exact-doc and near-doc dedup): a paragraph survives only in its FIRST
+    * occurrence corpus-wide (lowest (doc id, position)); every other copy is
+    * cut and each document's text is rebuilt from its surviving paragraphs
+    * in order (possibly empty).
+    *
+    * Scale shape: explode to (paragraph, doc, pos) postings; the
+    * first-occurrence winner per paragraph is `min(struct(id, pos))` — a
+    * partial-aggregatable agg, so a paragraph pasted into a million docs
+    * combines map-side instead of flooding one reducer; rebuild is one
+    * groupBy(doc). Two key shuffles total. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n"): DataFrame = {
+    val posts = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF("id", "pos", "para")
+    val firsts = posts.groupBy("para")
+      .agg(min(struct(col("id"), col("pos"))).as("keep"))
+    val kept = posts.join(firsts, Seq("para"))
+      .filter(col("id") === col("keep.id") && col("pos") === col("keep.pos"))
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          e => e.getField("para")), sep).as("text_kept"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text_kept"), lit("")).as("text_kept"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Benchmark decontamination: contaminated corpus documents — those
     * sharing at least `minShared` distinct word n-gram shingles with ANY
     * benchmark document — as (id, n_shared). The standard training-data

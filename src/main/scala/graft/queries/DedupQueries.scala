@@ -12,6 +12,45 @@ object DedupQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // ---- p29: corpus-level paragraph dedup (C4/Falcon tier). The synthetic
+    // corpus is single-line, so the query builds 2-paragraph docs by pairing
+    // each doc's text with its successor's (both engines identically): every
+    // text then occurs in two docs, and the operator must keep exactly the
+    // first occurrence and rebuild the rest. Oracle = window rn=1 over
+    // (para -> doc, pos). -------------------------------------------------
+    QueryDef("p29_dedup_paragraphs",
+      (s, d) => {
+        val docs = T.documents(s, d).select("doc_id", "text")
+        val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("text_b"))
+        val d2 = docs.join(nxt, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            concat_ws("\n", col("text"), col("text_b")).as("text"))
+        Dedup.dedupParagraphs(d2, "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""
+        WITH d2 AS (SELECT a.doc_id,
+            concat_ws(chr(10), a.text, b.text) AS text
+          FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1),
+        sp AS (SELECT doc_id, string_split(text, chr(10)) AS paras FROM d2),
+        posts AS (SELECT doc_id,
+            unnest(list_transform(range(0, len(paras)),
+              i -> {'pos': i, 'para': paras[i+1]}), recursive := true)
+          FROM sp),
+        kept AS (SELECT doc_id, pos, para FROM (
+            SELECT doc_id, pos, para,
+              ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+            FROM posts) WHERE rn = 1),
+        rebuilt AS (SELECT doc_id,
+            string_agg(para, chr(10) ORDER BY pos) AS text_kept,
+            COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id)
+        SELECT d2.doc_id,
+          COALESCE(r.text_kept, '') AS text_kept,
+          COALESCE(r.n_kept, 0) AS n_kept
+        FROM d2 LEFT JOIN rebuilt r ON d2.doc_id = r.doc_id
+        ORDER BY d2.doc_id""")),
+
 
     // ---- p01: exact dedup groups by content fingerprint --------------------
     QueryDef("p01_dedup_exact",

@@ -53,6 +53,21 @@ class TextExtrasSpec extends SparkSpecBase {
       "mail <EMAIL> and <EMAIL> from <IP> call <PHONE> or <PHONE> port <IP>")
   }
 
+  test("paragraph dedup keeps first occurrence only and rebuilds in order") {
+    val df = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),     // beta already in doc 1
+      (3L, "alpha\nbeta"),     // everything already seen -> empty
+      (4L, "gamma\nepsilon\nalpha")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("alpha\nbeta\ngamma", 3L))
+    assert(out(2L) == ("delta", 1L))
+    assert(out(3L) == ("", 0L))
+    assert(out(4L) == ("epsilon", 1L))
+  }
+
   test("clean text is untouched by redaction") {
     val df = Seq((1L, "no pii here just words")).toDF("id", "text")
     assert(df.select(Pii.redact($"text")).head().getString(0) ==
