@@ -86,4 +86,36 @@ class PlanSpec extends SparkSpecBase {
     // would mean the split column itself forced a shuffle
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(2000))
   }
+
+  test("p25 repetition stats are map-only: no hash shuffle, only the output sort") {
+    val p = plan("p25_repetition")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"repetition stats must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("p26 PII redaction is map-only") {
+    val p = plan("p26_pii_redact")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("p27 stratified sampling is a map-only filter (no count pass, no shuffle)") {
+    val p = plan("p27_sample_stratified")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("HashAggregate"), "sampling must not need an aggregate")
+  }
+
+  test("p28 int8 quantization is map-only") {
+    val p = plan("p28_quantize_int8")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("p29 paragraph dedup: first-occurrence winner is a partial-aggregatable min") {
+    val p = plan("p29_dedup_paragraphs")
+    // partial_min on the (id, pos) struct = map-side combine for hot
+    // paragraphs; a window-rank shape here would flood one reducer per
+    // duplicated paragraph
+    assert(p.contains("partial_min") || p.contains("ObjectHashAggregate")
+      || p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("Window"), "winner must not be a window rank")
+  }
 }
