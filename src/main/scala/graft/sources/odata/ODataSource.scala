@@ -369,6 +369,10 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
                         topLimit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    // $orderby names entity properties: in unwrap mode the sort columns are
+    // wrapped-payload keys (Graph would 400 on them, same as $select), and
+    // filterPushdown=false marks a projection-only service — let Spark sort
+    if (conf.unwrap.isDefined || !conf.filterPushdown) return false
     val parts = orders.toSeq.map { so =>
       so.expression() match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -456,16 +460,19 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
     // $select skipped when all columns requested (reference `:430-435`)
     if (schema.fieldNames.length < meta.sparkSchema.fieldNames.length) {
       conf.unwrap match {
-        case Some(wrap) =>
+        case Some(wrap) if schema.fieldNames.nonEmpty =>
           // Unwrap mode (SharePoint list items: the row is the `fields`
           // payload): projected names are keys of the WRAPPED payload, not
           // properties of the item itself — real Graph rejects a top-level
           // $select of them with HTTP 400. Narrow inside the expand instead,
           // the shape the Graph API requires: $select=id&$expand=fields($select=...)
+          // (empty projections — `SELECT 1`, existence joins — keep the
+          // original URL: fields($select=) would be malformed)
           u = ODataUrl(u.base,
               u.params.filterNot(p => p._1 == "$expand" || p._1 == "expand"))
             .withParam("$select", "id")
             .withParam("$expand", s"$wrap($$select=${schema.fieldNames.mkString(",")})")
+        case Some(_) => // empty projection: leave the URL untouched
         case None =>
           val base = schema.fieldNames.filterNot(expandNavs.contains)
           if (base.nonEmpty) {

@@ -50,6 +50,24 @@ class SharePointCatalogSpec extends SparkSpecBase with BeforeAndAfterAll {
       s"expected narrowing inside expand in $itemReqs")
   }
 
+  test("ORDER BY + LIMIT on a list stays Spark-side: no $orderby of fields keys") {
+    stub.requests.clear()
+    val rows = spark.sql(
+      "SELECT Title, Amount FROM sp.main.`Budget List` ORDER BY Amount DESC LIMIT 2")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("Item 7", "Item 6"))
+    assert(!stub.requests.exists(r => r.contains("/items") && r.contains("$orderby")),
+      stub.requests.filter(_.contains("/items")).toString)
+  }
+
+  test("empty projection (SELECT 1) never renders a malformed fields($select=)") {
+    stub.requests.clear()
+    val n = spark.sql("SELECT 1 FROM sp.main.`Budget List`").collect().length
+    assert(n == 7)
+    val bad = stub.requests.filter(_.contains("fields($select=)"))
+    assert(bad.isEmpty, bad.toString)
+  }
+
   test("INSERT INTO POSTs items with the fields wrapper") {
     stub.createdItems.clear()
     spark.sql(
