@@ -86,28 +86,34 @@ object Similarity {
     * candidate join is an equi-join on cell id — the standard IVF trade:
     * recall grows with nProbe, cost with nProbe/nCentroids.
     * Output: (q_id, id, sim, rnk). */
-  def ivfTopK(corpus: DataFrame, corpusId: String, queries: DataFrame,
-              queryId: String, vecCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    // deterministic centroid seed set: hash-ordered sample of corpus vectors.
-    // The hash is md5-derived (like Dedup.mdHash31) so any engine can
-    // re-derive the same seeds: DuckDB mirrors it as
-    // `('0x' || substring(md5(CAST(id AS VARCHAR)),1,15))::BIGINT % 9973`.
+  /** Deterministic IVF centroid seed set: hash-ordered sample of corpus
+    * vectors, normalized. The hash is md5-derived (like Dedup.mdHash31) so
+    * any engine can re-derive the same seeds: DuckDB mirrors it as
+    * `('0x' || substring(md5(CAST(id AS VARCHAR)),1,15))::BIGINT % 9973`. */
+  private def ivfCentroids(corpus: DataFrame, corpusId: String, vecCol: String,
+                           nCentroids: Int): Seq[Seq[Double]] = {
     val seedRows = withNorm(corpus, corpusId, vecCol)
       .orderBy(pmod(conv(substring(md5(col(corpusId).cast("string")), 1, 15),
         16, 10).cast("long"), lit(9973)), col(corpusId))
       .limit(nCentroids)
       .select(col("v"), col("nrm")).collect()
-    val centroids: Seq[Seq[Double]] = seedRows.map { r =>
+    seedRows.map { r =>
       val v = r.getSeq[Double](0); val n = r.getDouble(1)
       if (n == 0) v else v.map(_ / n)
     }.toSeq
+  }
 
-    /** array<struct<sim,cid>> of similarities to every centroid. */
-    def cellSims(v: Column): Column = array(centroids.zipWithIndex.map {
-      case (c, i) =>
-        struct(call_function("vec_dot", v, typedLit(c)).as("sim"), lit(i).as("cid"))
+  /** array<struct<sim,cid>> of similarities to every centroid. */
+  private def cellSimsFor(centroids: Seq[Seq[Double]])(v: Column): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(call_function("vec_dot", v, typedLit(c)).as("sim"), lit(i).as("cid"))
     }: _*)
+
+  def ivfTopK(corpus: DataFrame, corpusId: String, queries: DataFrame,
+              queryId: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+    def cellSims(v: Column): Column = cellSimsFor(centroids)(v)
 
     val corpusCells = withNorm(corpus, corpusId, vecCol)
       .withColumn("cell", array_max(cellSims(col("v"))).getField("cid"))
@@ -227,5 +233,55 @@ object Similarity {
     sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("q_id", "id", "sim", "rnk")
+  }
+
+  /** Persist the IVF index: the expensive part at 100 TB is the corpus
+    * assignment pass, so build it ONCE — centroids as a tiny parquet,
+    * cell-assigned corpus `partitionBy("cell")`. Every later query batch
+    * then reads only its probed cells' files (static partition pruning —
+    * nProbe of nCentroids directories), amortizing the build across the
+    * index's lifetime. Same cell math as [[ivfTopK]]: the parity spec
+    * asserts identical results. */
+  def ivfBuildIndex(corpus: DataFrame, corpusId: String, vecCol: String,
+                    path: String, nCentroids: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cid", "c")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    withNorm(corpus, corpusId, vecCol)
+      .withColumn("cell",
+        array_max(cellSimsFor(centroids)(col("v"))).getField("cid"))
+      .withColumnRenamed(corpusId, "id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Query a persisted IVF index. The distinct probed-cell set is at most
+    * nCentroids (bounded, tiny), so it is collected and pushed as an `isin`
+    * partition filter — the scan provably reads only probed directories.
+    * Output: (q_id, id, sim, rnk) — identical to [[ivfTopK]]. */
+  def ivfQueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, queryId: String, vecCol: String,
+                    k: Int, nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    val queryProbes = withNorm(queries, queryId, vecCol)
+      .select(col(queryId).as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(slice(reverse(array_sort(cellSimsFor(centroids)(col("v")))),
+          1, nProbe)).as("pr"))
+      .select(col("q_id"), col("qv"), col("qn"), col("pr.cid").as("cell"))
+    val probedCells = queryProbes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by nCentroids
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*))
+    val cand = cells.join(queryProbes, "cell")
+    val sims = cand.withColumn("sim",
+      dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("id"), col("sim"), col("rnk"))
   }
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Persisted IVF index: build-once/query-many parity with the inline
+  * operator, and proof that queries read only the probed cell partitions. */
+class IvfIndexSpec extends SparkSpecBase {
+
+  private lazy val corpus = spark.read.parquet(sf() + "/embeddings.parquet")
+  private lazy val queries = corpus.limit(5)
+    .select(col("vec_id").as("q_id"), col("embedding"))
+
+  test("ivfQueryIndex returns exactly what inline ivfTopK returns") {
+    val path = Files.createTempDirectory("ivf-idx").toString
+    Similarity.ivfBuildIndex(corpus, "vec_id", "embedding", path, nCentroids = 16)
+
+    val inline = Similarity.ivfTopK(corpus, "vec_id", queries, "q_id",
+        "embedding", k = 10, nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val indexed = Similarity.ivfQueryIndex(spark, path, queries, "q_id",
+        "embedding", k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(indexed == inline,
+      s"missing=${(inline -- indexed).take(3)} extra=${(indexed -- inline).take(3)}")
+  }
+
+  test("index queries prune to the probed cell partitions") {
+    val path = Files.createTempDirectory("ivf-idx2").toString
+    Similarity.ivfBuildIndex(corpus, "vec_id", "embedding", path, nCentroids = 16)
+    val one = queries.limit(1)
+    val df = Similarity.ivfQueryIndex(spark, path, one, "q_id", "embedding",
+      k = 5, nProbe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // the isin partition filter must reach the cells scan
+    assert(plan.contains("PartitionFilters: [cell#") ||
+      "cell.* IN ".r.findFirstIn(plan).isDefined,
+      s"no partition filter on the cells scan:\n${plan.take(3000)}")
+    // 1 query x nProbe 2 -> at most 2 of the 16 cell directories are read
+    val scanned = "cell=\\d+".r.findAllIn(plan).toSet
+    if (scanned.nonEmpty) assert(scanned.size <= 2, scanned.toString)
+    assert(df.count() == 5)
+  }
+}
