@@ -18,6 +18,90 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
+  /** Product-quantization codebooks — the ANN memory tier between int8 and
+    * the 64-bit sign sketch: D dims split into `m` subspaces, each encoded
+    * as the id of its nearest of `k` codebook entries → m bytes per vector
+    * (D=64, m=8: 32× smaller than float32).
+    *
+    * Codebook entries are hash-ordered corpus samples (the IVF seeding
+    * recipe — deterministic and md5-derived, so DuckDB re-derives the exact
+    * same codebooks from the data and the encode query hash-compares;
+    * k-means would encode tighter but is neither portable nor stable).
+    * Returns codebooks(mi)(ki)(j): the ki-th entry of subspace mi. */
+  def pqCodebooks(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                  vecCol: String, m: Int, k: Int): Seq[Seq[Seq[Double]]] = {
+    val seeds = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(pmod(conv(substring(md5(col("id").cast("string")), 1, 15),
+        16, 10).cast("long"), lit(9973)), col("id"))
+      .limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toIndexedSeq)
+    val d = seeds.head.length
+    require(d % m == 0, s"vector dim $d must be divisible by m=$m")
+    val sub = d / m
+    (0 until m).map(mi => seeds.toSeq.map(s => s.slice(mi * sub, (mi + 1) * sub)))
+  }
+
+  /** Encode a vector as its `m` PQ codes (array<int>): per subspace, the
+    * codebook entry with minimal L2 distance (ties → lowest id, via
+    * lexicographic struct min). All-literal expression tree — map-only,
+    * no shuffle, same shape as the IVF cell assignment. */
+  def pqEncode(vecIn: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    bindOnce(vecIn.cast("array<double>")) { v =>
+      array((0 until m).map { mi =>
+        array_min(array(codebooks(mi).zipWithIndex.map { case (cb, ki) =>
+          val dist = cb.zipWithIndex
+            .map { case (cj, j) =>
+              val dIdx = element_at(v, mi * sub + j + 1) - lit(cj)
+              dIdx * dIdx
+            }
+            .foldLeft(lit(0.0))(_ + _)
+          struct(dist.as("d"), lit(ki).as("cid"))
+        }: _*)).getField("cid")
+      }: _*)
+    }
+  }
+
+  /** ADC (asymmetric distance) top-k over PQ codes: queries keep full
+    * precision, corpus rows carry only their m codes — the scan side streams
+    * m bytes per vector instead of D floats. Approximate squared L2 =
+    * Σ_m LUT_m[code_m], with each LUT_m the query subvector's distances to
+    * subspace m's codebook entries (an all-literal expression over the
+    * broadcast query row — map-only until the per-query top-k shuffle).
+    * Output: (q_id, id, adist, rnk), ascending distance. */
+  def pqAdcTopK(encoded: org.apache.spark.sql.DataFrame, idCol: String,
+                codesCol: String, queries: org.apache.spark.sql.DataFrame,
+                queryId: String, vecCol: String,
+                codebooks: Seq[Seq[Seq[Double]]], k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val q = broadcast(queries.select(col(queryId).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val joined = encoded.select(col(idCol).as("id"), col(codesCol).as("codes"))
+      .crossJoin(q)
+    val dist = bindOnce(col("qv")) { qv =>
+      bindOnce(col("codes")) { codes =>
+        (0 until m).map { mi =>
+          val lut = array(codebooks(mi).map { cb =>
+            cb.zipWithIndex.map { case (cj, j) =>
+              val dd = element_at(qv, mi * sub + j + 1) - lit(cj)
+              dd * dd
+            }.foldLeft(lit(0.0))(_ + _)
+          }: _*)
+          element_at(lut, element_at(codes, mi + 1) + 1)
+        }.foldLeft(lit(0.0))(_ + _)
+      }
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("id"))
+    joined.withColumn("adist", dist)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("id"), col("adist"), col("rnk"))
+  }
+
   /** (scale DOUBLE, q ARRAY<INT>, err DOUBLE) struct: quantization scale,
     * int8 codes, and the L2 reconstruction error — one pass over the row.
     * Zero vectors quantize to all-zero codes with scale 0. */

@@ -196,6 +196,38 @@ object SimilarityQueries {
             i -> (CAST(v[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) * scale)
                * (CAST(v[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) * scale)),
             (a, b) -> a + b)) AS err
-        FROM qc ORDER BY vec_id"""))
+        FROM qc ORDER BY vec_id""")),
+
+    // ---- p30: product-quantization encode — m=8 subspaces x k=16 entries
+    // = 8 codes/vector (32x smaller than float32). Codebooks are the IVF
+    // hash-ordered corpus sample (md5-derived => DuckDB re-derives them
+    // bit-identically from the data); per-subspace argmin L2, ties to the
+    // lowest codebook id. -------------------------------------------------
+    QueryDef("p30_pq_codes",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val cbs = Quantize.pqCodebooks(e, "vec_id", "embedding", m = 8, k = 16)
+        e.select(col("vec_id"),
+          concat_ws(",", Quantize.pqEncode(col("embedding"), cbs)).as("codes_csv"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        seed AS (SELECT v,
+            ROW_NUMBER() OVER (ORDER BY
+              ('0x' || substring(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 9973,
+              vec_id) - 1 AS ki
+          FROM e QUALIFY ki < 16),
+        sub AS (SELECT e.vec_id, m.m, s.ki,
+            list_reduce(list_transform(range(0, 8),
+              j -> (e.v[m.m*8 + j + 1] - s.v[m.m*8 + j + 1])
+                 * (e.v[m.m*8 + j + 1] - s.v[m.m*8 + j + 1])),
+              (a, b) -> a + b) AS dist
+          FROM e CROSS JOIN range(8) m(m) CROSS JOIN seed s),
+        best AS (SELECT vec_id, m, ki,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, ki) AS rnk
+          FROM sub QUALIFY rnk = 1)
+        SELECT vec_id, string_agg(ki, ',' ORDER BY m) AS codes_csv
+        FROM best GROUP BY vec_id ORDER BY vec_id"""))
   )
 }

@@ -44,6 +44,44 @@ class SamplingQuantizeSpec extends SparkSpecBase {
     assert(math.abs(fr1("small") - fr1("big")) < 1e-12, fr1.toString)
   }
 
+  test("PQ encode + ADC distance: hand-computed tiny example is exact") {
+    // 4-dim vectors, m=2 subspaces of 2 dims, k=2 codebook entries
+    val cbs: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)), // subspace 0
+      Seq(Seq(0.0, 5.0), Seq(5.0, 0.0)))   // subspace 1
+    val corpus = Seq(
+      (1L, Seq(1.0f, 1.0f, 0.0f, 4.0f)),  // sub0 -> cb0 (d=2 vs 162); sub1 -> cb0 (1 vs 41)
+      (2L, Seq(9.0f, 9.0f, 6.0f, 1.0f))   // sub0 -> cb1 (2 vs 162); sub1 -> cb1 (2 vs 52)
+    ).toDF("id", "v")
+    val enc = corpus.select($"id", Quantize.pqEncode($"v", cbs).as("codes"))
+    val codes = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(1L) == Seq(0, 0) && codes(2L) == Seq(1, 1), codes.toString)
+
+    // ADC for query (0,0,0,0): LUT0 = [0, 200], LUT1 = [25, 25]
+    val queries = Seq((7L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("q_id", "v")
+    val out = Quantize.pqAdcTopK(enc, "id", "codes", queries, "q_id", "v", cbs, k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toList
+    assert(out == List((1L, 25.0, 1), (2L, 225.0, 2)), out.toString)
+  }
+
+  test("PQ on real embeddings: self-query ranks own code block first") {
+    val corpus = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val cbs = Quantize.pqCodebooks(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val enc = corpus.select($"vec_id",
+      Quantize.pqEncode($"embedding", cbs).as("codes")).cache()
+    val queries = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding")
+    val top = Quantize.pqAdcTopK(enc, "vec_id", "codes", queries, "q_id",
+      "embedding", cbs, k = 10)
+    val rows = top.collect()
+    assert(rows.length == 30)
+    // distances ascend within each query
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val ds = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("int8 quantization: codes bounded, zero vector safe, error small") {
     val df = Seq(
       (1L, Seq(1.0f, -2.0f, 0.5f, 127.5f)),
