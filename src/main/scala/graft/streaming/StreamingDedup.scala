@@ -81,6 +81,40 @@ object StreamingDedup {
     voted.unionByName(short)
   }
 
+  /** Streaming paragraph dedup — the streaming twin of
+    * `Dedup.dedupParagraphs`: a paragraph is kept only at its FIRST ARRIVAL
+    * within the watermark (arrival order, not (id, pos) order — the same
+    * documented divergence as the exact/near tiers); each document is
+    * rebuilt from its surviving paragraphs in original order and emitted
+    * once the watermark passes its window. A document whose every paragraph
+    * was already claimed produces NO output row (absence = fully
+    * deduplicated — a stream cannot emit an empty rebuild for a doc whose
+    * rows were all dropped upstream).
+    *
+    * State: one md5 fingerprint entry per distinct paragraph within the
+    * watermark (`dropDuplicatesWithinWatermark` on the fingerprint, not the
+    * paragraph text — state stores 32 hex chars however long the paragraph
+    * is), plus the windowed rebuild aggregate. */
+  def dedupParagraphsStream(docs: DataFrame, tsCol: String, idCol: String,
+                            textCol: String, watermark: String,
+                            sep: String = "\n",
+                            windowDur: String = "10 seconds"): DataFrame = {
+    val posts = docs.select(col(idCol).as("id"), col(tsCol).as("ts"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF("id", "ts", "pos", "para")
+      .withColumn("fp", md5(col("para")))
+    val claims = posts
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+    claims.groupBy(window(col("ts"), windowDur), col("id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          e => e.getField("para")), sep).as("text_kept"),
+        count(lit(1)).as("n_kept"))
+      .select(col("id").as(idCol), col("window.start").as("w_start"),
+        col("text_kept"), col("n_kept"))
+  }
+
   /** One LSH-band row headed into the verify state: the doc's id, event
     * time, bucket key, and its full shingle-fingerprint set. */
   final case class BandRow(id: Long, ts: Timestamp, band: Int, bh: String,

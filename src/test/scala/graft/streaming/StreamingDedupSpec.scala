@@ -111,6 +111,41 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert((kept -- Set(999999L, 999998L)).subsetOf(eligible))
   }
 
+  test("streaming paragraph dedup: first arrival claims, docs rebuilt in order") {
+    import spark.implicits._
+    val base = 1700000000000L
+    // docs fed ONE PER BATCH so arrival order is strict (within one batch,
+    // which duplicate wins dropDuplicatesWithinWatermark is undefined)
+    val docs = Seq(
+      Doc(1L, new Timestamp(base), "alpha\nbeta\ngamma"),
+      Doc(2L, new Timestamp(base + 1000), "beta\ndelta"),
+      Doc(3L, new Timestamp(base + 2000), "alpha\nbeta"),   // nothing survives
+      Doc(4L, new Timestamp(base + 3000), "gamma\nepsilon\nalpha"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamingDedup.dedupParagraphsStream(mem.toDF(), "ts", "doc_id",
+      "text", watermark = "10 seconds", windowDur = "10 seconds")
+      .writeStream.format("memory").queryName("paradedup_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    docs.foreach { d => mem.addData(d); q.processAllAvailable() }
+    mem.addData(Doc(99L, new Timestamp(base + 120000), "flush"))
+    q.processAllAvailable()
+    mem.addData(Doc(98L, new Timestamp(base + 180000), "flush2"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("paradedup_out")
+      .filter(col("doc_id") < 90)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_kept"), r.getAs[Long]("n_kept"))).toMap
+    // matches the batch operator's first-occurrence policy (arrival = id order here)
+    assert(out(1L) == (("alpha\nbeta\ngamma", 3L)), out.toString)
+    assert(out(2L) == (("delta", 1L)), out.toString)
+    assert(!out.contains(3L), "fully-deduplicated doc must be absent")
+    assert(out(4L) == (("epsilon", 1L)), out.toString)
+  }
+
   test("verified streaming near-dedup: exact parity with a sequential replay (precision 1)") {
     import spark.implicits._
     import graft.operators.Dedup
