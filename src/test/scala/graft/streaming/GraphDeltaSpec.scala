@@ -86,6 +86,43 @@ class GraphDeltaSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(after == before + 5, s"resync should re-deliver the 5 current users, got ${after - before}")
   }
 
+  test("SharePoint list-item CDC: fields unwrap + top-level id + tombstones") {
+    stub.listItemDeltas.clear()
+    val ckpt = Files.createTempDirectory("gl-ckpt").toUri.toString
+    val out = Files.createTempDirectory("gl-out").toString
+    val deltaUrl =
+      s"${stub.baseUrl}/sites/${stub.SiteId}/lists/${stub.ListId}/items/delta"
+    def runOnce(): Unit = {
+      val df = spark.readStream.format("graph-delta")
+        .option("url", deltaUrl)
+        .option("schemaDdl",
+          "id STRING, Title STRING, Amount DOUBLE, removedReason STRING")
+        .option("unwrap", "fields")
+        .load()
+      val q = df.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+
+    runOnce() // initial sync: 3 items, typed via the fields facet
+    val first = spark.read.parquet(out)
+    assert(first.count() == 3)
+    val r1 = first.filter("id = '1'").head()
+    assert(r1.getAs[String]("Title") == "Item 1")
+    assert(r1.getAs[Double]("Amount") == 1.5)
+
+    stub.listItemDeltas += Seq(
+      """{"id":"1","webUrl":"https://x/items/1","fields":{"Title":"Item 1 (edited)","Amount":99.5,"id":"1"}}""",
+      """{"id":"2","@removed":{"reason":"deleted"}}""")
+    runOnce() // delta round: one edit + one tombstone
+    val all = spark.read.parquet(out)
+    assert(all.count() == 5)
+    assert(all.filter("Title = 'Item 1 (edited)'").head().getAs[Double]("Amount") == 99.5)
+    val tomb = all.filter("removedReason = 'deleted'")
+    assert(tomb.count() == 1 && tomb.head().getAs[String]("id") == "2")
+  }
+
   test("resource-agnostic: a mailbox (messages) CDC stream with its own token space") {
     stub.messageDeltas.clear()
     val ckpt = Files.createTempDirectory("gm-ckpt").toUri.toString

@@ -80,6 +80,9 @@ class GraphStub {
 
   /** Delta rounds for /me/messages/delta (independent token space Mk). */
   val messageDeltas = mutable.ListBuffer[Seq[String]]()
+
+  /** Delta rounds for SharePoint list items (token space Lk). */
+  val listItemDeltas = mutable.ListBuffer[Seq[String]]()
   private def msgJson(i: Int) =
     s"""{"id":"m$i","subject":"Subject $i","isRead":${i % 2 == 0}}"""
 
@@ -137,6 +140,26 @@ class GraphStub {
             respond(ex, 200,
               s"""{"value":[${slice.mkString(",")}],""" +
                 s""""@odata.deltaLink":"$baseUrl/me/messages/delta?$$deltatoken=M$newTok"}""")
+        }
+
+      // ---- Graph delta protocol (SharePoint list items: fields facet +
+      // tombstones through the same deltaLink machinery) ----
+      case p if p == s"/v1.0/sites/$SiteId/lists/$ListId/items/delta" =>
+        q.get("$deltatoken") match {
+          case None =>
+            val consumed = listItemDeltas.synchronized(listItemDeltas.size)
+            respond(ex, 200,
+              s"""{"value":[${listItems.take(3).mkString(",")}],""" +
+                s""""@odata.deltaLink":"$baseUrl/sites/$SiteId/lists/$ListId/items/delta?$$deltatoken=L$consumed"}""")
+          case Some(t) =>
+            val k = t.stripPrefix("L").toInt
+            val (slice, consumed) = listItemDeltas.synchronized {
+              (listItemDeltas.drop(k).flatten.toSeq, listItemDeltas.size)
+            }
+            val newTok = if (slice.isEmpty) k else consumed
+            respond(ex, 200,
+              s"""{"value":[${slice.mkString(",")}],""" +
+                s""""@odata.deltaLink":"$baseUrl/sites/$SiteId/lists/$ListId/items/delta?$$deltatoken=L$newTok"}""")
         }
 
       // ---- Entra ----
