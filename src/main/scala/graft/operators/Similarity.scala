@@ -284,4 +284,92 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("id"), col("sim"), col("rnk"))
   }
+
+  /** IVFPQ — the classic composed ANN index, columnar-native: IVF cells for
+    * partition pruning, PQ codes for the in-cell candidate scan, exact
+    * cosine rerank for the final order. The index stores codes AND vectors
+    * in the same cell-partitioned parquet; the ADC pass projects only
+    * (id, codes) — parquet column pruning makes that scan ~9 bytes/vector —
+    * and full vectors are read again only for the rerank pool (same
+    * partition pruning, narrow id semi-join). */
+  def ivfPqBuildIndex(corpus: DataFrame, corpusId: String, vecCol: String,
+                      path: String, nCentroids: Int = 16,
+                      m: Int = 8, k: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "c")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cbs = graft.operators.Quantize.pqCodebooks(corpus, corpusId, vecCol, m, k)
+    cbs.zipWithIndex.flatMap { case (entries, mi) =>
+      entries.zipWithIndex.map { case (c, ki) => (mi, ki, c) }
+    }.toDF("m", "ki", "c")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    withNorm(corpus, corpusId, vecCol)
+      .withColumn("cell",
+        array_max(cellSimsFor(centroids)(col("v"))).getField("cid"))
+      .withColumn("codes", graft.operators.Quantize.pqEncode(col("v"), cbs))
+      .withColumnRenamed(corpusId, "id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Query an IVFPQ index: probe cells → ADC over codes → exact rerank of
+    * the per-query `rerank` pool. Output: (q_id, id, sim, rnk). */
+  def ivfPqQueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, queryId: String, vecCol: String,
+                      k: Int, nProbe: Int = 4, rerank: Int = 64): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cid").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val m = cbRows.map(_._1).max + 1
+    val cbs: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
+      cbRows.filter(_._1 == mi).sortBy(_._2).map(_._3).toSeq
+    }
+    val sub = cbs.head.head.length
+
+    val q = withNorm(queries, queryId, vecCol)
+      .select(col(queryId).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = q.select(col("q_id"), col("qv"), col("qn"),
+        explode(slice(reverse(array_sort(cellSimsFor(centroids)(col("qv")))),
+          1, nProbe)).as("pr"))
+      .select(col("q_id"), col("qv"), col("qn"), col("pr.cid").as("cell"))
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by nCentroids
+
+    // ADC pass: codes-only projection of the probed cells
+    val codesScan = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("id"), col("cell"), col("codes"))
+    val adist = graft.operators.bindOnce(col("qv")) { qv =>
+      graft.operators.bindOnce(col("codes")) { codes =>
+        (0 until m).map { mi =>
+          val lut = array(cbs(mi).map { cb =>
+            cb.zipWithIndex.map { case (cj, j) =>
+              val dd = element_at(qv, mi * sub + j + 1) - lit(cj)
+              dd * dd
+            }.foldLeft(lit(0.0))(_ + _)
+          }: _*)
+          element_at(lut, element_at(codes, mi + 1) + 1)
+        }.foldLeft(lit(0.0))(_ + _)
+      }
+    }
+    val wA = Window.partitionBy("q_id").orderBy(col("adist").asc, col("id"))
+    val pool = codesScan.join(probes, "cell")
+      .withColumn("adist", adist)
+      .withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= rerank)
+      .select("q_id", "id") // narrow: ids only re-join vectors
+
+    // exact rerank: vectors of the pool only (same pruned partitions)
+    val vecScan = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("id"), col("v"), col("nrm"))
+    val sims = pool.join(vecScan, "id").join(q, "q_id")
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("id"), col("sim"), col("rnk"))
+  }
 }

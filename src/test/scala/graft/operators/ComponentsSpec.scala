@@ -68,6 +68,18 @@ class ComponentsSpec extends SparkSpecBase {
     }
   }
 
+  test("a 300-node chain converges within the O(log n) round budget") {
+    // the worst case for label propagation (O(diameter) = 300 rounds);
+    // large-star/small-star must finish in ~log2(300)+c rounds — maxIter 14
+    // makes the spec FAIL (require inside the operator) if convergence is
+    // ever worse than logarithmic
+    val edges = (0L until 299L).map(i => (i, i + 1))
+    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
+      maxIter = 14)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 300 && got.values.forall(_ == 0L))
+  }
+
   test("dedupClusters assigns singletons to themselves and sizes clusters") {
     val docs = (0L to 9L).toDF("doc_id")
     val pairs = Seq[(Long, Long)]((1, 3), (3, 5), (7, 8)).toDF("id_a", "id_b")

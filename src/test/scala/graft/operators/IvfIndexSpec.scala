@@ -26,6 +26,33 @@ class IvfIndexSpec extends SparkSpecBase {
       s"missing=${(inline -- indexed).take(3)} extra=${(indexed -- inline).take(3)}")
   }
 
+  test("IVFPQ: self-queries rerank to themselves; ADC scan projects codes only") {
+    val path = Files.createTempDirectory("ivfpq-idx").toString
+    Similarity.ivfPqBuildIndex(corpus, "vec_id", "embedding", path,
+      nCentroids = 16, m = 8, k = 16)
+    val top = Similarity.ivfPqQueryIndex(spark, path, queries, "q_id",
+      "embedding", k = 10, nProbe = 4, rerank = 64)
+    val rows = top.collect()
+    assert(rows.length == 50)
+    // a query that IS a corpus vector must rerank itself to rank 1, sim ~1
+    val self = rows.filter(r => r.getInt(3) == 1)
+    assert(self.length == 5)
+    self.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"rank-1 not self: $r")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+    // exact-rerank sims descend within each query
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val ds = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+    }
+    // the ADC stage's scan reads only id/cell/codes — not the vectors
+    val plan = top.queryExecution.executedPlan.toString
+    val codeScans = "ReadSchema: [^\n]*codes".r.findAllIn(plan).toList
+    assert(codeScans.exists(!_.contains("nrm")),
+      s"expected a codes-only scan without vectors:\n${codeScans.mkString("\n")}")
+  }
+
   test("index queries prune to the probed cell partitions") {
     val path = Files.createTempDirectory("ivf-idx2").toString
     Similarity.ivfBuildIndex(corpus, "vec_id", "embedding", path, nCentroids = 16)
