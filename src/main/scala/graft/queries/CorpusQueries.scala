@@ -237,6 +237,82 @@ object CorpusQueries {
                % 2147483648 AS DOUBLE) / 2147483648.0
           < CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
                         WHEN 'src2' THEN 0.2 ELSE 0.3 END
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- p31: the round-4 curation pipeline END-TO-END — repetition gate
+    // -> PII redaction (planted deterministically, as p26) -> stratified
+    // 60% sample -> token-budget shard packing — composed from the same
+    // operators the individual gates verify, and hash-compared as a WHOLE
+    // (each stage's oracle fragment chained into one SQL). -----------------
+    QueryDef("p31_curate_pipeline",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val clean = docs
+          .withColumn("dup_frac", TextOps.dupTokenFrac(TextOps.tokens(col("text"))))
+          .withColumn("topg", TextOps.top2gramFrac(TextOps.tokens(col("text"))))
+          .filter(!(col("dup_frac") > 0.3 || col("topg") > 0.18))
+        val withPii = clean.withColumn("text",
+          concat_ws(" ", col("text"),
+            concat(lit("contact user"), col("doc_id"), lit("@example.com")),
+            concat(lit("host 10.1."), pmod(col("doc_id"), lit(250)), lit(".7"))))
+        val redacted = withPii
+          .withColumn("n_pii",
+            (Pii.emailCount(col("text")) + Pii.ipv4Count(col("text"))).cast("long"))
+          .withColumn("text", Pii.redact(col("text")))
+        val sampled = Shards.sampleStratified(redacted, "doc_id", "source",
+          Map.empty, defaultFraction = 0.6, salt = "cur")
+          .withColumn("tk", TextOps.tokenCount(col("text")).cast("long"))
+        Shards.packShards(sampled, "source", "doc_id", "tk", budget = 1500L)
+          .groupBy("source", "shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tk")).cast("long").as("shard_tokens"),
+            sum(col("n_pii")).cast("long").as("n_pii_redacted"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy("source", "shard_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, source, text, $ToksSql AS tk FROM documents),
+        g AS (SELECT doc_id,
+            list_transform(range(0, len(tk)-1), i -> tk[i+1] || ' ' || tk[i+2]) AS gs
+          FROM t WHERE len(tk) >= 2),
+        grams AS (SELECT doc_id, unnest(gs) AS gm FROM g),
+        gcnt AS (SELECT doc_id, MAX(c) AS topg FROM
+          (SELECT doc_id, gm, COUNT(*) AS c FROM grams GROUP BY 1, 2) GROUP BY 1),
+        clean AS (SELECT t.doc_id, t.source, t.text FROM t
+          LEFT JOIN gcnt ON t.doc_id = gcnt.doc_id
+          WHERE NOT (
+            CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE)
+              / CAST(greatest(len(tk), 1) AS DOUBLE) > 0.3
+            OR CAST(COALESCE(topg, 0) AS DOUBLE)
+              / CAST(greatest(len(tk) - 1, 1) AS DOUBLE) > 0.18)),
+        planted AS (SELECT doc_id, source,
+            concat_ws(' ', text,
+              'contact user' || doc_id || '@example.com',
+              'host 10.1.' || (doc_id % 250) || '.7') AS text
+          FROM clean),
+        red AS (SELECT doc_id, source,
+            CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+            + CAST(len(regexp_extract_all(text,
+              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_pii,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+              '\\+\\d{1,3}[ -]\\d{3}[ -]\\d{4}', '<PHONE>', 'g') AS text
+          FROM planted),
+        samp AS (SELECT *,
+            CAST(len($ToksSql) AS BIGINT) AS tk2
+          FROM red
+          WHERE CAST(('0x' || substring(md5('cur' || doc_id), 1, 15))::BIGINT
+                % 2147483648 AS DOUBLE) / 2147483648.0 < 0.6),
+        w AS (SELECT doc_id, source, n_pii, tk2,
+            SUM(tk2) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk2 AS ecs
+          FROM samp)
+        SELECT source, CAST(ecs // 1500 AS BIGINT) AS shard_id,
+          COUNT(*) AS n_docs, CAST(SUM(tk2) AS BIGINT) AS shard_tokens,
+          CAST(SUM(n_pii) AS BIGINT) AS n_pii_redacted,
+          MIN(doc_id) AS first_doc
+        FROM w GROUP BY 1, 2 ORDER BY source, shard_id"""))
   )
 }
