@@ -438,6 +438,48 @@ object HostQueries {
               FROM customer GROUP BY c_nationkey) na
           USING (c_nationkey)
         WHERE c_acctbal > nation_avg
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ---- q21: PIVOT (RelationalGroupedDataset.pivot with explicit values —
+    // deterministic column set, no value-discovery job) ---------------------
+    QueryDef("q21_pivot_priority",
+      (s, d) => T.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(sum(dec2("o_totalprice")).cast("double"))
+        .orderBy("yr"),
+      Some("""
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+          CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "1-URGENT",
+          CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "2-HIGH",
+          CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "3-MEDIUM",
+          CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "4-NOT SPECIFIED",
+          CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "5-LOW"
+        FROM orders GROUP BY 1 ORDER BY yr""")),
+
+    // ---- q22: explicit GROUPING SETS (beyond the q09 ROLLUP / q13 CUBE
+    // shapes: an arbitrary, non-hierarchical set list) ----------------------
+    QueryDef("q22_grouping_sets",
+      (s, d) => T.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2("o_totalprice")).cast("double").as("total_price"))
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority"""))
   )
 }
