@@ -241,7 +241,8 @@ object Dedup {
     * agree and cross-check each other in the test suite.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-                      minJaccard: Double, k: Int = 64, bands: Int = 16): DataFrame = {
+                      minJaccard: Double, k: Int = 64, bands: Int = 16,
+                      maxBucket: Option[Long] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val sets = shingleSets(df, idCol, textCol, n).cache()
     // cached: the band self-join otherwise evaluates the whole signature
@@ -249,8 +250,20 @@ object Dedup {
     // for self-joins on aggregated subtrees). k longs per doc: tiny relative
     // to the corpus at any scale.
     val sig = minhashSigTable(sets, k).cache()
-    val bandRows = sig.select(col("id"),
+    val bandRows0 = sig.select(col("id"),
       posexplode(bandKeys(col("sig"), k, bands))).toDF("id", "band", "bh")
+    // LSH bucket skew guard: a bucket of m docs emits ~m^2/2 candidate pairs
+    // on ONE reducer — a 1M-doc boilerplate cluster is 10^12 pairs. Buckets
+    // larger than the cap are dropped whole (their members are exact-dedup
+    // territory, and each doc still has bands-1 other chances to pair);
+    // deterministic, so the capped gate query (p32) oracles exactly.
+    val bandRows = maxBucket match {
+      case Some(cap) =>
+        val sizes = bandRows0.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+        bandRows0.join(sizes.filter(col("bn") <= cap), Seq("band", "bh"))
+          .select("id", "band", "bh")
+      case None => bandRows0
+    }
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -289,7 +302,8 @@ object Dedup {
     * chunks; larger radii would need more tables).
     * Output: (id_a, id_b, hamming). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucket: Option[Long] = None): DataFrame = {
     // cached for the same self-join double-evaluation reason as in
     // minhashLshPairs; one long per doc
     val sigs = simhashSigTable(df, idCol, textCol).cache()
@@ -298,8 +312,17 @@ object Dedup {
         c => struct(c.as("ci"),
           call_function("shiftrightunsigned", col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv")))
     ).as("ch")).select(col("id"), col("sig"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-    chunks.as("a")
-      .join(chunks.as("b"),
+    // same bucket skew guard as minhashLshPairs: 16-bit chunks collide
+    // heavily on near-constant signature regions at scale
+    val capped = maxBucket match {
+      case Some(cap) =>
+        val sizes = chunks.groupBy("ci", "cv").agg(count(lit(1)).as("bn"))
+        chunks.join(sizes.filter(col("bn") <= cap), Seq("ci", "cv"))
+          .select("id", "sig", "ci", "cv")
+      case None => chunks
+    }
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -127,6 +127,50 @@ object DedupQueries {
         SELECT id_a, id_b, inter, uni, jaccard FROM pairs
         ORDER BY id_a, id_b""")),
 
+    // ---- p32: MinHash-LSH pairs WITH the bucket skew cap engaged — the
+    // guard that bounds candidate blowup at 100 TB (a 1M-doc boilerplate
+    // cluster sharing a band bucket is 10^12 pairs on one reducer; capped
+    // buckets drop whole, deterministically). Oracle mirrors the cap:
+    // bucket sizes computed on the SAME band rows, buckets > 3 removed
+    // before the candidate join. --------------------------------------
+    QueryDef("p32_minhash_capped",
+      (s, d) => Dedup.minhashLshPairs(T.documents(s, d), "doc_id", "text",
+        n = 3, minJaccard = 0.2, maxBucket = Some(3L)).orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+        sets AS (SELECT doc_id,
+            list_distinct(list_transform(range(0, len(tk)-2),
+              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shs
+          FROM t WHERE len(tk) >= 3),
+        posts AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
+        fps AS (SELECT doc_id,
+            ('0x' || substring(md5(sh), 1, 15))::BIGINT % 2147483648 AS f
+          FROM posts),
+        comp AS (SELECT doc_id, i,
+            MIN((((2654435769 * (2*i + 1)) % 2147483645 + 1) * f
+                 + ((3266489917 * (i + 1)) % 2147483647)) % 2147483647) AS h
+          FROM fps CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
+        sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM comp GROUP BY doc_id),
+        bands AS (SELECT doc_id, b AS band,
+            array_to_string(sig[b*4 + 1 : b*4 + 4], ',') AS bh
+          FROM sigs CROSS JOIN range(16) rb(b)),
+        bsz AS (SELECT band, bh, COUNT(*) AS bn FROM bands GROUP BY 1, 2),
+        capped AS (SELECT b.doc_id, b.band, b.bh
+          FROM bands b JOIN bsz USING (band, bh) WHERE bn <= 3),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        verified AS (SELECT id_a, id_b,
+            CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS inter,
+            CAST(len(sa.shs) AS BIGINT) + CAST(len(sb.shs) AS BIGINT)
+              - CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS uni
+          FROM cand
+          JOIN sets sa ON id_a = sa.doc_id
+          JOIN sets sb ON id_b = sb.doc_id)
+        SELECT id_a, id_b, inter, uni, jaccard FROM (
+          SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM verified)
+        WHERE jaccard >= 0.2 ORDER BY id_a, id_b""")),
+
     // ---- p24: near-dup CLUSTERS — pairs are edges, a duplicate cluster is
     // a connected component (A~B, B~C => {A,B,C} even when A!~C directly).
     // Spark side: alternating large-star/small-star (O(log n) key-shuffle

@@ -118,10 +118,10 @@ object StreamingDedup {
   /** One LSH-band row headed into the verify state: the doc's id, event
     * time, bucket key, and its full shingle-fingerprint set. */
   final case class BandRow(id: Long, ts: Timestamp, band: Int, bh: String,
-                           fps: Array[Long])
+                           fps: Array[Int])
   /** Bucket state: the first claimant and its fingerprints (bounded: one
     * doc's shingle set per live bucket, aged out by event-time timeout). */
-  final case class BucketState(ownerId: Long, ownerTsMs: Long, fps: Array[Long])
+  final case class BucketState(ownerId: Long, ownerTsMs: Long, fps: Array[Int])
   final case class VerifyOut(id: Long, ts: Timestamp, is_dup: Boolean)
 
   /** Streaming near-dedup with an EXACT-VERIFY tier — precision restored to
@@ -165,7 +165,8 @@ object StreamingDedup {
     val sets = toked
       .filter(size(col("toks")) >= n)
       .withColumn("shingles", TextOps.wordShinglesFromTokens(col("toks"), n))
-      .withColumn("fps", transform(col("shingles"), Dedup.mdHash31(_)))
+      // 31-bit fingerprints fit Int: HALF the shuffle/state bytes of longs
+      .withColumn("fps", transform(col("shingles"), c => Dedup.mdHash31(c).cast("int")))
       .withColumn("sig", Dedup.rowMinhashSig(col("shingles"), k))
     val bandRows = sets.select(col(idCol).as("id"), col(tsCol).as("ts"),
         posexplode(Dedup.bandKeys(col("sig"), k, bands)).as(Seq("band", "bh")),

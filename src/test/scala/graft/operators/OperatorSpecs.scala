@@ -100,6 +100,34 @@ class DedupSpec extends SparkSpecBase {
     assert(capped.columns.toSeq == Seq("id_a", "id_b", "inter", "uni", "jaccard"))
     capped.collect() // runs
   }
+
+  test("minhashLshPairs maxBucket drops boilerplate-cluster buckets, keeps the rest") {
+    import org.apache.spark.sql.functions._
+    // inject a 6-copy boilerplate cluster: its docs share EVERY band bucket,
+    // so every cluster bucket has size >= 6 and a cap of 5 removes the
+    // 15 intra-cluster pairs; pairs among the original docs must survive
+    val boiler = (0 until 6).map(i =>
+      (900000L + i, "the same boilerplate footer text repeated verbatim here"))
+      .toDF("doc_id", "text")
+    val df = corpus.select("doc_id", "text").unionByName(boiler)
+    val uncapped = Dedup.minhashLshPairs(df, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashLshPairs(df, "doc_id", "text", 3, 0.5,
+        maxBucket = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val boilerPairs = uncapped.filter(p => p._1 >= 900000L && p._2 >= 900000L)
+    assert(boilerPairs.size == 15, s"expected the 6-clique, got ${boilerPairs.size}")
+    assert(capped.intersect(boilerPairs).isEmpty, "capped buckets still paired")
+    assert(capped == uncapped -- boilerPairs,
+      "cap must only remove the oversized buckets' pairs")
+  }
+
+  test("simhashPairs maxBucket caps chunk buckets deterministically") {
+    val capped = Dedup.simhashPairs(corpus, "doc_id", "text",
+      maxHamming = 3, maxBucket = Some(100L))
+    assert(capped.columns.toSeq == Seq("id_a", "id_b", "hamming"))
+    capped.collect() // runs
+  }
 }
 
 class SimilaritySpec extends SparkSpecBase {

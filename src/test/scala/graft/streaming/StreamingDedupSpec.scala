@@ -187,14 +187,14 @@ class StreamingDedupSpec extends SparkSpecBase {
     // true jaccard vs the owner >= 0.5 in any bucket
     val fedDf = fed.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
     val infos = Dedup.shingleSets(fedDf, "doc_id", "text", 3)
-      .withColumn("fps", transform(col("shingles"), Dedup.mdHash31(_)))
+      .withColumn("fps", transform(col("shingles"), c => Dedup.mdHash31(c).cast("int")))
       .withColumn("keys", Dedup.bandKeys(Dedup.rowMinhashSig(col("shingles"), 64), 64, 16))
       .select("id", "fps", "keys").collect()
       .map(r => (r.getLong(0),
-        r.getSeq[Long](1).toSet,
+        r.getSeq[Int](1).toSet,
         r.getSeq[String](2).zipWithIndex.map { case (bh, b) => (b, bh) }))
     val tsOf = fed.map(d => d.doc_id -> d.ts.getTime).toMap
-    val owners = scala.collection.mutable.Map[(Int, String), (Long, Set[Long])]()
+    val owners = scala.collection.mutable.Map[(Int, String), (Long, Set[Int])]()
     val dropped = scala.collection.mutable.Set[Long]()
     infos.sortBy { case (id, _, _) => (tsOf(id), id) }.foreach { case (id, fps, keys) =>
       val isDup = keys.exists { k =>
