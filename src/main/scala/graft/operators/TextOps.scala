@@ -130,6 +130,21 @@ object TextOps {
       greatest(size(t) - 1, lit(1)).cast("double")
   }
 
+  /** Corpus vocabulary: distinct tokens with total and document frequencies
+    * — the counting pass every tokenizer-training recipe (BPE, WordPiece)
+    * starts from, and the DF side of TF-IDF. One explode + one groupBy
+    * (partial-aggregatable counts — map-side combine absorbs the Zipf head,
+    * so "the" appearing 10^9 times is pre-summed per task, not shipped row
+    * by row). Top-k selection is the caller's (deterministic with an
+    * (n_total DESC, token) sort). */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, explode, lit}
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("id")).as("n_docs"))
+  }
+
   /** Modulus for rolling hashes: prime < 2^50 so `acc*31 + c` stays far from
     * Long overflow (ANSI mode would throw on wrap). Mirrored in oracle SQL. */
   val RollingHashMod = 1000000000000037L

@@ -166,6 +166,20 @@ object TextQueries {
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
             '\+\d{1,3}[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g') AS redacted
-        FROM w ORDER BY doc_id"""))
+        FROM w ORDER BY doc_id""")),
+
+    // ---- p33: corpus vocabulary — token total/document frequencies, the
+    // counting pass BPE/WordPiece training and TF-IDF start from. Top-50 by
+    // (n_total DESC, token): deterministic tie-break, hash-exact. ----------
+    QueryDef("p33_vocabulary",
+      (s, d) => TextOps.vocabulary(T.documents(s, d), "doc_id", "text")
+        .orderBy(col("n_total").desc, col("token"))
+        .limit(50),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents)
+        SELECT token, COUNT(*) AS n_total,
+          COUNT(DISTINCT doc_id) AS n_docs
+        FROM toks GROUP BY token
+        ORDER BY n_total DESC, token LIMIT 50"""))
   )
 }
