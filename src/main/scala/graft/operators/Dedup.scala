@@ -118,9 +118,13 @@ object Dedup {
     val posts = df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .toDF("id", "pos", "para")
-    val firsts = posts.groupBy("para")
+      .withColumn("fp", md5(col("para")))
+    // winner selection keyed on the md5 FINGERPRINT, not the raw text —
+    // both key shuffles ship 32 hex chars however long the paragraph is
+    // (the streaming twin made the same choice for its claim state)
+    val firsts = posts.groupBy("fp")
       .agg(min(struct(col("id"), col("pos"))).as("keep"))
-    val kept = posts.join(firsts, Seq("para"))
+    val kept = posts.join(firsts, Seq("fp"))
       .filter(col("id") === col("keep.id") && col("pos") === col("keep.pos"))
     val rebuilt = kept.groupBy("id")
       .agg(array_join(transform(

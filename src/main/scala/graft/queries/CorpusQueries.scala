@@ -108,9 +108,10 @@ object CorpusQueries {
         FROM h ORDER BY doc_id""")),
 
 
+    // ---- p16: video-style frame sampling (per-partition stub demuxer).
     // Oracle mirrors the frame-window arithmetic on byte lengths alone:
     // frame = max(1, len/4), min(4, len) windows, last window truncated at
-    // len — all integer, no byte content needed.
+    // len — all integer, no byte content needed. --------------------------
     QueryDef("p16_media_frames",
       (s, d) => {
         val media = Multimodal.attachBinary(

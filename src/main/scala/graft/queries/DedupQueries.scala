@@ -227,7 +227,6 @@ object DedupQueries {
         SELECT id_a, id_b, hamming FROM cand
         WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
-    // ---- p16: video-style frame sampling (per-partition stub demuxer) ------
     // ---- p19: embedding-cosine near-dup with NO blocking key: LSH bucket
     // collisions propose narrow (id_a, id_b) candidates, exact cosine
     // verifies >= 0.3. Oracle re-derives the same integer-LCG hyperplanes as

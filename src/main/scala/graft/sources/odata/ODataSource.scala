@@ -458,6 +458,7 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
     val expandSpecs = conf.expand.map(ExpandSpec.parse)
     val expandNavs = expandSpecs.map(_.nav)
     // $select skipped when all columns requested (reference `:430-435`)
+    var unwrapNarrowed = false
     if (schema.fieldNames.length < meta.sparkSchema.fieldNames.length) {
       conf.unwrap match {
         case Some(wrap) if schema.fieldNames.nonEmpty =>
@@ -472,6 +473,7 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
               u.params.filterNot(p => p._1 == "$expand" || p._1 == "expand"))
             .withParam("$select", "id")
             .withParam("$expand", s"$wrap($$select=${schema.fieldNames.mkString(",")})")
+          unwrapNarrowed = true
         case Some(_) => // empty projection: leave the URL untouched
         case None =>
           val base = schema.fieldNames.filterNot(expandNavs.contains)
@@ -484,8 +486,11 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
       }
     }
     // v4 nests sub-expands/options in parens; v2 takes slash paths
-    // (reference `odata_predicate_pushdown_helper.cpp:238-258`, expand parser)
-    if (expandSpecs.nonEmpty) u = u.withParam("$expand",
+    // (reference `odata_predicate_pushdown_helper.cpp:238-258`, expand
+    // parser). Skipped when the unwrap branch just built the narrowed
+    // fields($select=...) — withParam REPLACES keys, and overwriting it
+    // with a plain $expand would silently refetch the full payload.
+    if (expandSpecs.nonEmpty && !unwrapNarrowed) u = u.withParam("$expand",
       if (meta.version == 2) expandSpecs.flatMap(_.renderV2Paths).mkString(",")
       else expandSpecs.map(_.renderV4).mkString(","))
     val effTop = (topOverride.toSeq ++ conf.top.toSeq ++ limit.map(_.toLong).toSeq)
@@ -586,6 +591,9 @@ class ODataCountScan(conf: ODataConf, meta: ODataMeta, filterExpr: Option[String
   override def createReaderFactory(): PartitionReaderFactory = {
     val (bearer, user, password) = (conf.bearer, conf.user, conf.password)
     val v2 = meta.version == 2
+    // extracted locals only — the factory must not capture conf/meta
+    val bareCountUrl = meta.entitySetUrl + "/$count"
+    val pushedFilterStr = filterExpr
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val url = partition.asInstanceOf[ODataInputPartition].url
@@ -603,6 +611,19 @@ class ODataCountScan(conf: ODataConf, meta: ODataMeta, filterExpr: Option[String
             val countUnsupported = Set(400, 404, 405, 501)
             val n =
               if (resp.status == 200) resp.text.trim.toLong
+              else if (resp.status == 400 && pushedFilterStr.isDefined) {
+                // 400 is ambiguous with a pushed $filter: the SERVICE may be
+                // rejecting the filter expression, not /$count. Probe the
+                // bare endpoint once — if that works, crawling pages (with
+                // the same bad filter) would just fail slower and vaguer.
+                val bare = HttpCore.shared.get(bareCountUrl,
+                  useCache = false, auth = auth)
+                if (bare.status == 200)
+                  throw new RuntimeException(
+                    s"GET $url -> HTTP 400; bare /$$count succeeds, so the " +
+                      s"service rejected the pushed filter: ${pushedFilterStr.get}")
+                pageCount(auth)
+              }
               else if (countUnsupported(resp.status)) pageCount(auth)
               else throw new RuntimeException(s"GET $url -> HTTP ${resp.status}")
             row = InternalRow(n)

@@ -292,10 +292,11 @@ class OdpReader(spark: SparkSession, url: String, stateDir: String,
       res.preferenceApplied, batch))
     store.audit(subscriptionId, res.httpStatus, res.rowCount,
       token, res.newToken.orElse(token), System.currentTimeMillis() - t0)
-    // prior batches' spill is dead now that this fetch is persisted
-    // (a DataFrame returned by an EARLIER read() must be consumed before
-    // the next read() — same contract as the reference's delta fetch)
-    store.deletePagesBefore(subscriptionId, batch)
+    // GC older spill, RETAINING the immediately-previous batch: the
+    // DataFrame a caller got from the last read() stays readable until one
+    // MORE read() happens (lazy consumers in a poll loop keep working);
+    // retention is still O(2 batches), not unbounded
+    store.deletePagesBefore(subscriptionId, batch - 1)
     // decode the spilled pages executor-side: the driver never materializes
     // rows — an arbitrarily large initial load streams page->file->executor
     val s = schema

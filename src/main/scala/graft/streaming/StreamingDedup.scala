@@ -160,7 +160,13 @@ object StreamingDedup {
     // emitted row carries the INPUT row's own ts unchanged, and input rows
     // older than the watermark were already dropped by the late-record
     // filter — so no emission is ever late for the downstream aggregate.
-    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // CAVEAT (documented contract): the flag is SESSION-scoped — Spark reads
+    // it at query start, so it cannot be scoped to this one query; other
+    // streaming queries in the same session lose the static check too.
+    // Callers who need the check elsewhere should build this stream in a
+    // dedicated `spark.newSession()`.
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val toked = docs.withColumn("toks", TextOps.tokens(col(textCol)))
     val sets = toked
       .filter(size(col("toks")) >= n)

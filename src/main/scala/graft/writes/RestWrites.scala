@@ -107,7 +107,14 @@ class RestItemsWriterFactory(schema: StructType, url: String,
         val resp = http.request("POST", bu, Some((body, "application/json")), auth = auth)
         if (resp.status >= 300)
           throw new RuntimeException(s"POST $bu -> HTTP ${resp.status}: ${resp.text.take(200)}")
-        val bad = ODataJsonBatch.responseStatuses(resp.text).filter(_._2 >= 300)
+        val statuses = ODataJsonBatch.responseStatuses(resp.text)
+        // every sub-request must be answered AND succeed: a truncated
+        // envelope (proxy, buggy service) or a missing status field must
+        // not pass as success — those rows were silently unwritten
+        if (statuses.size != buf.size)
+          throw new RuntimeException(s"$$batch answered ${statuses.size} of " +
+            s"${buf.size} sub-requests: ${resp.text.take(200)}")
+        val bad = statuses.filter(s => s._2 < 200 || s._2 >= 300)
         if (bad.nonEmpty)
           throw new RuntimeException(
             s"$$batch sub-requests failed: ${bad.take(3).mkString(", ")}")

@@ -39,14 +39,19 @@ class OdpSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(second.collect().map(_.getString(0)).toSet == Set("D1", "D2"))
     assert(reader.listSubscriptions().head.deltaToken.contains("T1"))
     assert(reader.listSubscriptions().head.status == "DELTA_FETCH")
-    // prior batches' spilled pages are cleaned once the new fetch persists
-    // (without this, repeated delta fetches grow the state dir unboundedly)
-    assert(reader.store.listPages(reader.subscriptionId, 0).isEmpty,
-      "stale batch-0 pages were not cleaned")
+    // spilled pages older than the PREVIOUS batch are cleaned once a new
+    // fetch persists (without this, repeated delta fetches grow the state
+    // dir unboundedly); the previous batch itself is retained so the last
+    // read()'s lazy DataFrame stays readable
+    assert(reader.store.listPages(reader.subscriptionId, 0).nonEmpty,
+      "previous batch must be retained for its still-live DataFrame")
 
     // empty delta: zero rows, token stays
     val third = reader.read()
     assert(third.count() == 0)
+    // ...and NOW batch 0 is two fetches old -> GC'd
+    assert(reader.store.listPages(reader.subscriptionId, 0).isEmpty,
+      "stale batch-0 pages were not cleaned")
 
     // forceFullLoad resubscribes from scratch
     val full = reader.read(forceFullLoad = true)
