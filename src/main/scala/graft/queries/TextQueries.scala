@@ -180,6 +180,56 @@ object TextQueries {
         SELECT token, COUNT(*) AS n_total,
           COUNT(DISTINCT doc_id) AS n_docs
         FROM toks GROUP BY token
-        ORDER BY n_total DESC, token LIMIT 50"""))
+        ORDER BY n_total DESC, token LIMIT 50""")),
+
+    // ---- p34: per-source corpus report — the dashboard a curation run
+    // emits: doc/token volume, mean quality, repetitive-doc counts. The
+    // float subtlety: a SUM of doubles across rows is order-dependent under
+    // partial aggregation, so quality sums go through DECIMAL(18,12) (exact,
+    // order-independent) and divide back to double — hash-stable. ----------
+    QueryDef("p34_corpus_report",
+      (s, d) => T.documents(s, d).select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("q"),
+          TextOps.dupTokenFrac(TextOps.tokens(col("text"))).as("dupf"),
+          TextOps.top2gramFrac(TextOps.tokens(col("text"))).as("topg"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tk")).cast("long").as("total_tokens"),
+          (sum(col("q").cast("decimal(18,12)")).cast("double") /
+            count(lit(1))).as("mean_quality"),
+          sum(when(col("dupf") > 0.3 || col("topg") > 0.18, 1L).otherwise(0L))
+            .cast("long").as("n_repetitive"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("source"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, source, text, $ToksSql AS tk FROM documents),
+        g AS (SELECT doc_id,
+            list_transform(range(0, len(tk)-1), i -> tk[i+1] || ' ' || tk[i+2]) AS gs
+          FROM t WHERE len(tk) >= 2),
+        grams AS (SELECT doc_id, unnest(gs) AS gm FROM g),
+        gcnt AS (SELECT doc_id, MAX(c) AS topgc FROM
+          (SELECT doc_id, gm, COUNT(*) AS c FROM grams GROUP BY 1, 2) GROUP BY 1),
+        scored AS (SELECT t.doc_id, t.source,
+            CAST(len(tk) AS BIGINT) AS tkn,
+            least(CAST(len(tk) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+             + least(CAST(len(list_filter(tk, x -> x IN $StopSql)) AS DOUBLE)
+                       / CAST(greatest(len(tk), 1) AS DOUBLE) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE)
+                - least(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                          / CAST(greatest(len(text), 1) AS DOUBLE) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)
+              AS q,
+            CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE)
+              / CAST(greatest(len(tk), 1) AS DOUBLE) AS dupf,
+            CAST(COALESCE(topgc, 0) AS DOUBLE)
+              / CAST(greatest(len(tk) - 1, 1) AS DOUBLE) AS topg
+          FROM t LEFT JOIN gcnt ON t.doc_id = gcnt.doc_id)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(tkn) AS BIGINT) AS total_tokens,
+          CAST(SUM(CAST(q AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS mean_quality,
+          CAST(SUM(CASE WHEN dupf > 0.3 OR topg > 0.18 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_repetitive,
+          MIN(doc_id) AS first_doc
+        FROM scored GROUP BY source ORDER BY source"""))
   )
 }
