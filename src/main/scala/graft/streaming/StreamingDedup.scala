@@ -230,4 +230,5 @@ object StreamingDedup {
       .select(col(idCol), window(col(tsCol), windowDur).getField("start").as("w_start"))
     voted.unionByName(short)
   }
+
 }

@@ -146,7 +146,12 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(out(4L) == (("epsilon", 1L)), out.toString)
   }
 
-  test("verified streaming near-dedup: exact parity with a sequential replay (precision 1)") {
+  /** Shared parity harness: run `op` (either verified tier — identical
+    * policy) over the corpus + injected near-dups, compare the kept set
+    * against a sequential replay of the first-claim/exact-verify policy. */
+  private def verifiedParity(
+      queryName: String,
+      op: (org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Unit = {
     import spark.implicits._
     import graft.operators.Dedup
 
@@ -163,12 +168,10 @@ class StreamingDedupSpec extends SparkSpecBase {
     }
     val fed = originals ++ dups
 
-    implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
-    val q = StreamingDedup.dedupNearStreamVerified(mem.toDF(), "ts", "doc_id",
-      "text", watermarkDelayMs = 10000L, windowDur = "10 seconds")
-      .writeStream.format("memory").queryName("verified_out")
+    val q = op(mem.toDF())
+      .writeStream.format("memory").queryName(queryName)
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
     mem.addData(originals: _*)
     q.processAllAvailable()
@@ -179,7 +182,7 @@ class StreamingDedupSpec extends SparkSpecBase {
     mem.addData(Doc(999998L, new Timestamp(base + 180000L), "flush again and again"))
     q.processAllAvailable()
     q.stop()
-    val kept = spark.table("verified_out")
+    val kept = spark.table(queryName)
       .select("doc_id").collect().map(_.getLong(0)).toSet -- Set(999999L, 999998L)
 
     // ground truth: sequential replay of the exact policy over (ts, id)
@@ -225,4 +228,12 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(falseCollisions.nonEmpty, "fixture lost its band-colliding non-dups")
     assert(falseCollisions.subsetOf(kept))
   }
+
+  test("verified streaming near-dedup: exact parity with a sequential replay (precision 1)") {
+    implicit val s = spark
+    verifiedParity("verified_out",
+      df => StreamingDedup.dedupNearStreamVerified(df, "ts", "doc_id", "text",
+        watermarkDelayMs = 10000L, windowDur = "10 seconds"))
+  }
+
 }
