@@ -119,6 +119,24 @@ object StreamingDedup {
     * time, bucket key, and its full shingle-fingerprint set. */
   final case class BandRow(id: Long, ts: Timestamp, band: Int, bh: String,
                            fps: Array[Int])
+  /** Narrow band row (staged tier): no fingerprints — 4 scalars. */
+  final case class NarrowBand(id: Long, ts: Timestamp, band: Int, bh: String)
+  final case class BucketOwner(ownerId: Long, ownerTsMs: Long)
+  /** Phase-1 emission: one NARROW row per band arrival. `collided` = false
+    * rows (owners) are emitted too — a watermark declared on this stream
+    * must observe EVERY event time or downstream windows stall. */
+  final case class Claim(id: Long, ts: Timestamp, ownerId: Long,
+                         collided: Boolean)
+  /** Phase-1 input row: fingerprints ride only band-0 rows (`fps` null
+    * elsewhere) — one registration carrier per doc, not `bands`. */
+  final case class P1Row(id: Long, ts: Timestamp, band: Int, bh: String,
+                         fps: Array[Int])
+  /** Row between the verify stages. kind 0 = registration (doc's own
+    * fingerprints, also the presence signal); kind 1 = verify request
+    * (loser id in `id`, owner in `aux`, loser fps attached by stage A). */
+  final case class StageRow(key: Long, id: Long, ts: Timestamp, kind: Int,
+                            fps: Array[Int], aux: Long)
+  final case class VoteRow(id: Long, ts: Timestamp, flag: Int)
   /** Bucket state: the first claimant and its fingerprints (bounded: one
     * doc's shingle set per live bucket, aged out by event-time timeout). */
   final case class BucketState(ownerId: Long, ownerTsMs: Long, fps: Array[Int])
@@ -231,4 +249,147 @@ object StreamingDedup {
     voted.unionByName(short)
   }
 
+  /** STAGED exact-verify near-dedup — identical policy and output to
+    * [[dedupNearStreamVerified]], restructured for scale: bucket claims run
+    * on NARROW band rows (bucket state = two longs, not a fingerprint set),
+    * and fingerprint sets travel ONCE per stage — attached to band-0 rows
+    * into phase 1, re-registered through stages A and B, and fanned out only
+    * to actual collisions. The common case (a doc colliding nowhere) never
+    * ships its fingerprints to `bands` buckets.
+    *
+    * Topology notes (hard-won):
+    *  - a stream-stream join downstream of flatMapGroupsWithState
+    *    permanently pins Spark's simulated watermark (windows never close);
+    *  - so does a UNION of watermark branches at different stateful depths;
+    *  - a LINEAR chain of flatMapGroupsWithState stages, each re-declaring
+    *    the watermark and each emitting every input event time, propagates
+    *    correctly — which is why phase 1 emits the registrations itself
+    *    (from the band-0 rows) instead of unioning a side branch in.
+    *
+    * Stage A (keyed by loser id) attaches the loser's stored fingerprints to
+    * its collisions; stage B (keyed by owner id) exact-verifies against the
+    * owner's. The same windowed vote keeps every unflagged doc. Same
+    * session-scoped correctness-check caveat as the one-phase tier. */
+  def dedupNearStreamVerifiedStaged(docs: DataFrame, tsCol: String,
+                                    idCol: String, textCol: String,
+                                    watermarkDelayMs: Long,
+                                    minJaccard: Double = 0.5,
+                                    n: Int = 3, k: Int = 64, bands: Int = 16,
+                                    windowDur: String = "10 seconds")
+                                   (implicit spark: SparkSession): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    import spark.implicits._
+    import graft.operators.{Dedup, TextOps}
+    val watermark = s"$watermarkDelayMs milliseconds"
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val toked = docs.withColumn("toks", TextOps.tokens(col(textCol)))
+    val sets = toked
+      .filter(size(col("toks")) >= n)
+      .withColumn("shingles", TextOps.wordShinglesFromTokens(col("toks"), n))
+      .withColumn("fps", array_distinct(
+        transform(col("shingles"), c => Dedup.mdHash31(c).cast("int"))))
+      .withColumn("sig", Dedup.rowMinhashSig(col("shingles"), k))
+
+    // band rows: fingerprints ride ONLY band 0 (the registration carrier)
+    val bandRows = sets.select(col(idCol).as("id"), col(tsCol).as("ts"),
+        posexplode(Dedup.bandKeys(col("sig"), k, bands)).as(Seq("band", "bh")),
+        col("fps"))
+      .select(col("id"), col("ts"), col("band"), col("bh"),
+        when(col("band") === 0, col("fps")).as("fps"))
+      .withWatermark("ts", watermark)
+      .as[P1Row]
+
+    // phase 1: bucket ownership; emits collisions AND (from band-0 rows)
+    // the doc registrations that both carry fingerprints downstream and
+    // keep every event time visible to the downstream watermark
+    val p1out = bandRows
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState[BucketOwner, StageRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, String), rows: Iterator[P1Row], state: GroupState[BucketOwner]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.id))
+            var st = state.getOption
+            val out = Seq.newBuilder[StageRow]
+            sorted.foreach { r =>
+              if (r.band == 0)
+                out += StageRow(r.id, r.id, r.ts, 0, r.fps, -1L)
+              st match {
+                case None => st = Some(BucketOwner(r.id, r.ts.getTime))
+                case Some(o) =>
+                  if (r.id != o.ownerId)
+                    out += StageRow(r.id, r.id, r.ts, 1, null, o.ownerId)
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1, s.ownerTsMs + watermarkDelayMs))
+            }
+            out.result().iterator
+          }
+      }.toDF().withWatermark("ts", watermark)
+
+    def stage(in: org.apache.spark.sql.Dataset[StageRow],
+              emit: (StageRow, Option[Array[Int]]) => Iterator[StageRow]) =
+      in.groupByKey(_.key)
+        .flatMapGroupsWithState[Array[Int], StageRow](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          (_: Long, rows: Iterator[StageRow], state: GroupState[Array[Int]]) =>
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else {
+              // registrations (kind 0) first within equal timestamps, so a
+              // doc's fingerprints are in state before its own collisions
+              val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.kind, r.id))
+              val out = Seq.newBuilder[StageRow]
+              var maxTs = Long.MinValue
+              sorted.foreach { r =>
+                maxTs = math.max(maxTs, r.ts.getTime)
+                if (r.kind == 0) state.update(r.fps)
+                out ++= emit(r, state.getOption)
+              }
+              if (state.exists)
+                state.setTimeoutTimestamp(math.max(
+                  state.getCurrentWatermarkMs() + 1, maxTs + watermarkDelayMs))
+              out.result().iterator
+            }
+        }
+
+    // stage A keyed by LOSER id: attach the loser's fingerprints
+    val stageA = stage(p1out.as[StageRow], {
+      case (r, _) if r.kind == 0 => Iterator.single(r) // registration passthrough
+      case (r, Some(loserFps))   =>
+        Iterator.single(StageRow(r.aux, r.id, r.ts, 1, loserFps, r.aux))
+      case _                     => Iterator.empty // no registration: drop
+    }).toDF().withWatermark("ts", watermark)
+
+    // stage B keyed by OWNER id: exact-verify loser vs owner fingerprints
+    val stageB = stage(stageA.as[StageRow], {
+      case (r, _) if r.kind == 0 =>
+        Iterator.single(r.copy(fps = null)) // presence only: no payload downstream
+      case (r, Some(ownerFps))   =>
+        val a = r.fps.toSet
+        val b = ownerFps.toSet
+        val inter = a.intersect(b).size.toDouble
+        val jac = inter / (a.size + b.size - inter)
+        if (jac >= minJaccard)
+          Iterator.single(StageRow(r.id, r.id, r.ts, 2, null, -1L))
+        else Iterator.empty
+      case _                     => Iterator.empty
+    }).toDF().withWatermark("ts", watermark)
+
+    val votes = stageB.select(col("id"), col("ts"),
+      when(col("kind") === 2, 1).otherwise(0).as("flag"))
+    val voted = votes
+      .groupBy(window(col("ts"), windowDur), col("id"))
+      .agg(max(col("flag")).as("flagged"))
+      .filter(col("flagged") === 0)
+      .select(col("id").as(idCol), col("window.start").as("w_start"))
+
+    val short = toked.filter(size(col("toks")) < n)
+      .select(col(idCol), window(col(tsCol), windowDur).getField("start").as("w_start"))
+    voted.unionByName(short)
+  }
 }

@@ -236,4 +236,10 @@ class StreamingDedupSpec extends SparkSpecBase {
         watermarkDelayMs = 10000L, windowDur = "10 seconds"))
   }
 
+  test("staged verified tier: same policy, fingerprints attached only to colliders") {
+    implicit val s = spark
+    verifiedParity("verified_staged_out",
+      df => StreamingDedup.dedupNearStreamVerifiedStaged(df, "ts", "doc_id",
+        "text", watermarkDelayMs = 10000L, windowDur = "10 seconds"))
+  }
 }
