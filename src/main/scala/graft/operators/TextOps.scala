@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   *
   * Everything here is pure Catalyst column expressions (no UDFs) so the whole
   * pipeline stays inside whole-stage codegen and scales linearly with input —
-  * the only shuffles are whatever the caller's aggregation needs.
+  * the only shuffles are whatever the caller's aggregation needs. The one
+  * exception is [[vocabulary]], a DataFrame-level corpus aggregation (its own
+  * explode + partial-aggregatable groupBy shuffle), kept here because it is
+  * the counting side of the same tokenization contract.
   */
 object TextOps {
 

@@ -469,10 +469,18 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
           // the shape the Graph API requires: $select=id&$expand=fields($select=...)
           // (empty projections — `SELECT 1`, existence joins — keep the
           // original URL: fields($select=) would be malformed)
+          // user-configured expand specs ride along as a comma list — the
+          // narrowed wrap expand must not silently discard them
+          val extraExpands =
+            if (expandSpecs.isEmpty) ""
+            else "," + (if (meta.version == 2)
+              expandSpecs.flatMap(_.renderV2Paths).mkString(",")
+            else expandSpecs.map(_.renderV4).mkString(","))
           u = ODataUrl(u.base,
               u.params.filterNot(p => p._1 == "$expand" || p._1 == "expand"))
             .withParam("$select", "id")
-            .withParam("$expand", s"$wrap($$select=${schema.fieldNames.mkString(",")})")
+            .withParam("$expand",
+              s"$wrap($$select=${schema.fieldNames.mkString(",")})$extraExpands")
           unwrapNarrowed = true
         case Some(_) => // empty projection: leave the URL untouched
         case None =>
@@ -591,8 +599,7 @@ class ODataCountScan(conf: ODataConf, meta: ODataMeta, filterExpr: Option[String
   override def createReaderFactory(): PartitionReaderFactory = {
     val (bearer, user, password) = (conf.bearer, conf.user, conf.password)
     val v2 = meta.version == 2
-    // extracted locals only — the factory must not capture conf/meta
-    val bareCountUrl = meta.entitySetUrl + "/$count"
+    // extracted local only — the factory must not capture conf/meta
     val pushedFilterStr = filterExpr
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -611,19 +618,6 @@ class ODataCountScan(conf: ODataConf, meta: ODataMeta, filterExpr: Option[String
             val countUnsupported = Set(400, 404, 405, 501)
             val n =
               if (resp.status == 200) resp.text.trim.toLong
-              else if (resp.status == 400 && pushedFilterStr.isDefined) {
-                // 400 is ambiguous with a pushed $filter: the SERVICE may be
-                // rejecting the filter expression, not /$count. Probe the
-                // bare endpoint once — if that works, crawling pages (with
-                // the same bad filter) would just fail slower and vaguer.
-                val bare = HttpCore.shared.get(bareCountUrl,
-                  useCache = false, auth = auth)
-                if (bare.status == 200)
-                  throw new RuntimeException(
-                    s"GET $url -> HTTP 400; bare /$$count succeeds, so the " +
-                      s"service rejected the pushed filter: ${pushedFilterStr.get}")
-                pageCount(auth)
-              }
               else if (countUnsupported(resp.status)) pageCount(auth)
               else throw new RuntimeException(s"GET $url -> HTTP ${resp.status}")
             row = InternalRow(n)
@@ -641,7 +635,13 @@ class ODataCountScan(conf: ODataConf, meta: ODataMeta, filterExpr: Option[String
             while (next.isDefined) {
               val resp = HttpCore.shared.get(next.get, useCache = false, auth = auth)
               if (resp.status != 200)
-                throw new RuntimeException(s"GET ${next.get} -> HTTP ${resp.status}")
+                // some services reject query options on /$count yet serve
+                // filtered pages fine — that case succeeds here; if the pages
+                // ALSO 400, the pushed filter itself is the likely culprit
+                throw new RuntimeException(s"GET ${next.get} -> HTTP ${resp.status}" +
+                  pushedFilterStr.filter(_ => resp.status == 400)
+                    .map(f => s" (service may be rejecting the pushed filter: $f)")
+                    .getOrElse(""))
               val page = ODataJson.extractPage(ODataJson.parse(resp.text))
               n += page.rows.size
               next = page.nextLink

@@ -119,14 +119,7 @@ object StreamingDedup {
     * time, bucket key, and its full shingle-fingerprint set. */
   final case class BandRow(id: Long, ts: Timestamp, band: Int, bh: String,
                            fps: Array[Int])
-  /** Narrow band row (staged tier): no fingerprints — 4 scalars. */
-  final case class NarrowBand(id: Long, ts: Timestamp, band: Int, bh: String)
   final case class BucketOwner(ownerId: Long, ownerTsMs: Long)
-  /** Phase-1 emission: one NARROW row per band arrival. `collided` = false
-    * rows (owners) are emitted too — a watermark declared on this stream
-    * must observe EVERY event time or downstream windows stall. */
-  final case class Claim(id: Long, ts: Timestamp, ownerId: Long,
-                         collided: Boolean)
   /** Phase-1 input row: fingerprints ride only band-0 rows (`fps` null
     * elsewhere) — one registration carrier per doc, not `bands`. */
   final case class P1Row(id: Long, ts: Timestamp, band: Int, bh: String,
@@ -136,7 +129,10 @@ object StreamingDedup {
     * (loser id in `id`, owner in `aux`, loser fps attached by stage A). */
   final case class StageRow(key: Long, id: Long, ts: Timestamp, kind: Int,
                             fps: Array[Int], aux: Long)
-  final case class VoteRow(id: Long, ts: Timestamp, flag: Int)
+  /** Verify-stage state: the doc's fingerprints plus the max event time
+    * observed for this key — timeouts derive from it so an out-of-order row
+    * can never move an existing timeout earlier. */
+  final case class StageState(fps: Array[Int], maxTsMs: Long)
   /** Bucket state: the first claimant and its fingerprints (bounded: one
     * doc's shingle set per live bucket, aged out by event-time timeout). */
   final case class BucketState(ownerId: Long, ownerTsMs: Long, fps: Array[Int])
@@ -335,24 +331,31 @@ object StreamingDedup {
     def stage(in: org.apache.spark.sql.Dataset[StageRow],
               emit: (StageRow, Option[Array[Int]]) => Iterator[StageRow]) =
       in.groupByKey(_.key)
-        .flatMapGroupsWithState[Array[Int], StageRow](
+        .flatMapGroupsWithState[StageState, StageRow](
           OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-          (_: Long, rows: Iterator[StageRow], state: GroupState[Array[Int]]) =>
+          (_: Long, rows: Iterator[StageRow], state: GroupState[StageState]) =>
             if (state.hasTimedOut) { state.remove(); Iterator.empty }
             else {
               // registrations (kind 0) first within equal timestamps, so a
               // doc's fingerprints are in state before its own collisions
               val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.kind, r.id))
               val out = Seq.newBuilder[StageRow]
-              var maxTs = Long.MinValue
               sorted.foreach { r =>
-                maxTs = math.max(maxTs, r.ts.getTime)
-                if (r.kind == 0) state.update(r.fps)
-                out ++= emit(r, state.getOption)
+                val prevMax = state.getOption.map(_.maxTsMs).getOrElse(Long.MinValue)
+                if (r.kind == 0)
+                  state.update(StageState(r.fps, math.max(prevMax, r.ts.getTime)))
+                else state.getOption.foreach(s =>
+                  state.update(s.copy(maxTsMs = math.max(prevMax, r.ts.getTime))))
+                out ++= emit(r, state.getOption.map(_.fps))
               }
-              if (state.exists)
+              // timeout from the state-held max — NEVER derived from just
+              // this invocation's rows, which could move an existing timeout
+              // EARLIER when an out-of-order (older-ts) row arrives and
+              // expire a registration while phase-1 buckets still own
+              state.getOption.foreach(s =>
                 state.setTimeoutTimestamp(math.max(
-                  state.getCurrentWatermarkMs() + 1, maxTs + watermarkDelayMs))
+                  state.getCurrentWatermarkMs() + 1,
+                  s.maxTsMs + watermarkDelayMs)))
               out.result().iterator
             }
         }
