@@ -16,29 +16,46 @@ import org.apache.spark.sql.functions._
   * to stars centered at each component's minimum id in O(log n) rounds.
   * That is the 100 TB shape: no driver-side graph, no O(diameter)
   * label-propagation rounds, per-round cost bounded by the (shrinking) edge
-  * list. Lineage is cut with `localCheckpoint` each round — an iterative
-  * DataFrame loop otherwise compounds the plan until planning dominates.
+  * list. Lineage is cut each round (an iterative DataFrame loop otherwise
+  * compounds the plan until planning dominates) — `localCheckpoint` by
+  * default, or a reliable checkpoint when `checkpointDir` is given;
+  * convergence is ONE aggregate per round (star-fixpoint test), so each
+  * round is exactly two jobs: materialize + check.
   */
 object Components {
 
   /** (id, component) for every node incident to at least one edge, where
     * `component` is the minimum node id in the node's connected component.
     * Nodes absent from `edges` (singletons) are the caller's to add back —
-    * see [[dedupClusters]] for the canonical coalesce pattern. */
+    * see [[dedupClusters]] for the canonical coalesce pattern.
+    *
+    * `checkpointDir`: when set, each round's edge set is cut with a RELIABLE
+    * checkpoint written there (sets the SparkContext checkpoint dir as a
+    * documented side effect) — on a real cluster an executor loss mid-loop
+    * then recovers from the checkpoint instead of recomputing the whole
+    * round history. The default `localCheckpoint` (executor-local blocks)
+    * is faster and fine single-node / for short loops. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+
     // canonical undirected edge list, self-loops dropped
-    var e = edges.select(
+    var e = cut(edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("lo"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
-      .filter($"lo" =!= $"hi").distinct().localCheckpoint()
+      .filter($"lo" =!= $"hi").distinct())
 
     var converged = false
     var it = 0
-    var eCount = e.count()
     while (!converged && it < maxIter) {
       // large-star: per node u over its FULL neighborhood Γ(u), connect every
       // strictly-larger neighbor to m = min(Γ(u) ∪ {u}). Shape: the per-node
@@ -59,18 +76,28 @@ object Components {
       // canonical edge contributes hi→lo), connect them AND u itself to
       // m = min(Γ⁻(u) ∪ {u}) — same min+join shape
       val smins = large.groupBy("hi").agg(min("lo").as("m"))
-      val small = large.join(smins, Seq("hi"))
+      val small = cut(large.join(smins, Seq("hi"))
         .select(least($"lo", $"m").as("lo"), greatest($"lo", $"m").as("hi"))
         .union(smins.select($"m".as("lo"), $"hi"))
-        .filter($"lo" =!= $"hi").distinct()
-        .localCheckpoint()
+        .filter($"lo" =!= $"hi").distinct())
 
-      // fixpoint: the canonical edge set stopped changing (counts carried
-      // across iterations — one action saved per round)
-      val nNew = small.count()
-      converged = nNew == eCount && small.except(e).isEmpty
+      // fixpoint = the edge set is a union of STARS centered at component
+      // minima: every node is either a center (never a hi) or a leaf
+      // (hi exactly once, never a lo). Star sets are exactly the fixpoints
+      // of large-star/small-star (Kiveris et al. §3), so this ONE aggregate
+      // over the checkpointed edges replaces the old count + except() pair
+      // of actions — no comparison against the previous round needed.
+      val viol = small
+        .select(explode(array(
+          struct($"lo".as("v"), lit(1L).as("aslo"), lit(0L).as("ashi")),
+          struct($"hi".as("v"), lit(0L).as("aslo"), lit(1L).as("ashi")))).as("s"))
+        .groupBy($"s.v")
+        .agg(sum($"s.aslo").as("lo_n"), sum($"s.ashi").as("hi_n"))
+        .agg(coalesce(sum(when($"hi_n" === 0 || ($"hi_n" === 1 && $"lo_n" === 0), 0L)
+          .otherwise(1L)), lit(0L)).as("violations"))
+        .head().getLong(0)
+      converged = viol == 0L
       e = small
-      eCount = nNew
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
@@ -86,8 +113,9 @@ object Components {
     * own cluster), with the cluster size alongside — the standard "pick one
     * survivor per cluster / weight by cluster size" dedup input. */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val cc = connectedComponents(pairs, aCol, bCol)
+                    aCol: String = "id_a", bCol: String = "id_b",
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol, checkpointDir = checkpointDir)
       .withColumnRenamed("id", idCol)
     val assigned = docs.select(col(idCol))
       .join(cc, Seq(idCol), "left")

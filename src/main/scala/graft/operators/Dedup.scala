@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines, all expressed as
   * `DataFrame => DataFrame` transformations built from Catalyst expressions
@@ -59,16 +60,23 @@ object Dedup {
     *
     * Output: (id_a, id_b, inter, uni, jaccard) with id_a < id_b,
     * jaccard >= minJaccard.
+    *
+    * `storage` sets the persist level of the self-join intermediates (shingle
+    * sets and capped postings). MEMORY_AND_DISK (= `.cache()` for datasets)
+    * is right at bench scale; a 100 TB corpus should pass
+    * `StorageLevel.DISK_ONLY` so the postings spill instead of evicting the
+    * executors' working memory.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-                   minJaccard: Double, maxDocFreq: Option[Long] = None): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n).cache()
+                   minJaccard: Double, maxDocFreq: Option[Long] = None,
+                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n).persist(storage)
     val posts0 = sets.select(col("id"), explode(col("shingles")).as("sh"))
     val posts = maxDocFreq match {
       case Some(cap) =>
         val hot = posts0.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("sh")
-        posts0.join(hot, Seq("sh"), "left_anti").cache()
+        posts0.join(hot, Seq("sh"), "left_anti").persist(storage)
       case None => posts0
     }
     val sizes = maxDocFreq match {
@@ -96,8 +104,9 @@ object Dedup {
     * directly or via a chain that removes them). Pairs come from
     * [[minhashLshPairs]], so cost is the LSH pipeline + one anti join. */
   def dedupNear(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
-                minJaccard: Double = 0.8): DataFrame = {
-    val losers = minhashLshPairs(df, idCol, textCol, n, minJaccard)
+                minJaccard: Double = 0.8,
+                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val losers = minhashLshPairs(df, idCol, textCol, n, minJaccard, storage = storage)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
@@ -246,14 +255,16 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                       minJaccard: Double, k: Int = 64, bands: Int = 16,
-                      maxBucket: Option[Long] = None): DataFrame = {
+                      maxBucket: Option[Long] = None,
+                      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val sets = shingleSets(df, idCol, textCol, n).cache()
-    // cached: the band self-join otherwise evaluates the whole signature
+    // persisted: the band self-join otherwise evaluates the whole signature
     // aggregation once per branch (plan-verified — no ReusedExchange fires
-    // for self-joins on aggregated subtrees). k longs per doc: tiny relative
-    // to the corpus at any scale.
-    val sig = minhashSigTable(sets, k).cache()
+    // for self-joins on aggregated subtrees). k longs per doc for sig; the
+    // shingle sets are the heavy one — pass DISK_ONLY at corpus scale (see
+    // jaccardPairs).
+    val sets = shingleSets(df, idCol, textCol, n).persist(storage)
+    val sig = minhashSigTable(sets, k).persist(storage)
     val bandRows0 = sig.select(col("id"),
       posexplode(bandKeys(col("sig"), k, bands))).toDF("id", "band", "bh")
     // LSH bucket skew guard: a bucket of m docs emits ~m^2/2 candidate pairs
@@ -307,10 +318,11 @@ object Dedup {
     * Output: (id_a, id_b, hamming). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   maxBucket: Option[Long] = None): DataFrame = {
-    // cached for the same self-join double-evaluation reason as in
+                   maxBucket: Option[Long] = None,
+                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // persisted for the same self-join double-evaluation reason as in
     // minhashLshPairs; one long per doc
-    val sigs = simhashSigTable(df, idCol, textCol).cache()
+    val sigs = simhashSigTable(df, idCol, textCol).persist(storage)
     val chunks = sigs.select(col("id"), col("sig"), explode(
       transform(sequence(lit(0), lit(3)),
         c => struct(c.as("ci"),

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshims.SqlShims
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming exact deduplication — the streaming twin of
@@ -138,6 +139,25 @@ object StreamingDedup {
   final case class BucketState(ownerId: Long, ownerTsMs: Long, fps: Array[Int])
   final case class VerifyOut(id: Long, ts: Timestamp, is_dup: Boolean)
 
+  /** Spark's static chained-stateful-operator check rejects ANY aggregation
+    * downstream of flatMapGroupsWithState because it cannot infer what event
+    * times the user function emits. The verified tiers are provably safe:
+    * every emitted row carries the INPUT row's own ts unchanged, and input
+    * rows older than the watermark were already dropped by the late-record
+    * filter — so no emission is ever late for the downstream aggregate.
+    * The flag is session-scoped and read at query start, so instead of
+    * mutating the caller's session it is disabled on a PRIVATE CLONE; the
+    * input plan is re-bound there and every other query on the caller's
+    * session keeps the static check. Queries started from the returned
+    * DataFrame run in the clone — a memory sink's table is reachable via
+    * `df.sparkSession.table(...)` (or the started query's `sparkSession`). */
+  private def relaxedCheckSession(spark: SparkSession): SparkSession = {
+    val local = SqlShims.cloneSession(spark)
+    local.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    local
+  }
+
   /** Streaming near-dedup with an EXACT-VERIFY tier — precision restored to
     * 1 within the watermark: a band collision alone no longer drops a doc;
     * the colliding doc is compared against the bucket owner's stored
@@ -165,23 +185,14 @@ object StreamingDedup {
                               windowDur: String = "10 seconds")
                              (implicit spark: SparkSession): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    import spark.implicits._
     import graft.operators.{Dedup, TextOps}
     val watermark = s"$watermarkDelayMs milliseconds"
-    // Spark's static chained-stateful-operator check rejects ANY aggregation
-    // downstream of flatMapGroupsWithState because it cannot infer what
-    // event times the user function emits. Ours is provably safe: every
-    // emitted row carries the INPUT row's own ts unchanged, and input rows
-    // older than the watermark were already dropped by the late-record
-    // filter — so no emission is ever late for the downstream aggregate.
-    // CAVEAT (documented contract): the flag is SESSION-scoped — Spark reads
-    // it at query start, so it cannot be scoped to this one query; other
-    // streaming queries in the same session lose the static check too.
-    // Callers who need the check elsewhere should build this stream in a
-    // dedicated `spark.newSession()`.
-    spark.conf.set(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-    val toked = docs.withColumn("toks", TextOps.tokens(col(textCol)))
+    // see relaxedCheckSession: the check disable lives in a private clone,
+    // not the caller's session
+    val local = relaxedCheckSession(spark)
+    import local.implicits._
+    val toked = SqlShims.ofRows(local, docs.queryExecution.logical)
+      .withColumn("toks", TextOps.tokens(col(textCol)))
     val sets = toked
       .filter(size(col("toks")) >= n)
       .withColumn("shingles", TextOps.wordShinglesFromTokens(col("toks"), n))
@@ -264,8 +275,10 @@ object StreamingDedup {
     *
     * Stage A (keyed by loser id) attaches the loser's stored fingerprints to
     * its collisions; stage B (keyed by owner id) exact-verifies against the
-    * owner's. The same windowed vote keeps every unflagged doc. Same
-    * session-scoped correctness-check caveat as the one-phase tier. */
+    * owner's. The same windowed vote keeps every unflagged doc. Like the
+    * one-phase tier, the chained-stateful-operator check is relaxed in a
+    * private session clone (see [[relaxedCheckSession]]) — the caller's
+    * session keeps the check. */
   def dedupNearStreamVerifiedStaged(docs: DataFrame, tsCol: String,
                                     idCol: String, textCol: String,
                                     watermarkDelayMs: Long,
@@ -274,12 +287,12 @@ object StreamingDedup {
                                     windowDur: String = "10 seconds")
                                    (implicit spark: SparkSession): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    import spark.implicits._
     import graft.operators.{Dedup, TextOps}
     val watermark = s"$watermarkDelayMs milliseconds"
-    spark.conf.set(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-    val toked = docs.withColumn("toks", TextOps.tokens(col(textCol)))
+    val local = relaxedCheckSession(spark)
+    import local.implicits._
+    val toked = SqlShims.ofRows(local, docs.queryExecution.logical)
+      .withColumn("toks", TextOps.tokens(col(textCol)))
     val sets = toked
       .filter(size(col("toks")) >= n)
       .withColumn("shingles", TextOps.wordShinglesFromTokens(col("toks"), n))

@@ -80,6 +80,24 @@ class ComponentsSpec extends SparkSpecBase {
     assert(got.size == 300 && got.values.forall(_ == 0L))
   }
 
+  test("reliable checkpointDir path matches localCheckpoint results") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val edges = Seq[(Long, Long)](
+      (0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (20, 21))
+    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == run(edges))
+    // the reliable checkpoint actually wrote RDD blocks there
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "no checkpoint data written")
+  }
+
+  test("empty edge set (all self-loops) converges immediately") {
+    val got = run(Seq[(Long, Long)]((5, 5), (6, 6)))
+    assert(got.isEmpty)
+  }
+
   test("dedupClusters assigns singletons to themselves and sizes clusters") {
     val docs = (0L to 9L).toDF("doc_id")
     val pairs = Seq[(Long, Long)]((1, 3), (3, 5), (7, 8)).toDF("id_a", "id_b")

@@ -43,6 +43,20 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh == exact, s"missing=${exact -- lsh} spurious=${lsh -- exact}")
   }
 
+  test("DISK_ONLY storage level yields identical pairs (100 TB spill path)") {
+    import org.apache.spark.storage.StorageLevel
+    val default = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val disk = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 0.7,
+        storage = StorageLevel.DISK_ONLY)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(disk == default)
+    val diskJac = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.7,
+        maxDocFreq = Some(50), storage = StorageLevel.DISK_ONLY)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(diskJac.nonEmpty)
+  }
+
   test("rowMinhashSig (map-only) equals the minhash_sketch aggregate signature") {
     val sets = Dedup.shingleSets(corpus, "doc_id", "text", 3)
     val agg = Dedup.minhashSigTable(sets, 64).collect()

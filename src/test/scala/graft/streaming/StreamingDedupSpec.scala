@@ -170,7 +170,14 @@ class StreamingDedupSpec extends SparkSpecBase {
 
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
-    val q = op(mem.toDF())
+    val outDf = op(mem.toDF())
+    // the verified tiers scope their checkCorrectness disable to a private
+    // session clone — the caller's session must keep the static check
+    assert(outDf.sparkSession ne spark, "verified tier must not run in the caller's session")
+    assert(spark.conf.get(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true") == "true",
+      "caller session lost the stateful-operator correctness check")
+    val q = outDf
       .writeStream.format("memory").queryName(queryName)
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
     mem.addData(originals: _*)
@@ -182,7 +189,8 @@ class StreamingDedupSpec extends SparkSpecBase {
     mem.addData(Doc(999998L, new Timestamp(base + 180000L), "flush again and again"))
     q.processAllAvailable()
     q.stop()
-    val kept = spark.table(queryName)
+    // the memory sink registers in the clone, not the outer session
+    val kept = outDf.sparkSession.table(queryName)
       .select("doc_id").collect().map(_.getLong(0)).toSet -- Set(999999L, 999998L)
 
     // ground truth: sequential replay of the exact policy over (ts, id)
