@@ -4,21 +4,47 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** PII detection and redaction for training-corpus hygiene (the C4/Pile
-  * recipe step: scrub emails, phone numbers, and addresses before training).
+  * recipe step: scrub contact information before training).
+  *
+  * EXACT coverage (the contract — nothing beyond these classes/formats is
+  * detected):
+  *  - emails: `local@domain.tld` (ASCII local/domain, 2+ letter TLD);
+  *  - IPv4 literals: dotted quads, 1-3 digits per octet;
+  *  - phone numbers, four shapes: `+CC NNN NNNN` and `+CC NNN NNN NNNN`
+  *    (space- or dash-separated), `+CC (NNN) NNN-NNNN`, `(NNN) NNN-NNNN`,
+  *    and bare `NNN-NNN-NNNN` / `NNN NNN NNNN`;
+  *  - street addresses, one conservative shape: `<1-5 digits> <Capitalized
+  *    word> <Street|Avenue|Boulevard|Road|Lane|Drive|St|Ave|Blvd|Rd|Ln|Dr>`.
+  * National formats outside these shapes (e.g. `0171/1234567`,
+  * `01 23 45 67 89`), extension suffixes, and free-form postal addresses are
+  * OUT OF SCOPE — a regex operator cannot promise them; route such corpora
+  * through a dedicated NER pass instead.
   *
   * Pure regex column expressions — map-only, whole-stage-codegen'd, no UDF.
   * The patterns deliberately stay within the syntax subset that Java regex
   * (Spark) and RE2 (DuckDB, Go tooling) interpret identically — character
-  * classes, bounded repetition, `\b` — no backrefs, no lookaround, no
-  * alternation whose match could differ between leftmost-first (Java) and
-  * leftmost-longest (RE2) semantics. That keeps the operator portable AND
-  * oracle-checkable. */
+  * classes, bounded repetition, `\b`, and alternations whose branches are
+  * ordered longest-first at any shared start position, so leftmost-first
+  * (Java) and leftmost-longest (POSIX RE2) semantics pick the same match.
+  * That keeps the operator portable AND oracle-checkable. */
 object Pii {
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  /** International-format phone: +CC NNN NNNN (space- or dash-separated). */
-  val PhoneRe = "\\+\\d{1,3}[ -]\\d{3}[ -]\\d{4}"
+  /** Phone shapes (see object doc). Branch order: at any given start
+    * character the longer-matching branch comes first (`+CC (NNN)` before
+    * `+CC NNN NNN NNNN` before `+CC NNN NNNN`), so first-match and
+    * longest-match agree. */
+  val PhoneRe = "\\+\\d{1,3}[ -]\\(\\d{3}\\)[ -]?\\d{3}-\\d{4}" +
+    "|\\+\\d{1,3}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}" +
+    "|\\+\\d{1,3}[ -]\\d{3}[ -]\\d{4}" +
+    "|\\(\\d{3}\\)[ -]?\\d{3}-\\d{4}" +
+    "|\\b\\d{3}[ -]\\d{3}[ -]\\d{4}\\b"
+  /** One conservative street-address shape; suffix literals ordered
+    * longest-first (Street before St, ...) for the same first/longest
+    * agreement. */
+  val AddressRe = "\\b\\d{1,5} [A-Z][A-Za-z]+ " +
+    "(Street|Avenue|Boulevard|Road|Lane|Drive|St|Ave|Blvd|Rd|Ln|Dr)\\b"
 
   def emailCount(text: Column): Column =
     size(regexp_extract_all(text, lit(EmailRe), lit(0)))
@@ -26,14 +52,18 @@ object Pii {
     size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
   def phoneCount(text: Column): Column =
     size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+  def addressCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(AddressRe), lit(0)))
 
-  /** All three PII classes replaced by typed placeholder tags. Replacement
-    * order (email, then IP, then phone) is part of the contract — the oracle
-    * mirrors it exactly. */
+  /** All four PII classes replaced by typed placeholder tags. Replacement
+    * order (email, then IP, then phone, then address) is part of the
+    * contract — the oracle mirrors it exactly. */
   def redact(text: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, EmailRe, "<EMAIL>"),
-        Ipv4Re, "<IP>"),
-      PhoneRe, "<PHONE>")
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>"),
+      AddressRe, "<ADDRESS>")
 }

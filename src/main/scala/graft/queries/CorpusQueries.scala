@@ -296,10 +296,11 @@ object CorpusQueries {
               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
             + CAST(len(regexp_extract_all(text,
               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_pii,
-            regexp_replace(regexp_replace(regexp_replace(text,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-              '\\+\\d{1,3}[ -]\\d{3}[ -]\\d{4}', '<PHONE>', 'g') AS text
+              '\\+\\d{1,3}[ -]\\(\\d{3}\\)[ -]?\\d{3}-\\d{4}|\\+\\d{1,3}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}|\\+\\d{1,3}[ -]\\d{3}[ -]\\d{4}|\\(\\d{3}\\)[ -]?\\d{3}-\\d{4}|\\b\\d{3}[ -]\\d{3}[ -]\\d{4}\\b', '<PHONE>', 'g'),
+              '\\b\\d{1,5} [A-Z][A-Za-z]+ (Street|Avenue|Boulevard|Road|Lane|Drive|St|Ave|Blvd|Rd|Ln|Dr)\\b', '<ADDRESS>', 'g') AS text
           FROM planted),
         samp AS (SELECT *,
             CAST(len($ToksSql) AS BIGINT) AS tk2

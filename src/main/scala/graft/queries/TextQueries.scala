@@ -140,12 +140,21 @@ object TextQueries {
             concat(lit("contact user"), col("doc_id"), lit("@example.com")),
             concat(lit("host 10.1."), pmod(col("doc_id"), lit(250)), lit(".7")),
             concat(lit("tel +49 555 "),
-              lpad(pmod(col("doc_id"), lit(100)).cast("string"), 4, "0")))
+              lpad(pmod(col("doc_id"), lit(100)).cast("string"), 4, "0")),
+            concat(lit("cell 555-123-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")),
+            concat(lit("office (212) 555-"),
+              lpad(pmod(col("doc_id"), lit(100)).cast("string"), 4, "0")),
+            concat(lit("intl +1 (555) 123-"),
+              lpad(pmod(col("doc_id"), lit(100)).cast("string"), 4, "0")),
+            concat(lit("addr "), (pmod(col("doc_id"), lit(90)) + 10).cast("string"),
+              lit(" Oak Street")))
             .as("text"))
         .select(col("doc_id"),
           Pii.emailCount(col("text")).cast("long").as("n_emails"),
           Pii.ipv4Count(col("text")).cast("long").as("n_ips"),
           Pii.phoneCount(col("text")).cast("long").as("n_phones"),
+          Pii.addressCount(col("text")).cast("long").as("n_addresses"),
           Pii.redact(col("text")).as("redacted"))
         .orderBy("doc_id"),
       Some("""
@@ -153,7 +162,11 @@ object TextQueries {
             concat_ws(' ', text,
               'contact user' || doc_id || '@example.com',
               'host 10.1.' || (doc_id % 250) || '.7',
-              'tel +49 555 ' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0')) AS text
+              'tel +49 555 ' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0'),
+              'cell 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+              'office (212) 555-' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0'),
+              'intl +1 (555) 123-' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0'),
+              'addr ' || CAST(doc_id % 90 + 10 AS VARCHAR) || ' Oak Street') AS text
           FROM documents)
         SELECT doc_id,
           CAST(len(regexp_extract_all(text,
@@ -161,11 +174,14 @@ object TextQueries {
           CAST(len(regexp_extract_all(text,
             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
           CAST(len(regexp_extract_all(text,
-            '\+\d{1,3}[ -]\d{3}[ -]\d{4}')) AS BIGINT) AS n_phones,
-          regexp_replace(regexp_replace(regexp_replace(text,
+            '\+\d{1,3}[ -]\(\d{3}\)[ -]?\d{3}-\d{4}|\+\d{1,3}[ -]\d{3}[ -]\d{3}[ -]\d{4}|\+\d{1,3}[ -]\d{3}[ -]\d{4}|\(\d{3}\)[ -]?\d{3}-\d{4}|\b\d{3}[ -]\d{3}[ -]\d{4}\b')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(text,
+            '\b\d{1,5} [A-Z][A-Za-z]+ (Street|Avenue|Boulevard|Road|Lane|Drive|St|Ave|Blvd|Rd|Ln|Dr)\b')) AS BIGINT) AS n_addresses,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-            '\+\d{1,3}[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g') AS redacted
+            '\+\d{1,3}[ -]\(\d{3}\)[ -]?\d{3}-\d{4}|\+\d{1,3}[ -]\d{3}[ -]\d{3}[ -]\d{4}|\+\d{1,3}[ -]\d{3}[ -]\d{4}|\(\d{3}\)[ -]?\d{3}-\d{4}|\b\d{3}[ -]\d{3}[ -]\d{4}\b', '<PHONE>', 'g'),
+            '\b\d{1,5} [A-Z][A-Za-z]+ (Street|Avenue|Boulevard|Road|Lane|Drive|St|Ave|Blvd|Rd|Ln|Dr)\b', '<ADDRESS>', 'g') AS redacted
         FROM w ORDER BY doc_id""")),
 
     // ---- p33: corpus vocabulary — token total/document frequencies, the

@@ -36,8 +36,21 @@ final case class HttpResult(
     headers: Map[String, String],
     contentType: String,
     body: Array[Byte]) {
-  /** Body as UTF-8 text after charset conversion (see [[Charsets]]). */
-  def text: String = Charsets.toUtf8(body, contentType)
+  /** Sniffed binary decision — magic bytes and body shape first, the
+    * Content-Type label second (see [[ContentSniff]]): a PNG served as
+    * `text/plain` is binary; a JSON payload served as
+    * `application/octet-stream` is text. */
+  def isBinary: Boolean = body != null && body.nonEmpty &&
+    ContentSniff.isBinary(body, contentType)
+
+  /** Body as UTF-8 text after charset conversion (see [[Charsets]]); binary
+    * payloads (sniffed, not just labeled) are returned base64-encoded with
+    * the reference's `BINARY_CONTENT_BASE64:` prefix instead of being
+    * mis-decoded (erpl-web `src/http_client.cpp:879-889`). */
+  def text: String =
+    if (isBinary)
+      "BINARY_CONTENT_BASE64:" + java.util.Base64.getEncoder.encodeToString(body)
+    else Charsets.toUtf8(body, contentType)
 }
 
 /** Charset handling per the reference (`src/charset_converter.cpp:7-93`):

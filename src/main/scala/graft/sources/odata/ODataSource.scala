@@ -62,7 +62,8 @@ final case class ODataConf(
     schemaDdl: Option[String] = None,
     unwrap: Option[String] = None,
     filterPushdown: Boolean = true,
-    insertBatchSize: Option[Int] = None) {
+    insertBatchSize: Option[Int] = None,
+    serviceRoot: Option[String] = None) {
   def auth: HttpAuth = HttpAuth(bearer, user, password)
 }
 
@@ -86,7 +87,8 @@ object ODataConf {
       schemaDdl = o.get("schemaddl"),
       unwrap = o.get("unwrap"),
       filterPushdown = o.getOrElse("filterpushdown", "true").toBoolean,
-      insertBatchSize = o.get("insertbatchsize").map(_.toInt))
+      insertBatchSize = o.get("insertbatchsize").map(_.toInt),
+      serviceRoot = o.get("serviceroot").map(_.stripSuffix("/")))
   }
 }
 
@@ -94,7 +96,8 @@ object ODataConf {
   * version, Spark schema from `$metadata` (cached per metadata URL like the
   * reference's process-wide EdmCache, `odata_client.hpp:118-128`). */
 final case class ODataMeta(entitySetUrl: String, setName: String,
-                           version: Int, model: EdmModel, sparkSchema: StructType)
+                           version: Int, model: EdmModel, sparkSchema: StructType,
+                           serviceRoot: String)
 
 object ODataMeta {
   private val edmCache = new java.util.concurrent.ConcurrentHashMap[String, EdmModel]()
@@ -112,7 +115,12 @@ object ODataMeta {
       val base = ODataUrl.parse(conf.url).base.stripSuffix("/")
       val setName = base.substring(base.lastIndexOf('/') + 1)
       val version = if (conf.version == "2") 2 else 4
-      return ODataMeta(base, setName, version, NoModel, StructType.fromDDL(ddl))
+      // no $metadata exists to locate the true service root; one-segment
+      // strip covers flat Graph collections (/v1.0/users). Nested sets
+      // (/sites/{id}/lists/{id}/items) should set `serviceroot` explicitly
+      // when using $batch writes.
+      val root = conf.serviceRoot.getOrElse(base.substring(0, base.lastIndexOf('/')))
+      return ODataMeta(base, setName, version, NoModel, StructType.fromDDL(ddl), root)
     }
     val clean = ODataUrl.parse(conf.url)
     val base = clean.base.stripSuffix("/")
@@ -135,7 +143,8 @@ object ODataMeta {
     val schema =
       if (conf.expand.isEmpty) model.schemaOfSet(setName)
       else model.schemaWithExpand(setName, conf.expand)
-    ODataMeta(s"$serviceRoot/$setName", setName, version, model, schema)
+    ODataMeta(s"$serviceRoot/$setName", setName, version, model, schema,
+      conf.serviceRoot.getOrElse(serviceRoot))
   }
 
   /** A URL names an entity set when its last segment matches no service
@@ -256,12 +265,19 @@ class ODataTable(conf: ODataConf, schema: StructType) extends Table
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
-            val setUrl = ODataMeta.resolve(conf).entitySetUrl
+            val meta = ODataMeta.resolve(conf)
+            val setUrl = meta.entitySetUrl
             // beyond-reference: insertBatchSize groups INSERT rows into OData
-            // JSON $batch round-trips at the service root
+            // JSON $batch round-trips at the SERVICE ROOT (resolved by the
+            // $metadata probe, not a path-segment strip — nested entity sets
+            // get the right endpoint). Sub-request URLs ship service-root-
+            // relative: the 4.01 spec allows both forms and Microsoft Graph
+            // rejects absolute ones.
             val batchOpts = conf.insertBatchSize.map { bs =>
               Map("batchsize" -> bs.toString,
-                "batchurl" -> (setUrl.substring(0, setUrl.lastIndexOf('/')) + "/$batch"))
+                "batchurl" -> (meta.serviceRoot + "/$batch"),
+                "batchsuburl" ->
+                  ("/" + setUrl.stripPrefix(meta.serviceRoot).stripPrefix("/")))
             }.getOrElse(Map.empty)
             new graft.writes.RestItemsBatchWrite(info.schema(), Map(
               "url" -> setUrl) ++ batchOpts ++

@@ -13,9 +13,11 @@ import graft.sources.odata.ODataJson
   * format trivially extends to mixed methods. */
 object ODataJsonBatch {
 
-  /** Batch body POSTing each JSON object in `bodies` to `url` (absolute URI
-    * — the spec allows absolute or service-root-relative). Ids are 1-based
-    * ordinals, so failures map back to buffer positions. */
+  /** Batch body POSTing each JSON object in `bodies` to `url`. The 4.01
+    * spec allows absolute or service-root-relative sub-request URIs; the
+    * OData catalog write path passes the RELATIVE form (Microsoft Graph
+    * rejects absolute ones). Ids are 1-based ordinals, so failures map back
+    * to buffer positions. */
   def buildPostBatch(url: String, bodies: Seq[String]): String =
     bodies.zipWithIndex.map { case (b, i) =>
       s"""{"id":"${i + 1}","method":"POST","url":${JsonEncode.str(url)},""" +

@@ -62,7 +62,8 @@ class RestItemsBatchWrite(schema: StructType, options: Map[String, String])
     new RestItemsWriterFactory(schema,
       o.getOrElse("url", throw new IllegalArgumentException("rest-items needs option url")),
       o.get("bearertoken"), o.get("user"), o.get("password"),
-      o.get("batchurl"), o.getOrElse("batchsize", "1").toInt)
+      o.get("batchurl"), o.getOrElse("batchsize", "1").toInt,
+      o.get("batchsuburl"))
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -74,7 +75,8 @@ class RestItemsWriterFactory(schema: StructType, url: String,
                              bearer: Option[String], user: Option[String],
                              password: Option[String],
                              batchUrl: Option[String] = None,
-                             batchSize: Int = 1) extends DataWriterFactory {
+                             batchSize: Int = 1,
+                             batchSubUrl: Option[String] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       // one client per task, rebuilt executor-side (never serialized)
@@ -102,7 +104,9 @@ class RestItemsWriterFactory(schema: StructType, url: String,
         * path — OData batches are not transactions unless changesets are
         * used, and the services the reference targets don't support them). */
       private def flush(): Unit = if (buf.nonEmpty) {
-        val body = ODataJsonBatch.buildPostBatch(url, buf.toSeq)
+        // sub-requests target batchSubUrl when given (service-root-relative
+        // form — required by Microsoft Graph), else the absolute url
+        val body = ODataJsonBatch.buildPostBatch(batchSubUrl.getOrElse(url), buf.toSeq)
         val bu = batchUrl.get
         val resp = http.request("POST", bu, Some((body, "application/json")), auth = auth)
         if (resp.status >= 300)

@@ -53,6 +53,31 @@ class TextExtrasSpec extends SparkSpecBase {
       "mail <EMAIL> and <EMAIL> from <IP> call <PHONE> or <PHONE> port <IP>")
   }
 
+  test("PII phone shapes: US local, parenthesized, international-parenthesized") {
+    val text = "a 555-123-4567 b (555) 123-4567 c +1 (555) 123-4567 " +
+      "d +49 555 123 4567 d2 +44 20 7946 0958 e 12345-123-45678"
+    val df = Seq((1L, text)).toDF("id", "text")
+    val r = df.select(Pii.phoneCount($"text").as("p"), Pii.redact($"text").as("red")).head()
+    // a, b, c, d match; d2 (2-digit area group) and e (digit-run boundaries)
+    // are documented out of scope and stay untouched
+    assert(r.getInt(0) == 4, r.getString(1))
+    assert(r.getString(1) ==
+      "a <PHONE> b <PHONE> c <PHONE> d <PHONE> d2 +44 20 7946 0958 e 12345-123-45678")
+  }
+
+  test("PII address shape redacts; lowercase and bare numbers do not") {
+    val df = Seq(
+      (1L, "ship to 42 Oak Street today"),
+      (2L, "ship to 42 oak street today"),     // lowercase: out of scope
+      (3L, "number 123456 Oak Street")).toDF("id", "text") // 6 digits: no match
+    val out = df.select($"id", Pii.addressCount($"text").as("a"),
+      Pii.redact($"text").as("red")).collect().map(r =>
+        r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out(1L) == ((1, "ship to <ADDRESS> today")))
+    assert(out(2L) == ((0, "ship to 42 oak street today")))
+    assert(out(3L)._1 == 0)
+  }
+
   test("paragraph dedup keeps first occurrence only and rebuilds in order") {
     val df = Seq(
       (1L, "alpha\nbeta\ngamma"),

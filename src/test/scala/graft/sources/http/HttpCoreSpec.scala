@@ -69,4 +69,72 @@ class HttpCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = HttpAuth(basicUser = Some("u"), basicPassword = Some("p"))
     assert(r.headerValue.contains("Basic dTpw"))
   }
+
+  // --- content sniffing (reference pattern_matcher.cpp detection tables) ---
+
+  private def result(body: Array[Byte], ct: String) =
+    HttpResult(200, "http://x/", Map.empty, ct, body)
+
+  test("mislabeled PNG (text/plain) is sniffed binary and base64-prefixed") {
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 0x00).map(_.toByte)
+    val r = result(png, "text/plain; charset=utf-8")
+    assert(r.isBinary)
+    assert(r.text == "BINARY_CONTENT_BASE64:" +
+      java.util.Base64.getEncoder.encodeToString(png))
+  }
+
+  test("mislabeled JSON (application/octet-stream) is sniffed text and decoded") {
+    val json = """{"value": [1, 2, 3]}""".getBytes("UTF-8")
+    val r = result(json, "application/octet-stream")
+    assert(!r.isBinary)
+    assert(r.text == """{"value": [1, 2, 3]}""")
+    // XML shape overrides a binary label the same way
+    val xml = "<?xml version=\"1.0\"?><root/>".getBytes("UTF-8")
+    assert(!result(xml, "application/octet-stream").isBinary)
+  }
+
+  test("binary content-type labels decode as base64 even without magic bytes") {
+    // reference ToRow behavior (http_client.cpp:879-889): image/* is binary
+    val junk = Array.tabulate(16)(i => (i * 37 % 251).toByte)
+    val r = result(junk, "image/x-custom")
+    assert(r.isBinary && r.text.startsWith("BINARY_CONTENT_BASE64:"))
+    // ...but an honest text label with a text body stays text
+    assert(!result("hello".getBytes("UTF-8"), "text/plain").isBinary)
+  }
+
+  test("printable-ratio fallback flags large unlabeled binary bodies") {
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(4096)((rnd.nextInt(200) + 128).toByte) // mostly >126
+    assert(result(noise, "").isBinary)
+    val prose = Array.fill(4096)('a'.toByte)
+    assert(!result(prose, "").isBinary)
+  }
+
+  test("magic-byte table matches the reference's signature set") {
+    def bin(bs: Int*) = ContentSniff.matchesBinarySignature(bs.map(_.toByte).toArray)
+    assert(bin(0xFF, 0xD8, 0xFF, 0x00))             // JPEG
+    assert(bin(0x25, 0x50, 0x44, 0x46, 0x2D))       // %PDF-
+    assert(bin(0x50, 0x4B, 0x03, 0x04, 0x14))       // ZIP/OOXML
+    assert(bin(0x1F, 0x8B, 0x08))                   // GZIP
+    assert(bin(0xD0, 0xCF, 0x11, 0xE0))             // MS Office 97-2003
+    assert(bin(0xCA, 0xFE, 0xBA, 0xBE, 0x00))       // Java class
+    assert(!bin('{'.toInt, '"'.toInt))              // JSON is not a signature
+  }
+
+  test("OData version detection from body shape (reference :169-214)") {
+    import ContentSniff.detectODataVersion
+    assert(detectODataVersion("""{"@odata.context":"$metadata#E","value":[]}""",
+      "application/json").contains("v4"))
+    assert(detectODataVersion("""{"d":{"results":[],"__metadata":{}}}""",
+      "application/json").contains("v2"))
+    // content-type absent: shape heuristics kick in
+    assert(detectODataVersion("""{"value":[]}""", "").contains("v4"))
+    assert(detectODataVersion(
+      "<feed xmlns:m=\"http://schemas.microsoft.com/ado/2007/08/dataservices\"/>",
+      "application/xml").contains("v2"))
+    assert(detectODataVersion(
+      "<feed xmlns=\"http://docs.oasis-open.org/odata/ns/edm\"/>",
+      "application/atom+xml").contains("v4"))
+    assert(detectODataVersion("plain text", "text/plain").isEmpty)
+  }
 }

@@ -242,6 +242,10 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
     // round-trip count is far below the row count
     val sizes = v4.batchBodies.map(b => "\"method\":\"POST\"".r.findAllIn(b).size)
     assert(sizes.sum == 10 && sizes.forall(_ <= 4), sizes.toString)
+    // sub-request URLs are SERVICE-ROOT-RELATIVE (Graph-compatible), derived
+    // from the $metadata-resolved root, not a path-segment strip
+    assert(v4.batchBodies.forall(_.contains(""""url":"/Customers"""")),
+      v4.batchBodies.headOption.getOrElse(""))
     spark.conf.unset(s"spark.sql.catalog.$cat.insertBatchSize")
   }
 
