@@ -1,6 +1,6 @@
 package graft.sources.deltashare
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 import graft.sources.http.{HttpAuth, HttpCore}
@@ -29,8 +29,32 @@ final case class DeltaShareProfile(endpoint: String, bearerToken: Option[String]
 }
 
 object DeltaShareProfile {
-  /** Profile file: {"shareCredentialsVersion":1,"endpoint":...,"bearerToken":...} */
-  def fromFile(path: String): DeltaShareProfile = fromJson(Files.readString(Paths.get(path)))
+  /** Profile file: {"shareCredentialsVersion":1,"endpoint":...,"bearerToken":...}
+    *
+    * Resolved the same way the reference resolves it — through the engine's
+    * pluggable filesystem (`delta_share_scan.cpp:33` loads the profile via
+    * DuckDB's FileSystem, which covers S3/Azure/http) — here that is Hadoop's
+    * FileSystem: plain and `file:` paths hit the local FS, and any deployed
+    * scheme (`s3a://`, `abfss://`, `hdfs://`) works unchanged. `http(s)://`
+    * profiles are fetched via [[HttpCore]] (Hadoop has no http FS by
+    * default). Pass the session's `hadoopConfiguration` so `fs.*` settings
+    * (credentials, endpoints) apply; the no-arg overload uses a fresh
+    * default Configuration — fine for local paths. */
+  def fromFile(path: String): DeltaShareProfile =
+    fromFile(path, new org.apache.hadoop.conf.Configuration())
+  def fromFile(path: String, hadoopConf: org.apache.hadoop.conf.Configuration): DeltaShareProfile =
+    if (path.startsWith("http://") || path.startsWith("https://")) {
+      val r = HttpCore.shared.get(path, useCache = false)
+      if (r.status != 200)
+        throw new RuntimeException(s"delta-share profile GET $path -> HTTP ${r.status}")
+      fromJson(r.text)
+    } else {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hadoopConf)
+      val in = fs.open(p)
+      try fromJson(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
   def fromJson(json: String): DeltaShareProfile = {
     val n = ODataJson.parse(json)
     DeltaShareProfile(

@@ -62,6 +62,32 @@ class MiscSourcesSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM ds_sales_core_tx").head().getLong(0) == 40L)
   }
 
+  test("delta sharing: profile loads through Hadoop FS (plain path, file:// URI) and http") {
+    val json =
+      s"""{"shareCredentialsVersion":1,"endpoint":"http://localhost:${stub.port}","bearerToken":"tok"}"""
+    val f = java.nio.file.Files.createTempFile("ds-profile", ".share")
+    java.nio.file.Files.writeString(f, json)
+    // plain local path and an explicit file:// URI both resolve via Hadoop FS
+    // (the same resolver the presigned data files use) — the reference loads
+    // the profile through its engine FS too (delta_share_scan.cpp:33)
+    for (path <- Seq(f.toString, f.toUri.toString)) {
+      val p = DeltaShareProfile.fromFile(path,
+        spark.sparkContext.hadoopConfiguration)
+      assert(p.endpoint == s"http://localhost:${stub.port}")
+      assert(p.bearerToken.contains("tok"))
+      assert(DeltaShare.showShares(spark, p).collect().map(_.getString(0)).toSeq == Seq("sales"))
+    }
+    // http(s) profile URL fetched via HttpCore
+    stub.extraBodies(("GET", "/profile.share")) = json
+    val ph = DeltaShareProfile.fromFile(s"http://localhost:${stub.port}/profile.share")
+    assert(ph.endpoint == s"http://localhost:${stub.port}")
+    // missing profile fails with the path in the error, not a silent default
+    val missing = intercept[Exception] {
+      DeltaShareProfile.fromFile("/nonexistent/graft-profile.share")
+    }
+    assert(missing.getMessage.contains("graft-profile"))
+  }
+
   test("http_get returns the reference response shape (headers as map)") {
     val df = HttpFunctions.httpGet(spark, stub.serviceUrl + "/Customers?$top=1")
     val r = df.head()

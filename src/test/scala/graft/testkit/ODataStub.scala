@@ -69,6 +69,9 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
   var shareFiles: Seq[java.nio.file.Path] = Seq.empty
   var shareSchemaJson: String = ""
 
+  /** Ad-hoc routes: (method, path) -> body served as application/json. */
+  val extraBodies = mutable.Map[(String, String), String]()
+
   private var server: HttpServer = _
   def port: Int = server.getAddress.getPort
   def serviceUrl: String = s"http://localhost:$port/svc"
@@ -153,6 +156,9 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
 
   private def route(ex: HttpExchange, path: String, q: Map[String, String]): Unit =
     path match {
+      case p if extraBodies.synchronized { extraBodies.contains((ex.getRequestMethod, p)) } =>
+        respond(ex, 200, "application/json",
+          extraBodies.synchronized { extraBodies((ex.getRequestMethod, p)) })
       case "/svc/$metadata" =>
         respond(ex, 200, "application/xml", metadataXml)
       case "/svc/Customers/$count" =>
