@@ -42,6 +42,55 @@ object Quantize {
     (0 until m).map(mi => seeds.toSeq.map(s => s.slice(mi * sub, (mi + 1) * sub)))
   }
 
+  /** Lloyd-refined PQ codebooks: the hash-seeded [[pqCodebooks]] start
+    * improved by `iters` k-means rounds, ALL m subspaces trained in one
+    * distributed pass per round. Shape: encode each vector with the current
+    * books ([[pqEncode]] — map-only), posexplode the dims, key each element
+    * by (subspace, assigned code, dim-in-subspace), and take per-key mean —
+    * the shuffle is map-side combined down to m × k × subDim partials per
+    * task, and the driver only ever holds the m × k × subDim codebook
+    * doubles. Empty clusters keep their previous entry, so per-subspace L2
+    * distortion is monotonically non-increasing in `iters` (asserted in
+    * `TrainedCodebooksSpec`).
+    *
+    * NOT the oracle default — k-means is not engine-portable; hash-seeded
+    * stays the gate path and training is opt-in (e.g.
+    * `Similarity.ivfPqBuildIndex(trainIters = ...)`). */
+  def pqCodebooksTrained(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                         vecCol: String, m: Int, k: Int,
+                         iters: Int): Seq[Seq[Seq[Double]]] = {
+    var cbs = pqCodebooks(corpus, idCol, vecCol, m, k)
+    if (iters <= 0) return cbs
+    val sub = cbs.head.head.length
+    val v = corpus.select(col(vecCol).cast("array<double>").as("v")).cache()
+    try {
+      for (_ <- 0 until iters) {
+        // codes staged in their own projection: a generator in the same
+        // select strips the argmin struct's field aliases during analysis
+        // (getField("cid") then fails on col1/col2)
+        val stats = v
+          .select(col("v"), pqEncode(col("v"), cbs).as("codes"))
+          .select(col("codes"), posexplode(col("v")))
+          .select(floor(col("pos") / sub).cast("int").as("mi"),
+            pmod(col("pos"), lit(sub)).as("j"),
+            element_at(col("codes"), floor(col("pos") / sub).cast("int") + 1).as("code"),
+            col("col").as("x"))
+          .groupBy("mi", "code", "j")
+          .agg(sum("x").as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+            (r.getDouble(3) / r.getLong(4))).toMap
+        cbs = cbs.zipWithIndex.map { case (book, mi) =>
+          book.zipWithIndex.map { case (old, ki) =>
+            if (!stats.contains((mi, ki, 0))) old
+            else (0 until sub).map(j => stats((mi, ki, j)))
+          }
+        }
+      }
+      cbs
+    } finally { v.unpersist(); () }
+  }
+
   /** Encode a vector as its `m` PQ codes (array<int>): per subspace, the
     * codebook entry with minimal L2 distance (ties → lowest id, via
     * lexicographic struct min). All-literal expression tree — map-only,

@@ -103,6 +103,45 @@ object Similarity {
     }.toSeq
   }
 
+  /** Lloyd-refined (spherical k-means) IVF centroids: the hash-seeded
+    * [[ivfCentroids]] start improved by `iters` assign/recenter rounds.
+    * Each round is ONE distributed pass: map-side cell assignment (same
+    * argmax-dot expression the index uses) + per-(cell, dim) sum — the
+    * posexplode shuffle is map-side combined down to nCentroids × dim
+    * partials per task, and the driver only ever holds nCentroids × dim
+    * doubles (bounded metadata, like the seeds). The spherical recenter is
+    * the normalized sum of unit members (the count cancels under
+    * normalization); empty cells keep their previous centroid.
+    *
+    * NOT the oracle default: k-means is neither engine-portable nor
+    * seed-stable across implementations, so hash-seeded stays the gate
+    * path and training is opt-in via `trainIters` — recall@10 vs
+    * [[knnBruteForce]] is measured in `TrainedCodebooksSpec` instead. */
+  def ivfCentroidsTrained(corpus: DataFrame, corpusId: String, vecCol: String,
+                          nCentroids: Int, iters: Int): Seq[Seq[Double]] = {
+    var cents = ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+    if (iters <= 0) return cents
+    val unit = withNorm(corpus, corpusId, vecCol)
+      .filter(col("nrm") > 0)
+      .select(transform(col("v"), x => x / col("nrm")).as("u"))
+      .cache()
+    try {
+      for (_ <- 0 until iters) {
+        val sums = unit
+          .select(array_max(cellSimsFor(cents)(col("u"))).getField("cid").as("cell"),
+            posexplode(col("u")))
+          .groupBy("cell", "pos").agg(sum("col").as("s"))
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          val s = old.indices.map(j => sums.getOrElse((c, j), 0.0))
+          val n = math.sqrt(s.map(x => x * x).sum)
+          if (sums.contains((c, 0)) && n > 0) s.map(_ / n) else old
+        }
+      }
+      cents
+    } finally { unit.unpersist(); () }
+  }
+
   /** array<struct<sim,cid>> of similarities to every centroid. */
   private def cellSimsFor(centroids: Seq[Seq[Double]])(v: Column): Column =
     array(centroids.zipWithIndex.map { case (c, i) =>
@@ -111,8 +150,11 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, corpusId: String, queries: DataFrame,
               queryId: String, vecCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+              nCentroids: Int = 16, nProbe: Int = 4,
+              trainIters: Int = 0): DataFrame = {
+    val centroids =
+      if (trainIters > 0) ivfCentroidsTrained(corpus, corpusId, vecCol, nCentroids, trainIters)
+      else ivfCentroids(corpus, corpusId, vecCol, nCentroids)
     def cellSims(v: Column): Column = cellSimsFor(centroids)(v)
 
     val corpusCells = withNorm(corpus, corpusId, vecCol)
@@ -243,10 +285,13 @@ object Similarity {
     * index's lifetime. Same cell math as [[ivfTopK]]: the parity spec
     * asserts identical results. */
   def ivfBuildIndex(corpus: DataFrame, corpusId: String, vecCol: String,
-                    path: String, nCentroids: Int = 16): Unit = {
+                    path: String, nCentroids: Int = 16,
+                    trainIters: Int = 0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+    val centroids =
+      if (trainIters > 0) ivfCentroidsTrained(corpus, corpusId, vecCol, nCentroids, trainIters)
+      else ivfCentroids(corpus, corpusId, vecCol, nCentroids)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cid", "c")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -294,13 +339,18 @@ object Similarity {
     * partition pruning, narrow id semi-join). */
   def ivfPqBuildIndex(corpus: DataFrame, corpusId: String, vecCol: String,
                       path: String, nCentroids: Int = 16,
-                      m: Int = 8, k: Int = 16): Unit = {
+                      m: Int = 8, k: Int = 16, trainIters: Int = 0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+    val centroids =
+      if (trainIters > 0) ivfCentroidsTrained(corpus, corpusId, vecCol, nCentroids, trainIters)
+      else ivfCentroids(corpus, corpusId, vecCol, nCentroids)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "c")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val cbs = graft.operators.Quantize.pqCodebooks(corpus, corpusId, vecCol, m, k)
+    val cbs =
+      if (trainIters > 0)
+        graft.operators.Quantize.pqCodebooksTrained(corpus, corpusId, vecCol, m, k, trainIters)
+      else graft.operators.Quantize.pqCodebooks(corpus, corpusId, vecCol, m, k)
     cbs.zipWithIndex.flatMap { case (entries, mi) =>
       entries.zipWithIndex.map { case (c, ki) => (mi, ki, c) }
     }.toDF("m", "ki", "c")

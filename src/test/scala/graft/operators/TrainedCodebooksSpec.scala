@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Trained (Lloyd k-means) IVF centroids / PQ codebooks vs the hash-seeded
+  * defaults, measured on the sf0.1 embeddings (2000 × 64 floats):
+  * recall@10 against [[Similarity.knnBruteForce]] ground truth, and PQ L2
+  * distortion (guaranteed monotone non-increasing under Lloyd rounds with
+  * keep-on-empty clusters — that part is asserted hard; recall is asserted
+  * with the measured margin and recorded in COVERAGE.md).
+  *
+  * Spec-gated, not oracle-gated: k-means is not engine-portable (DuckDB
+  * cannot re-derive the same codebooks), which is exactly why hash-seeded
+  * stays the gate default and training is the opt-in `trainIters` path. */
+class TrainedCodebooksSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet(sf("sf0.1") + "/embeddings.parquet").cache()
+  private lazy val queries = emb.orderBy("vec_id").limit(20).cache()
+  private lazy val brute = Similarity
+    .knnBruteForce(emb, "vec_id", queries, "vec_id", "embedding", 10).cache()
+
+  private def recallAt10(result: DataFrame): Double = {
+    val hits = result.select("q_id", "id")
+      .join(brute.select("q_id", "id"), Seq("q_id", "id"), "left_semi").count()
+    hits.toDouble / brute.count()
+  }
+
+  test("trained IVF centroids: recall@10 at equal probe budget >= hash-seeded") {
+    val seeded = recallAt10(Similarity.ivfTopK(emb, "vec_id", queries, "vec_id",
+      "embedding", 10, nCentroids = 32, nProbe = 2))
+    val trained = recallAt10(Similarity.ivfTopK(emb, "vec_id", queries, "vec_id",
+      "embedding", 10, nCentroids = 32, nProbe = 2, trainIters = 5))
+    info(f"IVF nCentroids=32 nProbe=2: recall@10 seeded=$seeded%.3f trained=$trained%.3f")
+    assert(trained >= seeded,
+      f"training must not hurt recall: seeded=$seeded%.3f trained=$trained%.3f")
+    assert(trained >= 0.3, f"trained recall collapsed: $trained%.3f")
+  }
+
+  /** Mean per-element squared reconstruction error of the books over the
+    * corpus — the k-means objective (per-subspace L2 distortion, scaled). */
+  private def pqDistortion(cbs: Seq[Seq[Seq[Double]]]): Double = {
+    val k = cbs.head.length
+    val sub = cbs.head.head.length
+    val lut = typedLit(cbs.flatten)
+    emb.select(col("embedding"),
+        Quantize.pqEncode(col("embedding"), cbs).as("codes"))
+      .select(col("codes"), posexplode(col("embedding").cast("array<double>")))
+      .select(floor(col("pos") / sub).cast("int").as("mi"),
+        pmod(col("pos"), lit(sub)).as("j"),
+        element_at(col("codes"), floor(col("pos") / sub).cast("int") + 1).as("code"),
+        col("col").as("x"))
+      .withColumn("c",
+        element_at(element_at(lut, col("mi") * k + col("code") + 1), col("j") + 1))
+      .agg(avg(($"x" - $"c") * ($"x" - $"c"))).head().getDouble(0)
+  }
+
+  test("trained PQ codebooks: distortion strictly improves, ADC recall@10 recorded") {
+    val seededCbs = Quantize.pqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+    val trainedCbs = Quantize.pqCodebooksTrained(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 5)
+
+    val dSeeded = pqDistortion(seededCbs)
+    val dTrained = pqDistortion(trainedCbs)
+    info(f"PQ m=8 k=16: distortion seeded=$dSeeded%.5f trained=$dTrained%.5f " +
+      f"(${(1 - dTrained / dSeeded) * 100}%.1f%% lower)")
+    // Lloyd rounds with keep-on-empty never increase the objective
+    assert(dTrained <= dSeeded,
+      f"k-means increased distortion: $dSeeded%.5f -> $dTrained%.5f")
+
+    def adcRecall(cbs: Seq[Seq[Seq[Double]]]): Double = {
+      val encoded = emb.select(col("vec_id"),
+        Quantize.pqEncode(col("embedding"), cbs).as("codes"))
+      recallAt10(Quantize.pqAdcTopK(encoded, "vec_id", "codes", queries,
+        "vec_id", "embedding", cbs, 10))
+    }
+    val rSeeded = adcRecall(seededCbs)
+    val rTrained = adcRecall(trainedCbs)
+    info(f"PQ ADC recall@10: seeded=$rSeeded%.3f trained=$rTrained%.3f")
+    assert(rTrained >= rSeeded,
+      f"training must not hurt ADC recall: seeded=$rSeeded%.3f trained=$rTrained%.3f")
+    assert(rTrained >= 0.2, f"trained ADC recall collapsed: $rTrained%.3f")
+  }
+}
