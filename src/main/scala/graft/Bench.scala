@@ -21,7 +21,9 @@ object Bench {
     // signature tables) would otherwise be charged to whichever query runs
     // first — a partial warmup list left the 40+ unwarmed queries paying
     // 100-400 ms of first-run compilation each inside their measured time.
-    // Measured numbers below are the steady state.
+    // Measured numbers below are the steady state. (All queries' persisted
+    // intermediates stay warm — at bench SF their union is a few hundred MB;
+    // a bigger-SF bench would need an unpersist budget here.)
     SparkEntry.queries.foreach { case (_, f) =>
       try f(spark, sfDir).count() catch { case _: Throwable => }
     }

@@ -30,21 +30,34 @@ object Components {
     * see [[dedupClusters]] for the canonical coalesce pattern.
     *
     * `checkpointDir`: when set, each round's edge set is cut with a RELIABLE
-    * checkpoint written there (sets the SparkContext checkpoint dir as a
-    * documented side effect) — on a real cluster an executor loss mid-loop
-    * then recovers from the checkpoint instead of recomputing the whole
-    * round history. The default `localCheckpoint` (executor-local blocks)
-    * is faster and fine single-node / for short loops. */
+    * checkpoint under a fresh per-run subdirectory of it — on a real
+    * cluster an executor loss mid-loop then recovers from the checkpoint
+    * instead of recomputing the whole round history. The SparkContext
+    * checkpoint dir is repointed for the duration of the loop and restored
+    * afterwards (if one was set); superseded rounds' files are deleted as
+    * soon as the next round's checkpoint materializes, so the run holds at
+    * most two rounds' edge copies on storage — the FINAL round's files
+    * remain (the returned DataFrame reads them) and are the caller's to
+    * delete once the result is consumed. The default `localCheckpoint`
+    * (executor-local blocks) is faster and fine single-node / for short
+    * loops. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val sc = spark.sparkContext
 
-    val cut: DataFrame => DataFrame = checkpointDir match {
+    val savedCheckpointDir = sc.getCheckpointDir
+    val runDir = checkpointDir.map(d => s"$d/cc-${java.util.UUID.randomUUID()}")
+    val cut: DataFrame => DataFrame = runDir match {
       case Some(dir) =>
-        spark.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
+        sc.setCheckpointDir(dir)
+        df => {
+          val cutDf = df.checkpoint() // eager: materialized on return
+          pruneOldCheckpoints(sc, dir)
+          cutDf
+        }
       case None => df => df.localCheckpoint()
     }
 
@@ -101,11 +114,33 @@ object Components {
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // restore the caller's checkpoint dir (a library must not leave a
+    // global repointed); the final round's files under runDir stay — the
+    // result below reads them
+    if (runDir.isDefined) savedCheckpointDir.foreach(sc.setCheckpointDir)
 
     // stars: every hi hangs off its component's minimum; minima map to themselves
     e.select($"hi".as("id"), $"lo".as("component"))
       .union(e.select($"lo".as("id"), $"lo".as("component")))
       .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** Delete every checkpointed RDD under `runDir` except the newest: once
+    * round k's checkpoint has materialized, round k-1's files are
+    * unreachable (the new lineage roots at k), so a long loop holds at most
+    * two rounds' edge copies instead of maxIter. */
+  private def pruneOldCheckpoints(sc: org.apache.spark.SparkContext,
+                                  runDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(runDir)
+    val fs = root.getFileSystem(sc.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    // layout: runDir/<context-uuid>/rdd-<id>
+    val rdds = Option(fs.globStatus(new org.apache.hadoop.fs.Path(runDir, "*/rdd-*")))
+      .getOrElse(Array.empty)
+    if (rdds.length <= 1) return
+    rdds.sortBy(s => s.getPath.getName.stripPrefix("rdd-").toIntOption.getOrElse(-1))
+      .dropRight(1)
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** Per-document cluster assignment: every doc mapped to its near-dup

@@ -29,7 +29,11 @@ object ContentSniff {
     Seq(0x52, 0x49, 0x46, 0x46),       // WebP/WAV (RIFF)
     Seq(0x50, 0x4B, 0x03, 0x04),       // ZIP / Office Open XML
     Seq(0x1F, 0x8B),                   // GZIP
-    Seq(0x7B, 0x5A),                   // Bzip2 (reference's table value)
+    // Bzip2 is "BZh" — the reference's table has {0x7B, 0x5A} ("{Z",
+    // pattern_matcher.cpp:22), which would flag JSON/text bodies starting
+    // "{Z" as binary and never match a real bzip2 stream; deliberate fix,
+    // recorded under Known divergences in COVERAGE.md
+    Seq(0x42, 0x5A, 0x68),             // Bzip2
     Seq(0x28, 0xB5, 0x2F, 0xFD),       // Zstd
     Seq(0xCE, 0xB2, 0xCF, 0x81),       // Brotli
     Seq(0x75, 0x73, 0x74, 0x61, 0x72), // TAR ("ustar")
@@ -82,6 +86,18 @@ object ContentSniff {
     l.nonEmpty && BinaryContentTypes.exists(l.contains)
   }
 
+  /** Explicitly textual label: the `text/` tree, JSON/XML families, and other
+    * structured-text types. A body with one of these labels is NEVER routed
+    * through the printable-ratio fallback — that heuristic counts ASCII
+    * bytes, so multi-byte scripts (CJK/Cyrillic/Arabic UTF-8 text) fall
+    * under 25% printable and would be misclassified as binary. */
+  def isTextualContentType(ct: String): Boolean = {
+    val l = Option(ct).getOrElse("").toLowerCase
+    l.contains("text/") || isJsonContentType(l) || isXmlContentType(l) ||
+      l.contains("csv") || l.contains("javascript") || l.contains("ecmascript") ||
+      l.contains("x-www-form-urlencoded") || l.contains("html")
+  }
+
   /** Printable-ratio fallback (`pattern_matcher.cpp:150-164`): a body over
     * 1 KiB with fewer than 25% printable-ASCII/tab/CR/LF bytes is binary. */
   def lowPrintableRatio(body: Array[Byte]): Boolean =
@@ -124,7 +140,10 @@ object ContentSniff {
     val prefix = new String(body, 0, math.min(body.length, 512),
       java.nio.charset.StandardCharsets.ISO_8859_1)
     if (looksLikeJson(prefix) || looksLikeXml(prefix)) return false
-    isBinaryContentType(contentType) || lowPrintableRatio(body)
+    // printable-ratio is the last resort for UNLABELED/untyped payloads
+    // only (trust order step 4): an explicit textual label wins over it
+    isBinaryContentType(contentType) ||
+      (!isTextualContentType(contentType) && lowPrintableRatio(body))
   }
 
   /** OData protocol version from a response body + content type
@@ -133,13 +152,18 @@ object ContentSniff {
     * `__metadata`; the XML namespaces disambiguate the Atom dialects. */
   def detectODataVersion(content: String, contentType: String): Option[String] = {
     if (content == null || content.isEmpty) return None
-    val ctl = Option(contentType).getOrElse("").toLowerCase
-    val isJson = ctl.contains("json") || (looksLikeJson(content) && !looksLikeXml(content))
-    val isXml = ctl.contains("xml") || (looksLikeXml(content) && !looksLikeJson(content))
+    val isJson = isJsonContentType(contentType) ||
+      (looksLikeJson(content) && !looksLikeXml(content))
+    val isXml = isXmlContentType(contentType) ||
+      (looksLikeXml(content) && !looksLikeJson(content))
     if (isJson) {
-      if (content.contains("\"@odata.context\"") || content.contains("\"@odata.type\"") ||
-          content.contains("\"value\"")) return Some("v4")
+      // unambiguous @odata.* annotations first; then the v2 wrapper, which
+      // must be tested BEFORE the bare "value" v4 marker — a v2 payload
+      // whose rows have a property named "value" would otherwise misdetect
+      if (content.contains("\"@odata.context\"") || content.contains("\"@odata.type\""))
+        return Some("v4")
       if (content.contains("\"d\"") || content.contains("\"__metadata\"")) return Some("v2")
+      if (content.contains("\"value\"")) return Some("v4")
     }
     if (isXml) {
       if (content.contains("http://docs.oasis-open.org/odata/ns/")) return Some("v4")

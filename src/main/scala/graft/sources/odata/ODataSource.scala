@@ -274,10 +274,18 @@ class ODataTable(conf: ODataConf, schema: StructType) extends Table
             // relative: the 4.01 spec allows both forms and Microsoft Graph
             // rejects absolute ones.
             val batchOpts = conf.insertBatchSize.map { bs =>
+              // relative sub-request URL only when the entity-set URL really
+              // lives under the resolved service root; if the two diverge
+              // (user-set serviceroot behind a proxy, different casing), the
+              // absolute form — also valid per OData 4.01 §11.7.2 — beats
+              // shipping "/https://host/..." from a no-op stripPrefix
+              val subUrl =
+                if (setUrl.startsWith(meta.serviceRoot))
+                  "/" + setUrl.stripPrefix(meta.serviceRoot).stripPrefix("/")
+                else setUrl
               Map("batchsize" -> bs.toString,
                 "batchurl" -> (meta.serviceRoot + "/$batch"),
-                "batchsuburl" ->
-                  ("/" + setUrl.stripPrefix(meta.serviceRoot).stripPrefix("/")))
+                "batchsuburl" -> subUrl)
             }.getOrElse(Map.empty)
             new graft.writes.RestItemsBatchWrite(info.schema(), Map(
               "url" -> setUrl) ++ batchOpts ++

@@ -82,6 +82,8 @@ class ComponentsSpec extends SparkSpecBase {
 
   test("reliable checkpointDir path matches localCheckpoint results") {
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val callerDir = java.nio.file.Files.createTempDirectory("cc_caller").toString
+    spark.sparkContext.setCheckpointDir(callerDir)
     val edges = Seq[(Long, Long)](
       (0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (20, 21))
     val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
@@ -91,6 +93,15 @@ class ComponentsSpec extends SparkSpecBase {
     // the reliable checkpoint actually wrote RDD blocks there
     val wrote = new java.io.File(dir).listFiles()
     assert(wrote != null && wrote.nonEmpty, "no checkpoint data written")
+    // superseded rounds pruned: at most one rdd-* dir survives per run
+    import scala.sys.process._
+    val rddDirs = Seq("bash", "-c", s"find $dir -maxdepth 3 -type d -name 'rdd-*'").!!
+      .trim.split("\n").filter(_.nonEmpty)
+    assert(rddDirs.length <= 1, s"stale round checkpoints: ${rddDirs.toSeq}")
+    // the caller's checkpoint dir is restored, not left repointed
+    assert(spark.sparkContext.getCheckpointDir.exists(_.contains(
+      new java.io.File(callerDir).getName)),
+      s"checkpoint dir not restored: ${spark.sparkContext.getCheckpointDir}")
   }
 
   test("empty edge set (all self-loops) converges immediately") {

@@ -110,6 +110,24 @@ class HttpCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!result(prose, "").isBinary)
   }
 
+  test("textual labels are never routed through the printable-ratio heuristic") {
+    // 4 KiB of Cyrillic UTF-8: ~0% printable-ASCII bytes — the heuristic
+    // alone would call it binary, but the explicit text label wins
+    val cyrillic = ("привет мир это обычный текст " * 200).getBytes("UTF-8")
+    assert(cyrillic.length > 1024)
+    assert(!result(cyrillic, "text/plain; charset=utf-8").isBinary)
+    assert(!result(cyrillic, "text/csv").isBinary)
+    // same bytes with NO label: the last-resort heuristic applies
+    assert(result(cyrillic, "").isBinary)
+  }
+
+  test("bzip2 magic is BZh; '{Z'-prefixed text is not flagged") {
+    def bin(bs: Int*) = ContentSniff.matchesBinarySignature(bs.map(_.toByte).toArray)
+    assert(bin(0x42, 0x5A, 0x68, 0x39)) // real bzip2 stream start "BZh9"
+    assert(!bin('{'.toInt, 'Z'.toInt))  // reference's table bug, fixed here
+    assert(!result("{Zebra: not json but text}".getBytes("UTF-8"), "").isBinary)
+  }
+
   test("magic-byte table matches the reference's signature set") {
     def bin(bs: Int*) = ContentSniff.matchesBinarySignature(bs.map(_.toByte).toArray)
     assert(bin(0xFF, 0xD8, 0xFF, 0x00))             // JPEG
@@ -136,5 +154,10 @@ class HttpCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "<feed xmlns=\"http://docs.oasis-open.org/odata/ns/edm\"/>",
       "application/atom+xml").contains("v4"))
     assert(detectODataVersion("plain text", "text/plain").isEmpty)
+    // a v2 payload whose rows carry a property NAMED "value" is still v2:
+    // the d/__metadata wrapper is tested before the bare v4 "value" marker
+    assert(detectODataVersion(
+      """{"d":{"results":[{"value":1,"__metadata":{}}]}}""",
+      "application/json").contains("v2"))
   }
 }

@@ -28,12 +28,12 @@ final case class TaskProfile(wallMs: Long, tasks: Seq[TaskStat]) {
 
 /** Straggler measurement harness: registers a [[SparkListener]] for the
   * duration of `body`, drains the listener bus, and returns every finished
-  * task's duration + shuffle record counts. The dataset cache is cleared
-  * first so consecutive capped/uncapped runs don't reuse each other's
-  * persisted intermediates (both pair generators persist internally). */
+  * task's duration + shuffle record counts. Caches are NOT touched: shared
+  * persisted intermediates (shingle sets, the soak corpus) staying warm
+  * across consecutive profiled runs is the steady state the comparison
+  * wants — a caller needing isolation clears the catalog cache itself. */
 object TaskStats {
   def profile[A](spark: SparkSession)(body: => A): (A, TaskProfile) = {
-    spark.catalog.clearCache()
     val buf = mutable.ArrayBuffer[TaskStat]()
     val listener = new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = buf.synchronized {
