@@ -279,6 +279,73 @@ object DedupQueries {
         bsh AS (SELECT DISTINCT unnest(shs) AS sh FROM sets WHERE doc_id < 5)
         SELECT doc_id, COUNT(*) AS n_shared
         FROM cposts WHERE sh IN (SELECT sh FROM bsh)
-        GROUP BY 1 HAVING COUNT(*) >= 1 ORDER BY doc_id"""))
+        GROUP BY 1 HAVING COUNT(*) >= 1 ORDER BY doc_id""")),
+
+    // ---- p35: URL canonicalization + URL-keyed dedup groups (the C4
+    // recipe's first dedup tier). The corpus has no URL column, so the
+    // query plants deterministically messy ones (both engines identically):
+    // mixed-case scheme/host, userinfo, default vs explicit ports, tracking
+    // params in three arrangements, fragments, trailing slashes. Docs
+    // sharing (doc_id%37, doc_id%11, parity) must collapse to ONE canonical
+    // URL whatever surface form they carried. Oracle = the identical
+    // regex chain in DuckDB (shared RE2∩Java subset, no lookarounds). ------
+    QueryDef("p35_url_dedup",
+      (s, d) => {
+        val planted = T.documents(s, d).select(col("doc_id"),
+          concat(
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS://"))
+              .otherwise(lit("http://User:Pass@")),
+            lit("WWW.Site"), pmod(col("doc_id"), lit(13)), lit(".Example.COM"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit(":443")).otherwise(lit(":8080")),
+            lit("/Articles/item"), pmod(col("doc_id"), lit(7)),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+                lit("/?utm_source=feed&utm_campaign=Spring&id=7"))
+              .when(pmod(col("doc_id"), lit(3)) === 1, lit("?id=7&fbclid=abc123"))
+              .otherwise(lit("/?id=7")),
+            when(pmod(col("doc_id"), lit(5)) === 0, lit("#section-2")).otherwise(lit("")))
+            .as("url"))
+        Urls.urlGroups(planted, "doc_id", "url")
+          .orderBy("url_norm")
+      },
+      Some("""
+        WITH u AS (SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://User:Pass@' END) ||
+            'WWW.Site' || (doc_id % 13) || '.Example.COM' ||
+            (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8080' END) ||
+            '/Articles/item' || (doc_id % 7) ||
+            (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&utm_campaign=Spring&id=7'
+                  WHEN doc_id % 3 = 1 THEN '?id=7&fbclid=abc123'
+                  ELSE '/?id=7' END) ||
+            (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+          FROM documents),
+        parts AS (SELECT doc_id,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+            lower(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1)) AS hp,
+            regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+          FROM u),
+        norm AS (SELECT doc_id, sch || '://' ||
+            (CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+                  WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+                  ELSE hp END) ||
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(rest,
+                '([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid)=[^&#]*',
+                '\1', 'g'),
+              '&&+', '&', 'g'),
+              '\?&', '?', 'g'),
+              '/+\?', '?', 'g'),
+              '[?&]+$', ''),
+              '/+$', '') AS url_norm
+          FROM parts),
+        g AS (SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_copies
+              FROM norm GROUP BY 1)
+        SELECT url_norm,
+          regexp_replace(regexp_extract(url_norm,
+            '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1),
+            ':[0-9]+$', '') AS host,
+          keep_id, n_copies
+        FROM g ORDER BY url_norm"""))
   )
 }
