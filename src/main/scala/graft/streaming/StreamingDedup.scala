@@ -20,6 +20,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingDedup {
 
+  /** Streaming twin of [[graft.operators.Urls.dedupByUrl]]: keep the
+    * first-seen document per CANONICAL URL within the watermark. The
+    * canonical form ([[graft.operators.Urls.urlNormalize]]) is a map-only
+    * expression, so rows flow straight to the dedup operator; state is one
+    * md5 of the canonical URL (32 hex chars) per distinct URL within the
+    * watermark — the same fixed-width-state choice as the exact/paragraph
+    * tiers, independent of URL length. Adds the `url_fp` column. */
+  def dedupByUrlStream(docs: DataFrame, tsCol: String, urlCol: String,
+                       watermark: String): DataFrame =
+    docs.withColumn("url_fp",
+        md5(graft.operators.Urls.urlNormalize(col(urlCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("url_fp")
+
   /** Keep the first-seen document per content fingerprint; state bounded by
     * `watermark` (e.g. "10 minutes"). Adds the `fp` fingerprint column. */
   def dedupExactStream(docs: DataFrame, tsCol: String, textCol: String,

@@ -50,6 +50,38 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(keptFps.length == docs.size)
   }
 
+  test("streaming URL dedup: surface variants of one canonical URL collapse to first arrival") {
+    import spark.implicits._
+    val base = 1700000000000L
+    // four surface forms of ONE canonical URL arriving in id order, plus a
+    // genuinely different URL in the same batch window
+    val rows = Seq(
+      (1L, new Timestamp(base), "https://a.io/x?id=1&utm_source=f"),
+      (2L, new Timestamp(base + 1000L), "HTTPS://A.IO:443/x?id=1"),
+      (3L, new Timestamp(base + 2000L), "https://user@a.io/x/?id=1#frag"),
+      (4L, new Timestamp(base + 3000L), "https://a.io/x?id=1"),
+      (5L, new Timestamp(base + 4000L), "https://a.io/y?id=1"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingDedup.dedupByUrlStream(
+        mem.toDF().toDF("doc_id", "ts", "url"), "ts", "url", "10 minutes")
+      .writeStream.format("memory").queryName("url_dedup_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3): _*) // dup across batches + the distinct URL
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("url_dedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L), s"kept $kept")
+    // parity with the batch operator on the same rows
+    val batchKept = graft.operators.Urls
+      .dedupByUrl(rows.toDF("doc_id", "ts", "url"), "doc_id", "url")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == kept)
+  }
+
   test("streaming near-dedup: later near-dups dropped, collision-free originals kept") {
     import spark.implicits._
     import graft.operators.Dedup
