@@ -67,6 +67,15 @@ class PlanSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("p35 URL dedup: map-only canonicalization, one hash shuffle for the groups") {
+    val p = plan("p35_url_dedup")
+    assert(p.contains("HashAggregate"))
+    // normalization is pure projection — the ONLY exchanges are the group
+    // agg and the final presentation sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("p11 asof join plans one shuffle on the key + one window pass") {
     val p = plan("p11_asof_signup")
     assert(p.contains("Window"), p.take(1000))
