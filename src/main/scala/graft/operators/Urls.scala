@@ -19,13 +19,17 @@ import org.apache.spark.sql.functions._
   *     are case-sensitive);
   *  3. scheme-default ports dropped (`http…:80`, `https…:443`); any other
   *     port kept;
-  *  4. tracking query params removed: `utm_*`, `fbclid`, `gclid`,
-  *     `msclkid`, `igshid`, `mc_cid`, `mc_eid`;
-  *  5. separator debris collapsed (`?&`→`?`, `&&`→`&`, dangling `?`/`&`
-  *     stripped), trailing path slashes dropped (`/a/?x`→`/a?x`,
-  *     `/a/`→`/a`);
+  *  4. tracking query params removed — `utm_*`, `fbclid`, `gclid`,
+  *     `msclkid`, `igshid`, `mc_cid`, `mc_eid` — recognized only at real
+  *     separators (query start or `&`), never inside parameter values;
+  *  5. trailing PATH slashes dropped (`/a/?x`→`/a?x`, `/a/`→`/a`) and
+  *     query separator debris healed (`&&`→`&`, leading/trailing `&`, a
+  *     now-empty query loses its `?`) — each on its own side of the first
+  *     `?`, so `/`, `?`, `&` inside parameter values are untouched;
   *  6. a string with no `scheme://` prefix passes through unchanged (not a
   *     URL — the caller's data problem, not silently rewritten).
+  *
+  * Idempotent: normalize(normalize(u)) == normalize(u) (spec-checked).
   *
   * Scale shape: canonicalization is map-only; [[urlGroups]] is ONE
   * hash-shuffle on the canonical URL with partial aggregation (the same
@@ -37,8 +41,11 @@ object Urls {
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)"
   private val RestRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+  /** Tracking params are recognized only at a REAL separator (start of the
+    * query or `&`) — a literal `?utm_…` embedded in a parameter VALUE (e.g.
+    * `?next=/x?utm_source=f`) is data, not a parameter, and stays. */
   private val TrackingRe =
-    "([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid)=[^&#]*"
+    "(^|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid)=[^&]*"
 
   /** Lowercased scheme; "" when the value is not a `scheme://` URL. */
   def urlScheme(u: Column): Column = lower(regexp_extract(u, SchemeRe, 1))
@@ -53,25 +60,30 @@ object Urls {
   /** Path + query with the fragment dropped, verbatim case. */
   def urlRest(u: Column): Column = regexp_extract(u, RestRe, 1)
 
-  /** The canonical form (contract in the object doc). */
-  def urlNormalize(u: Column): Column = bindOnce(u) { url =>
-    bindOnce(urlScheme(url)) { sch =>
-      val hp = urlHostPort(url)
-      val hpNoDefault = when(sch === "http", regexp_replace(hp, ":80$", ""))
-        .when(sch === "https", regexp_replace(hp, ":443$", ""))
-        .otherwise(hp)
-      val rest = regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(regexp_replace(regexp_replace(
-          urlRest(url),
-          TrackingRe, "$1"),     // drop tracking params, keep the separator
-          "&&+", "&"),           // collapse runs left by removals
-          "\\?&", "?"),          // first removed param owned the '?'
-          "/+\\?", "?"),         // trailing path slash before the query
-          "[?&]+$", ""),         // dangling separators
-          "/+$", "")             // trailing path slashes
-      when(sch === "", url)      // not a URL: pass through unchanged
-        .otherwise(concat(sch, lit("://"), hpNoDefault, rest))
-    }
+  /** The canonical form (contract in the object doc). The path and the
+    * query are split at the FIRST `?` and healed separately — the earlier
+    * single-string chain rewrote `/`/`?`/`&` sequences INSIDE parameter
+    * values (`?q=a/?b`, `?next=/home/`), collapsing genuinely distinct
+    * URLs. Within the query, only `^` and `&` are separators. Plain scalar
+    * expressions throughout (no HOFs): the whole projection stays inside
+    * whole-stage codegen, and repeated subtrees (scheme, host:port) are
+    * eliminated by codegen subexpression elimination. */
+  def urlNormalize(u: Column): Column = {
+    val sch = urlScheme(u)
+    val hp = urlHostPort(u)
+    val hpNoDefault = when(sch === "http", regexp_replace(hp, ":80$", ""))
+      .when(sch === "https", regexp_replace(hp, ":443$", ""))
+      .otherwise(hp)
+    val rest = urlRest(u)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_replace(regexp_replace(regexp_replace(
+      regexp_extract(rest, "^[^?]*\\?(.*)$", 1),
+      TrackingRe, "$1"),         // drop tracking params at real separators
+      "&&+", "&"),               // collapse runs left by removals
+      "^&+|&+$", "")             // leading/trailing separator debris
+    when(sch === "", u)          // not a URL: pass through unchanged
+      .otherwise(concat(sch, lit("://"), hpNoDefault, path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
   }
 
   /** URL dedup groups: one row per canonical URL —
@@ -87,10 +99,9 @@ object Urls {
     * arbitrary payload columns intact (min-id semi-join, like
     * [[Dedup.dedupExact]]). */
   def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
-    val keep = df
-      .groupBy(urlNormalize(col(urlCol)).as("url_norm"))
-      .agg(min(col(idCol)).as(idCol))
-      .select(idCol)
+    // keep-set from urlGroups so the group definition lives in ONE place
+    // (mirrors Dedup.dedupExact over exactGroups; unused columns are pruned)
+    val keep = urlGroups(df, idCol, urlCol).select(col("keep_id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
 }

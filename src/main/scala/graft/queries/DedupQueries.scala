@@ -286,9 +286,10 @@ object DedupQueries {
     // query plants deterministically messy ones (both engines identically):
     // mixed-case scheme/host, userinfo, default vs explicit ports, tracking
     // params in three arrangements, fragments, trailing slashes. Docs
-    // sharing (doc_id%37, doc_id%11, parity) must collapse to ONE canonical
-    // URL whatever surface form they carried. Oracle = the identical
-    // regex chain in DuckDB (shared RE2∩Java subset, no lookarounds). ------
+    // sharing (parity, doc_id%13 host, doc_id%7 path) must collapse to ONE
+    // canonical URL whatever surface form they carried — 2x13x7 = 182
+    // groups from 500 docs at sf0.01. Oracle = the identical regex chain
+    // in DuckDB (shared RE2∩Java subset, no lookarounds). ------------------
     QueryDef("p35_url_dedup",
       (s, d) => {
         val planted = T.documents(s, d).select(col("doc_id"),
@@ -325,20 +326,21 @@ object DedupQueries {
             regexp_extract(url,
               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
           FROM u),
+        healed AS (SELECT doc_id, sch, hp,
+            regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+            regexp_replace(regexp_replace(regexp_replace(
+              regexp_extract(rest, '^[^?]*\?(.*)$', 1),
+              '(^|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid)=[^&]*',
+              '\1', 'g'),
+              '&&+', '&', 'g'),
+              '^&+|&+$', '', 'g') AS q
+          FROM parts),
         norm AS (SELECT doc_id, sch || '://' ||
             (CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
                   WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
                   ELSE hp END) ||
-            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-              regexp_replace(regexp_replace(rest,
-                '([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid)=[^&#]*',
-                '\1', 'g'),
-              '&&+', '&', 'g'),
-              '\?&', '?', 'g'),
-              '/+\?', '?', 'g'),
-              '[?&]+$', ''),
-              '/+$', '') AS url_norm
-          FROM parts),
+            path || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS url_norm
+          FROM healed),
         g AS (SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_copies
               FROM norm GROUP BY 1)
         SELECT url_norm,

@@ -76,6 +76,20 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("p35 canonicalization projection stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("p35_url_dedup")(spark, sf("sf0.001"))
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // scalar-only normalization (no HOFs): every Project in the FINAL plan
+    // is starred (the AQE Initial Plan section carries no codegen marks)
+    val finalPlan = formatted.split("== Initial Plan ==").head
+    assert(finalPlan.contains("* Project"), finalPlan.take(1500))
+    assert(!finalPlan.linesIterator.exists(l =>
+        l.trim.startsWith("+- Project") || l.trim.startsWith("Project (")),
+      "interpreted (non-codegen) Project in p35:\n" + finalPlan.take(1500))
+  }
+
   test("p11 asof join plans one shuffle on the key + one window pass") {
     val p = plan("p11_asof_signup")
     assert(p.contains("Window"), p.take(1000))
