@@ -183,12 +183,29 @@ object Similarity {
     * Output: (id_a, id_b, sim) with id_a < id_b, sim >= minSim. */
   def cosineNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
                        minSim: Double, tables: Int = 8,
-                       planesPerTable: Int = 8): DataFrame = {
+                       planesPerTable: Int = 8,
+                       maxBucket: Option[Long] = None,
+                       storage: org.apache.spark.storage.StorageLevel =
+                         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val e = withNorm(df, idCol, vecCol)
       .select(col(idCol).as("id"), col("v"), col("nrm"))
-    val keys = e.select(col("id"), posexplode(
+    val keys0 = e.select(col("id"), posexplode(
         call_function("vec_lsh_keys", col("v"), lit(tables), lit(planesPerTable))))
       .toDF("id", "t", "bk")
+    // same bucket skew guard as Dedup.minhashLshPairs: a cluster of m
+    // identical embeddings collides in EVERY table — m²/2 candidates per
+    // table on one reducer (a 1M-vector boilerplate cluster is 10^12 pairs).
+    // Oversized buckets drop whole: their members are exact-dedup territory
+    // (identical vectors), and each vector keeps tables-1 other chances.
+    // The capped key table persists (narrow (id,t,bk)) because the
+    // self-join would otherwise evaluate the size-filter subtree twice.
+    val keys = maxBucket match {
+      case Some(cap) =>
+        val sizes = keys0.groupBy("t", "bk").agg(count(lit(1)).as("bn"))
+        keys0.join(sizes.filter(col("bn") <= cap), Seq("t", "bk"))
+          .select("id", "t", "bk").persist(storage)
+      case None => keys0
+    }
     val cand = keys.as("a").join(keys.as("b"),
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
           col("a.id") < col("b.id"))

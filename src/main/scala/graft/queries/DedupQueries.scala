@@ -256,6 +256,56 @@ object DedupQueries {
                     JOIN n b ON cand.id_b = b.vec_id)
         WHERE sim >= 0.3 ORDER BY id_a, id_b""")),
 
+    // ---- p36: embedding-cosine LSH pairs WITH the bucket skew cap — the
+    // vector-side twin of p32's guard (an identical-embedding cluster
+    // collides in EVERY table: m²/2 candidates per table on one reducer at
+    // 100 TB). The query plants 8 clones of each of the first 3 vectors
+    // (both engines identically): their 9-member buckets exceed cap=8 and
+    // drop WHOLE, so no clone pair survives. The synthetic embeddings also
+    // cluster by label, so some ORGANICALLY hot buckets get capped too
+    // (52 of p19's 208 pairs remain) — exactly the documented cap
+    // semantics, mirrored by the oracle = p19's CTE chain + the
+    // bucket-size filter. -------------------------------------------------
+    QueryDef("p36_cosine_lsh_capped",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val clones = e.filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding"),
+            explode(sequence(lit(1), lit(8))).as("r"))
+          .select((col("vec_id") + col("r") * 100000L).as("vec_id"), col("embedding"))
+        Similarity.cosineNearDupLsh(
+          e.select("vec_id", "embedding").unionAll(clones),
+          "vec_id", "embedding", minSim = 0.3, maxBucket = Some(8L))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   UNION ALL
+                   SELECT vec_id + 100000*r AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings CROSS JOIN range(1, 9) rr(r) WHERE vec_id < 3),
+        n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        proj AS (SELECT vec_id, t, j,
+            list_reduce(list_transform(range(0, len(v)), d ->
+              v[d+1] * (((1103515245 * (t*8191 + j*131 + d) + 12345) % 2147483648)
+                        / 2147483648.0 - 0.5)),
+              (x, y) -> x + y) AS s
+          FROM n CROSS JOIN range(8) rt(t) CROSS JOIN range(8) rj(j)),
+        keys0 AS (SELECT vec_id, t,
+            SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bk
+          FROM proj GROUP BY vec_id, t),
+        sizes AS (SELECT t, bk, COUNT(*) AS bn FROM keys0 GROUP BY t, bk),
+        keys AS (SELECT k.vec_id, k.t, k.bk FROM keys0 k
+                 JOIN sizes s ON k.t = s.t AND k.bk = s.bk WHERE s.bn <= 8),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM keys a JOIN keys b ON a.t = b.t AND a.bk = b.bk
+            AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, sim FROM (
+          SELECT cand.id_a, cand.id_b,
+            ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+          FROM cand JOIN n a ON cand.id_a = a.vec_id
+                    JOIN n b ON cand.id_b = b.vec_id)
+        WHERE sim >= 0.3 ORDER BY id_a, id_b""")),
+
     // ---- p23: benchmark decontamination — corpus docs sharing word
     // 3-grams with the (broadcast) benchmark set. The 100 TB shape: the
     // benchmark shingle set broadcasts, the corpus scan is map-only, the

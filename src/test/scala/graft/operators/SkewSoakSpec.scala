@@ -149,6 +149,49 @@ class SkewSoakSpec extends SparkSpecBase {
       s"cap should shrink the max task >5x: capped=${cp.maxSwRecords} uncapped=${up.maxSwRecords}")
   }
 
+  test("cosine LSH: bucket cap removes the identical-embedding straggler") {
+    // 2000 deterministic 16-dim vectors (distinct directions) + a cluster
+    // of 500 byte-identical embeddings — the vector-side boilerplate: an
+    // identical cluster collides in EVERY table, m²/2 candidates per table
+    val normal = spark.range(2000L).select(col("id"),
+      transform(sequence(lit(0), lit(15)),
+        j => cos(col("id") * 31 + j.cast("double"))).as("emb"))
+    val boiler = spark.range(500L).select((col("id") + 10000L).as("id"),
+      transform(sequence(lit(0), lit(15)),
+        j => (j.cast("double") + 1.0) / 16.0).as("emb"))
+    val vecs = normal.unionAll(boiler)
+    val boilerPairs = 500L * 499L / 2  // 124,750
+
+    val ((unc, up), (cap, cp)) = atScalePlans {
+      (TaskStats.profile(spark) {
+        val df = Similarity.cosineNearDupLsh(vecs, "id", "emb", minSim = 0.95)
+        val n = df.count(); (df, n)
+      },
+      TaskStats.profile(spark) {
+        val df = Similarity.cosineNearDupLsh(vecs, "id", "emb", minSim = 0.95,
+          maxBucket = Some(50L))
+        val n = df.count(); (df, n)
+      })
+    }
+    info(up.summary("cosLSH uncapped"))
+    info(cp.summary("cosLSH capped(bkt<=50)"))
+
+    // clone-pair accounting is exact whatever the ordinary vectors do:
+    // every identical pair collides (sim = 1), and the cap removes all of
+    // them (their buckets are 500-deep in every table)
+    def clonePairs(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("id_a") >= 10000L && col("id_b") >= 10000L).count()
+    assert(clonePairs(unc._1) == boilerPairs, s"uncapped clone pairs != $boilerPairs")
+    assert(clonePairs(cap._1) == 0L, "capped run must drop the whole clone cluster")
+
+    // the uncapped bucket join materializes the clique's pair set in one
+    // task (partial distinct combines the per-table copies, as in minhash)
+    assert(up.maxSwRecords >= boilerPairs,
+      s"expected a straggler writing >= $boilerPairs pair rows, saw ${up.maxSwRecords}")
+    assert(cp.maxSwRecords * 5 < up.maxSwRecords,
+      s"cap should shrink the max task >5x: capped=${cp.maxSwRecords} uncapped=${up.maxSwRecords}")
+  }
+
   test("connected components absorb a 50k-edge hub and a 20k-node path") {
     import spark.implicits._
     // adversarial graph: one celebrity node (degree 50k — the giant
