@@ -301,14 +301,29 @@ object Similarity {
     * nProbe of nCentroids directories), amortizing the build across the
     * index's lifetime. Same cell math as [[ivfTopK]]: the parity spec
     * asserts identical results. */
+  /** Read a persisted index's centroids (bounded: nCentroids × dim). */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/centroids").orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** `centroidsFrom`: path of an EXISTING index whose centroids are reused
+    * verbatim — a nightly re-index over fresh data then skips re-seeding /
+    * re-training (k-means cost paid once, assignments stay comparable
+    * across rebuilds). When unset, centroids derive from this corpus
+    * (hash-seeded, or Lloyd-refined when trainIters > 0). */
   def ivfBuildIndex(corpus: DataFrame, corpusId: String, vecCol: String,
                     path: String, nCentroids: Int = 16,
-                    trainIters: Int = 0): Unit = {
+                    trainIters: Int = 0,
+                    centroidsFrom: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids =
-      if (trainIters > 0) ivfCentroidsTrained(corpus, corpusId, vecCol, nCentroids, trainIters)
-      else ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+    val centroids = centroidsFrom match {
+      case Some(src) => loadCentroids(spark, src)
+      case None =>
+        if (trainIters > 0) ivfCentroidsTrained(corpus, corpusId, vecCol, nCentroids, trainIters)
+        else ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+    }
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cid", "c")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -326,9 +341,7 @@ object Similarity {
   def ivfQueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     queries: DataFrame, queryId: String, vecCol: String,
                     k: Int, nProbe: Int = 4): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cid").collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq
+    val centroids = loadCentroids(spark, path)
     val queryProbes = withNorm(queries, queryId, vecCol)
       .select(col(queryId).as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(slice(reverse(array_sort(cellSimsFor(centroids)(col("v")))),
@@ -354,20 +367,39 @@ object Similarity {
     * (id, codes) — parquet column pruning makes that scan ~9 bytes/vector —
     * and full vectors are read again only for the rerank pool (same
     * partition pruning, narrow id semi-join). */
+  /** Read a persisted IVFPQ index's PQ codebooks (bounded: m × k × sub). */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[Seq[Seq[Double]]] = {
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    (0 to rows.map(_._1).max).map { mi =>
+      rows.filter(_._1 == mi).sortBy(_._2).map(_._3).toSeq
+    }
+  }
+
+  /** `centroidsFrom` reuses an existing IVFPQ index's centroids AND
+    * codebooks (see [[ivfBuildIndex]]). */
   def ivfPqBuildIndex(corpus: DataFrame, corpusId: String, vecCol: String,
                       path: String, nCentroids: Int = 16,
-                      m: Int = 8, k: Int = 16, trainIters: Int = 0): Unit = {
+                      m: Int = 8, k: Int = 16, trainIters: Int = 0,
+                      centroidsFrom: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids =
-      if (trainIters > 0) ivfCentroidsTrained(corpus, corpusId, vecCol, nCentroids, trainIters)
-      else ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+    val centroids = centroidsFrom match {
+      case Some(src) => loadCentroids(spark, src)
+      case None =>
+        if (trainIters > 0) ivfCentroidsTrained(corpus, corpusId, vecCol, nCentroids, trainIters)
+        else ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+    }
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "c")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val cbs =
-      if (trainIters > 0)
-        graft.operators.Quantize.pqCodebooksTrained(corpus, corpusId, vecCol, m, k, trainIters)
-      else graft.operators.Quantize.pqCodebooks(corpus, corpusId, vecCol, m, k)
+    val cbs = centroidsFrom match {
+      case Some(src) => loadCodebooks(spark, src)
+      case None =>
+        if (trainIters > 0)
+          graft.operators.Quantize.pqCodebooksTrained(corpus, corpusId, vecCol, m, k, trainIters)
+        else graft.operators.Quantize.pqCodebooks(corpus, corpusId, vecCol, m, k)
+    }
     cbs.zipWithIndex.flatMap { case (entries, mi) =>
       entries.zipWithIndex.map { case (c, ki) => (mi, ki, c) }
     }.toDF("m", "ki", "c")
@@ -385,14 +417,9 @@ object Similarity {
   def ivfPqQueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       queries: DataFrame, queryId: String, vecCol: String,
                       k: Int, nProbe: Int = 4, rerank: Int = 64): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cid").collect().map(_.getSeq[Double](1).toSeq).toSeq
-    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
-    val m = cbRows.map(_._1).max + 1
-    val cbs: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
-      cbRows.filter(_._1 == mi).sortBy(_._2).map(_._3).toSeq
-    }
+    val centroids = loadCentroids(spark, path)
+    val cbs = loadCodebooks(spark, path)
+    val m = cbs.length
     val sub = cbs.head.head.length
 
     val q = withNorm(queries, queryId, vecCol)

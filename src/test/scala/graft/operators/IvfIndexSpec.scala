@@ -26,6 +26,27 @@ class IvfIndexSpec extends SparkSpecBase {
       s"missing=${(inline -- indexed).take(3)} extra=${(indexed -- inline).take(3)}")
   }
 
+  test("rebuild with centroidsFrom reuses the trained codebooks verbatim") {
+    val first = Files.createTempDirectory("ivfpq-train").toString
+    val rebuilt = Files.createTempDirectory("ivfpq-reuse").toString
+    // night 1: trained build; night 2: rebuild over (here: the same) data
+    // reusing night 1's centroids + codebooks — no re-training pass
+    Similarity.ivfPqBuildIndex(corpus, "vec_id", "embedding", first,
+      nCentroids = 8, m = 8, k = 8, trainIters = 2)
+    Similarity.ivfPqBuildIndex(corpus, "vec_id", "embedding", rebuilt,
+      centroidsFrom = Some(first))
+    assert(Similarity.loadCentroids(spark, rebuilt) ==
+      Similarity.loadCentroids(spark, first))
+    assert(Similarity.loadCodebooks(spark, rebuilt) ==
+      Similarity.loadCodebooks(spark, first))
+    // identical index content -> identical query results
+    val a = Similarity.ivfPqQueryIndex(spark, first, queries, "q_id",
+        "embedding", k = 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.ivfPqQueryIndex(spark, rebuilt, queries, "q_id",
+        "embedding", k = 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("IVFPQ: self-queries rerank to themselves; ADC scan projects codes only") {
     val path = Files.createTempDirectory("ivfpq-idx").toString
     Similarity.ivfPqBuildIndex(corpus, "vec_id", "embedding", path,
