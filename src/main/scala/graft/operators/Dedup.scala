@@ -146,6 +146,81 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Exact substring deduplication (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" suffix-array tier): any run
+    * of >= k consecutive tokens occurring more than once corpus-wide
+    * survives only at its FIRST occurrence (lowest (doc id, start
+    * position)); every other occurrence is cut and each document is rebuilt
+    * from its surviving tokens (`text_kept`, possibly empty), with kept/cut
+    * token counts.
+    *
+    * The published recipe builds one corpus-wide suffix array — inherently
+    * single-machine. The distributed shape here replaces it with positional
+    * k-gram fingerprints: a duplicated substring of length L >= k is exactly
+    * a run of L-k+1 duplicated k-grams, so cutting the [pos, pos+k) span of
+    * every non-first duplicated k-gram and merging overlapping spans per
+    * document removes the same maximal duplicated regions with no global
+    * sort. First-occurrence offsets may keep a partially-overlapping tail
+    * (span granularity is k tokens, like the reference recipe's own
+    * length-k boundary slop).
+    *
+    * Scale (100 TB): the gram postings shuffle is the big cost — same
+    * weight class as [[jaccardPairs]]' shingle postings, and keyed on 32-hex
+    * md5 so width is k-independent. The winner per gram is
+    * `min(struct(id,pos))` + a count: both partial-aggregatable, so a
+    * boilerplate gram repeated a billion times combines map-side instead of
+    * flooding one reducer (no windowed rank over the gram — that WOULD
+    * serialize the hot gram's postings through one task's sort). Span merge
+    * is gaps-and-islands windowed per document (per-doc data, bounded by doc
+    * length); rebuild is one groupBy(doc). No self-join anywhere, so no
+    * quadratic blowup on hot grams — cut volume is linear in postings. */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = spread(df).select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val grams = toks.filter(size(col("toks")) >= k)
+      .select(col("id"), posexplode(TextOps.wordGramFingerprints(col("toks"), k)))
+      .toDF("id", "pos", "g")
+    val firsts = grams.groupBy("g")
+      .agg(min(struct(col("id"), col("pos"))).as("keep"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select("g", "keep")
+    val cuts = grams.join(firsts, Seq("g"))
+      .filter(!(col("id") === col("keep.id") && col("pos") === col("keep.pos")))
+      .select(col("id"), col("pos").as("s"), (col("pos") + k).as("e"))
+    // gaps-and-islands: a span starts a new island when it begins after the
+    // running max end of everything before it. (doc,pos) is unique, so the
+    // ORDER BY s within a doc is total — no tie ambiguity vs the oracle.
+    val byS = Window.partitionBy("id").orderBy("s")
+    val merged = cuts
+      .withColumn("prev_e", max(col("e")).over(byS.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_e").isNull || col("s") > col("prev_e"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(byS))
+      .groupBy("id", "island").agg(min("s").as("s"), max("e").as("e"))
+      .select("id", "s", "e")
+    val tokpos = toks.select(col("id"), posexplode(col("toks"))).toDF("id", "pos", "tok")
+    val kept = tokpos.alias("t").join(merged.alias("m"),
+      col("t.id") === col("m.id") &&
+        col("t.pos") >= col("m.s") && col("t.pos") < col("m.e"),
+      "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ").as("text_kept"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_toks"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text_kept"), lit("")).as("text_kept"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_cut"))
+  }
+
   /** Benchmark decontamination: contaminated corpus documents — those
     * sharing at least `minShared` distinct word n-gram shingles with ANY
     * benchmark document — as (id, n_shared). The standard training-data

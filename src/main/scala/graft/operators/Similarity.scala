@@ -173,6 +173,59 @@ object Similarity {
       .select(col("q_id"), col(corpusId).as("id"), col("sim"), col("rnk"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup over an
+    * embedding column: k-means cells block the corpus, then WITHIN each cell
+    * every pair at cosine >= `minSim` is reported (id_a < id_b). The
+    * published recipe's insight IS the blocking — all-pairs cosine is
+    * quadratic only inside a cell, never corpus-wide, and the cell join is
+    * an ordinary shuffled equi-join on the cell id.
+    *
+    * Centroids default to the deterministic hash-seeded set (the
+    * engine-portable oracle path shared with [[ivfTopK]]); `trainIters > 0`
+    * switches to Lloyd-refined spherical k-means — tighter cells, closer to
+    * the paper, but not oracle-able (measured in `TrainedCodebooksSpec`
+    * terms instead). `maxCell` is the skew guard every pair generator here
+    * carries: a cell bigger than the cap is dropped WHOLE before the
+    * self-join (m²/2 pairs on one reducer otherwise); at 100 TB size
+    * nCentroids so the expected cell is well under the cap and the cap only
+    * trips on pathological collapse (e.g. a constant-embedding flood). */
+  def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                    minSim: Double, nCentroids: Int = 16,
+                    trainIters: Int = 0,
+                    maxCell: Option[Long] = None): DataFrame = {
+    val centroids =
+      if (trainIters > 0) ivfCentroidsTrained(df, idCol, vecCol, nCentroids, trainIters)
+      else ivfCentroids(df, idCol, vecCol, nCentroids)
+    val cells = withNorm(df, idCol, vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"),
+        array_max(cellSimsFor(centroids)(col("v"))).getField("cid").as("cell"))
+    val capped = maxCell match {
+      case Some(cap) =>
+        val big = cells.groupBy("cell").agg(count(lit(1)).as("cn"))
+          .filter(col("cn") > cap).select("cell")
+        cells.join(big, Seq("cell"), "left_anti")
+      case None => cells
+    }
+    capped.as("a").join(capped.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** SemDeDup survivors: drop every vector that is the HIGHER id of a
+    * within-cell near-identical pair (keep-lowest — the paper keeps one
+    * arbitrary member per semantic clique; lowest id makes it
+    * deterministic). One anti join over [[semDedupPairs]]. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               minSim: Double, nCentroids: Int = 16,
+               trainIters: Int = 0,
+               maxCell: Option[Long] = None): DataFrame = {
+    val losers = semDedupPairs(df, idCol, vecCol, minSim, nCentroids,
+      trainIters, maxCell).select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs WITHOUT a natural blocking key:
     * LSH bucket collisions (any of `tables` bands) propose candidates, which
     * are deduped while still narrow — (id_a, id_b) only — and then verified

@@ -86,6 +86,17 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Positional word k-gram fingerprints: element i (0-based) = md5 of the k
+    * tokens starting at token i, space-joined. Unlike
+    * [[wordShinglesFromTokens]] this keeps POSITION and multiplicity — the
+    * substring-dedup tier needs both (a duplicated substring is a *run* of
+    * duplicated k-grams at known offsets). Callers filter `size(toks) >= k`
+    * first; the md5 keeps both key shuffles at 32 hex chars regardless of k. */
+  def wordGramFingerprints(toksIn: Column, k: Int): Column = bindOnce(toksIn) { t =>
+    transform(sequence(lit(0), size(t) - k),
+      i => md5(concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*)))
+  }
+
   // ---- Gopher-style repetition statistics --------------------------------
   // (Rae et al. 2021 §A1.1 filter family: excessive duplicate/dominant
   // n-grams mark low-quality or boilerplate documents.) All MAP-ONLY: the

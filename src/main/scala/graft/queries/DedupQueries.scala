@@ -398,6 +398,116 @@ object DedupQueries {
             '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1),
             ':[0-9]+$', '') AS host,
           keep_id, n_copies
-        FROM g ORDER BY url_norm"""))
+        FROM g ORDER BY url_norm""")),
+
+    // ---- p37: exact substring dedup (Lee et al. suffix-array tier as
+    // positional k-gram cut spans). Like p29, the corpus is single-text, so
+    // the query pairs each doc with its successor's text (both engines
+    // identically): every text's token run then occurs in TWO docs — as a
+    // suffix of doc i-1 and a prefix of doc i — so the operator must cut
+    // the non-first run while the junction grams stay unique, exercising
+    // partial spans + the gaps-and-islands merge. Oracle = the identical
+    // chain in DuckDB: ROW_NUMBER first-occurrence (≡ min(struct)),
+    // windowed interval merge, NOT-EXISTS rebuild. --------------------------
+    QueryDef("p37_dedup_substrings",
+      (s, d) => {
+        val docs = T.documents(s, d).select("doc_id", "text")
+        val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("text_b"))
+        val d2 = docs.join(nxt, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            concat_ws(" ", col("text"), col("text_b")).as("text"))
+        Dedup.dedupSubstrings(d2, "doc_id", "text", k = 8).orderBy("doc_id")
+      },
+      Some("""
+        WITH d2 AS (SELECT a.doc_id, concat_ws(' ', a.text, b.text) AS text
+          FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1),
+        toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM d2),
+        grams AS (SELECT doc_id,
+            unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
+              i -> {'pos': i, 'g': md5(array_to_string(t[i+1:i+8], ' '))}),
+              recursive := true)
+          FROM toks),
+        ranked AS (SELECT doc_id, pos,
+            ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+            COUNT(*) OVER (PARTITION BY g) AS cnt
+          FROM grams),
+        cuts AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM ranked
+          WHERE cnt > 1 AND rn > 1),
+        pe AS (SELECT doc_id, s, e,
+            MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+          FROM cuts),
+        isl AS (SELECT doc_id, s, e,
+            SUM(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY s) AS island
+          FROM pe),
+        merged AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM isl
+          GROUP BY doc_id, island),
+        tokpos AS (SELECT doc_id,
+            unnest(list_transform(range(0, len(t)),
+              i -> {'pos': i, 'tok': t[i+1]}), recursive := true)
+          FROM toks),
+        kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+          WHERE NOT EXISTS (SELECT 1 FROM merged m
+            WHERE m.doc_id = tp.doc_id AND tp.pos >= m.s AND tp.pos < m.e)),
+        rebuilt AS (SELECT doc_id,
+            string_agg(tok, ' ' ORDER BY pos) AS text_kept,
+            COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(r.text_kept, '') AS text_kept,
+          COALESCE(r.n_kept, 0) AS n_kept,
+          len(string_split_regex(trim(d.text), '\s+'))
+            - COALESCE(r.n_kept, 0) AS n_cut
+        FROM d2 d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ---- p38: SemDeDup (Abbas et al. 2023) — semantic dedup survivors.
+    // Hash-seeded k-means cells block the corpus (p15's portable centroid
+    // derivation), all-pairs cosine runs only WITHIN a cell, and every
+    // higher id of a >= minSim pair drops (keep-lowest). Clones of the
+    // first 3 vectors are planted (both engines identically, p36's
+    // pattern): identical vectors always co-cell, so all 24 clones must
+    // lose to their originals at sim 1.0, on top of the organic >= 0.3
+    // within-cell losers. Output = surviving vec_ids. ----------------------
+    QueryDef("p38_semdedup",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val clones = e.filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding"),
+            explode(sequence(lit(1), lit(8))).as("r"))
+          .select((col("vec_id") + col("r") * 100000L).as("vec_id"), col("embedding"))
+        Similarity.semDedup(
+          e.select("vec_id", "embedding").unionAll(clones),
+          "vec_id", "embedding", minSim = 0.3, nCentroids = 16)
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   UNION ALL
+                   SELECT vec_id + 100000*r AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings CROSS JOIN range(1, 9) rr(r) WHERE vec_id < 3),
+        n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        seed AS (SELECT vec_id, v, nrm,
+            ROW_NUMBER() OVER (ORDER BY
+              ('0x' || substring(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 9973,
+              vec_id) - 1 AS cid
+          FROM n QUALIFY cid < 16),
+        cent AS (SELECT cid,
+            CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x/nrm) END AS cv
+          FROM seed),
+        asim AS (SELECT n.vec_id, cent.cid, ${dotSql("n.v", "cent.cv")} AS sim
+          FROM n CROSS JOIN cent),
+        assign AS (SELECT vec_id, cid AS cell FROM asim
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) = 1),
+        m AS (SELECT n.vec_id, n.v, n.nrm, a.cell FROM n
+          JOIN assign a ON n.vec_id = a.vec_id),
+        losers AS (SELECT DISTINCT b.vec_id AS id_b
+          FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.3)
+        SELECT vec_id FROM e
+        WHERE vec_id NOT IN (SELECT id_b FROM losers)
+        ORDER BY vec_id"""))
   )
 }

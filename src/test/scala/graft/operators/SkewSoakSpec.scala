@@ -192,6 +192,50 @@ class SkewSoakSpec extends SparkSpecBase {
       s"cap should shrink the max task >5x: capped=${cp.maxSwRecords} uncapped=${up.maxSwRecords}")
   }
 
+  test("substring dedup: a 500-deep boilerplate gram stays LINEAR (no pair join to cap)") {
+    // the substring tier has NO cap parameter because it has no quadratic
+    // shape to guard: the hot gram's postings meet a single winner row
+    // (partial-agg min), never each other. This soak proves the linearity
+    // the design argues — the same 500-identical-doc clique that forces
+    // caps onto jaccard/minhash/cosine (C(500,2) ≈ 125k pair rows on one
+    // task) flows through here at ~500 rows per gram value.
+    val nNormal = 2000L
+    val boilerText = "terms of service apply to all users of this site every day"
+    val normal = spark.range(nNormal).select(col("id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("d"), col("id"), lit(s"w$j"))): _*).as("text"))
+    val boiler = spark.range(500L).select((col("id") + nNormal).as("id"),
+      lit(boilerText).as("text"))
+    val docs = normal.unionAll(boiler)
+    // 12 tokens/doc, k=8 -> 5 grams/doc
+    val totalPostings = (nNormal + 500L) * 5L
+
+    val ((out, stats)) = atScalePlans {
+      TaskStats.profile(spark) {
+        val df = Dedup.dedupSubstrings(docs, "id", "text", k = 8)
+        df.persist(); df.count(); df
+      }
+    }
+    info(stats.summary("substring dedup (500-deep hot gram)"))
+
+    // correctness: first boiler doc survives whole, every other copy is
+    // fully cut; normal docs (globally unique grams) are untouched
+    val boilerOut = out.filter(col("id") >= nNormal)
+      .select("id", "n_kept", "n_cut").collect()
+    assert(boilerOut.length == 500)
+    boilerOut.foreach { r =>
+      if (r.getLong(0) == nNormal) assert(r.getLong(1) == 12L && r.getLong(2) == 0L)
+      else assert(r.getLong(1) == 0L && r.getLong(2) == 12L, r.toString)
+    }
+    assert(out.filter(col("id") < nNormal && col("n_cut") =!= 0L).count() == 0L)
+    out.unpersist()
+
+    // scale: every task's shuffle write stays bounded by the LINEAR posting
+    // volume — nothing anywhere near the C(500,2)x5 a pair join would emit
+    assert(stats.maxSwRecords <= totalPostings,
+      s"hot-gram task must stay linear: maxSwRecords=${stats.maxSwRecords} > $totalPostings")
+  }
+
   test("connected components absorb a 50k-edge hub and a 20k-node path") {
     import spark.implicits._
     // adversarial graph: one celebrity node (degree 50k — the giant

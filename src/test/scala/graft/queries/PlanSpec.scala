@@ -141,4 +141,27 @@ class PlanSpec extends SparkSpecBase {
       || p.contains("HashAggregate"), p.take(2000))
     assert(!p.contains("Window"), "winner must not be a window rank")
   }
+
+  test("p37 substring dedup: partial-agg gram winner, no product join, no gram-window rank") {
+    val df = SparkEntry.queries("p37_dedup_substrings")(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"substring dedup must never product-join:\n${p.take(2000)}")
+    // the per-gram first-occurrence winner must be min(struct) (map-side
+    // combinable: a boilerplate gram repeated 10^9 times pre-aggregates per
+    // task); the only Window allowed is the PER-DOCUMENT interval merge,
+    // whose partition key is the doc id — assert no window keyed on the gram
+    assert(p.contains("partial_min") || p.contains("ObjectHashAggregate"),
+      s"gram winner must be a partial-aggregatable min:\n${p.take(2000)}")
+    assert(!"""windowspecdefinition\(g#""".r.findFirstIn(p).isDefined,
+      "no window may partition on the gram fingerprint")
+  }
+
+  test("p38 semdedup: cell pair join is an equi shuffle join, never a product") {
+    val p = plan("p38_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cell pairs must come from an equi-join on the cell id:\n${p.take(2000)}")
+    assert(p.contains("vec_dot"), "exact verify must use the codegen kernel")
+  }
 }
