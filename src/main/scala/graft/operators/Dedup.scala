@@ -173,13 +173,21 @@ object Dedup {
     * serialize the hot gram's postings through one task's sort). Span merge
     * is gaps-and-islands windowed per document (per-doc data, bounded by doc
     * length); rebuild is one groupBy(doc). No self-join anywhere, so no
-    * quadratic blowup on hot grams — cut volume is linear in postings. */
+    * quadratic blowup on hot grams — cut volume is linear in postings.
+    *
+    * The tokenized corpus feeds three branches (gram postings, token
+    * positions, per-doc totals); `storage` persists it once instead of
+    * re-tokenizing per branch — MEMORY_AND_DISK at bench scale, pass
+    * `StorageLevel.DISK_ONLY` at 100 TB so the token arrays spill rather
+    * than evict executor working memory (same contract as
+    * [[jaccardPairs]]). */
   def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
-                      k: Int = 8): DataFrame = {
+                      k: Int = 8,
+                      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val toks = spread(df).select(col(idCol).as("id"),
-      TextOps.tokens(col(textCol)).as("toks"))
+      TextOps.tokens(col(textCol)).as("toks")).persist(storage)
     val grams = toks.filter(size(col("toks")) >= k)
       .select(col("id"), posexplode(TextOps.wordGramFingerprints(col("toks"), k)))
       .toDF("id", "pos", "g")
@@ -212,8 +220,7 @@ object Dedup {
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           e => e.getField("tok")), " ").as("text_kept"),
         count(lit(1)).as("n_kept"))
-    df.select(col(idCol).as("id"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_toks"))
+    toks.select(col("id"), size(col("toks")).cast("long").as("n_toks"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("text_kept"), lit("")).as("text_kept"),
