@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Embedding similarity search over `array<float>` columns.
   *
@@ -192,13 +193,18 @@ object Similarity {
   def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
                     minSim: Double, nCentroids: Int = 16,
                     trainIters: Int = 0,
-                    maxCell: Option[Long] = None): DataFrame = {
+                    maxCell: Option[Long] = None,
+                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val centroids =
       if (trainIters > 0) ivfCentroidsTrained(df, idCol, vecCol, nCentroids, trainIters)
       else ivfCentroids(df, idCol, vecCol, nCentroids)
+    // persisted: both sides of the self-join read the assignment (nCentroids
+    // dot products per row) — without the persist the whole map pass runs
+    // twice; DISK_ONLY at 100 TB, same contract as the other pair generators
     val cells = withNorm(df, idCol, vecCol)
       .select(col(idCol).as("id"), col("v"), col("nrm"),
         array_max(cellSimsFor(centroids)(col("v"))).getField("cid").as("cell"))
+      .persist(storage)
     val capped = maxCell match {
       case Some(cap) =>
         val big = cells.groupBy("cell").agg(count(lit(1)).as("cn"))
@@ -220,9 +226,10 @@ object Similarity {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                minSim: Double, nCentroids: Int = 16,
                trainIters: Int = 0,
-               maxCell: Option[Long] = None): DataFrame = {
+               maxCell: Option[Long] = None,
+               storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val losers = semDedupPairs(df, idCol, vecCol, minSim, nCentroids,
-      trainIters, maxCell).select(col("id_b").as(idCol)).distinct()
+      trainIters, maxCell, storage).select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 
