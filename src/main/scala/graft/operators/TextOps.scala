@@ -159,6 +159,55 @@ object TextOps {
       .agg(count(lit(1)).as("n_total"), countDistinct(col("id")).as("n_docs"))
   }
 
+  // ---- RefinedWeb/Falcon line-wise corrections ---------------------------
+  // (Penedo et al. 2023 §3.1.3: drop boilerplate LINES — nav links, social
+  // counters, shouty headers — then drop the whole DOCUMENT if too little
+  // survives.) Map-only: a per-row HOF filter over the split lines plus two
+  // integer character counts; no explode, no shuffle. The two rules are
+  // deliberately integer-armed (10*upper > 6*letters, 2*kept >= total) so
+  // both engines compare exact ints — no float threshold to mismatch.
+
+  /** True when the line is uppercase-dominant (> 60% of its letters are
+    * A-Z): the all-caps header/menu heuristic. Letter-free lines are NOT
+    * uppercase-dominant (they fail the token rule instead if short). */
+  def upperDominant(line: Column): Column = bindOnce(line) { l =>
+    val letters = length(regexp_replace(l, "[^A-Za-z]", ""))
+    val uppers  = length(regexp_replace(l, "[^A-Z]", ""))
+    letters > 0 && uppers * 10 > letters * 6
+  }
+
+  /** Lines surviving the line-wise corrections: >= `minTokens` tokens
+    * (drops nav links / "3 likes" counters / lone words) and not
+    * uppercase-dominant. */
+  def keepLines(text: Column, minTokens: Int = 3): Column =
+    filter(split(text, "\n"), l =>
+      (size(tokens(l)) >= minTokens) && !upperDominant(l))
+
+  /** Line-wise corrected corpus: documents rebuilt from surviving lines,
+    * with the doc-level guard — a document keeps only if at least half its
+    * characters survive (`2*len(kept) >= len(text)`, separator chars
+    * included on both sides so the ratio is construction-symmetric).
+    * Output: (id, text_kept, n_kept_lines, kept). Callers typically
+    * `.filter(col("kept"))`; the flag is returned rather than applied so
+    * the drop accounting stays auditable. */
+  def lineFilterRebuild(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, minTokens: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // staged struct column, referenced 3x downstream: CollapseProject keeps
+    // multi-referenced projections staged, so the line filter runs ONCE per
+    // row (three flat output columns would each inline their own copy)
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .select(col("id"), col("text"),
+        bindOnce(keepLines(col("text"), minTokens)) { kl =>
+          struct(array_join(kl, "\n").as("tk"),
+            size(kl).cast("long").as("nk"))
+        }.as("o"))
+      .select(col("id").as(idCol),
+        col("o.tk").as("text_kept"),
+        col("o.nk").as("n_kept_lines"),
+        (length(col("o.tk")) * 2 >= length(col("text"))).as("kept"))
+  }
+
   /** Modulus for rolling hashes: prime < 2^50 so `acc*31 + c` stays far from
     * Long overflow (ANSI mode would throw on wrap). Mirrored in oracle SQL. */
   val RollingHashMod = 1000000000000037L

@@ -246,6 +246,50 @@ object TextQueries {
           CAST(SUM(CASE WHEN dupf > 0.3 OR topg > 0.18 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_repetitive,
           MIN(doc_id) AS first_doc
-        FROM scored GROUP BY source ORDER BY source"""))
+        FROM scored GROUP BY source ORDER BY source""")),
+
+    // ---- p39: RefinedWeb/Falcon line-wise corrections (Penedo et al. 2023
+    // §3.1.3) — drop boilerplate LINES (nav links, "3 likes" counters,
+    // all-caps headers), then the DOC if under half its characters survive.
+    // The corpus is single-line, so junk lines are planted per doc_id mod
+    // (both engines identically). Map-only; thresholds integer-armed
+    // (10*upper > 6*letters, 2*kept >= total) so no float compare exists.
+    QueryDef("p39_line_filter",
+      (s, d) => {
+        val planted = T.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+                lit("\nHOME\n3 likes"))
+              .when(pmod(col("doc_id"), lit(3)) === 1,
+                lit("\nTHIS IS AN ALL CAPS SHOUTY HEADER LINE ABOUT NOTHING AT ALL"))
+              .otherwise(lit("\nshare")),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+                concat(lit("\n"), repeat(lit("NAV MENU HOME LOGIN "), 12)))
+              .otherwise(lit(""))).as("text"))
+        TextOps.lineFilterRebuild(planted, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d2 AS (SELECT doc_id, text ||
+            (CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || 'HOME' || chr(10) || '3 likes'
+              WHEN doc_id % 3 = 1
+                THEN chr(10) || 'THIS IS AN ALL CAPS SHOUTY HEADER LINE ABOUT NOTHING AT ALL'
+              ELSE chr(10) || 'share' END) ||
+            (CASE WHEN doc_id % 7 = 0
+                THEN chr(10) || repeat('NAV MENU HOME LOGIN ', 12)
+              ELSE '' END) AS text
+          FROM documents),
+        f AS (SELECT doc_id, text,
+            list_filter(string_split(text, chr(10)), l ->
+              len(string_split_regex(trim(l), '\s+')) >= 3
+              AND NOT (len(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0
+                AND 10 * len(regexp_replace(l, '[^A-Z]', '', 'g'))
+                  > 6 * len(regexp_replace(l, '[^A-Za-z]', '', 'g')))) AS kl
+          FROM d2)
+        SELECT doc_id, array_to_string(kl, chr(10)) AS text_kept,
+          len(kl) AS n_kept_lines,
+          2 * length(array_to_string(kl, chr(10))) >= length(text) AS kept
+        FROM f ORDER BY doc_id"""))
   )
 }

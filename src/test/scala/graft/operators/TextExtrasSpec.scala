@@ -98,4 +98,24 @@ class TextExtrasSpec extends SparkSpecBase {
     assert(df.select(Pii.redact($"text")).head().getString(0) ==
       "no pii here just words")
   }
+
+  test("line-wise corrections drop nav/counter/shouty lines, then guard the doc") {
+    val df = Seq(
+      // junk lines fall away, enough body survives -> kept
+      (1L, "this is a perfectly normal sentence of text\nHOME\n3 likes\nanother decent line right here"),
+      // uppercase-dominant long line drops even with many tokens
+      (2L, "a real line with several words in it to keep\nTHIS IS AN ALL CAPS SHOUTY HEADER LINE"),
+      // mostly junk by characters -> doc-level guard trips
+      (3L, "ok line with three words\nNAV MENU HOME LOGIN NAV MENU HOME LOGIN NAV MENU HOME LOGIN"),
+      // mixed case long line survives (not uppercase-dominant)
+      (4L, "This Is Title Case But Mostly Lowercase Letters Overall")
+    ).toDF("doc_id", "text")
+    val out = TextOps.lineFilterRebuild(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == (("this is a perfectly normal sentence of text\nanother decent line right here", 2L, true)))
+    assert(out(2L) == (("a real line with several words in it to keep", 1L, true)))
+    assert(out(3L)._2 == 1L && !out(3L)._3)   // survives line-wise, fails doc guard
+    assert(out(4L)._3 && out(4L)._2 == 1L)
+  }
 }
