@@ -149,6 +149,23 @@ object Similarity {
       struct(call_function("vec_dot", v, typedLit(c)).as("sim"), lit(i).as("cid"))
     }: _*)
 
+  /** Public centroid derivation for callers that need the cell model OUTSIDE
+    * a single operator call — e.g. the streaming SemDeDup twin, which must
+    * pin centroids from a reference corpus before the stream starts (a
+    * stream cannot re-derive them). Hash-seeded by default; `trainIters > 0`
+    * Lloyd-refines. Bounded: nCentroids × dim doubles. */
+  def centroidsFor(corpus: DataFrame, corpusId: String, vecCol: String,
+                   nCentroids: Int, trainIters: Int = 0): Seq[Seq[Double]] =
+    if (trainIters > 0) ivfCentroidsTrained(corpus, corpusId, vecCol, nCentroids, trainIters)
+    else ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+
+  /** Nearest-centroid cell id for a vector column — the same argmax-dot
+    * expression every IVF/SemDeDup path uses (tie: higher cid, matching
+    * Spark's array_max struct order and the oracle's ORDER BY sim DESC,
+    * cid DESC). Map-side only: centroids are expression literals. */
+  def cellAssign(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array_max(cellSimsFor(centroids)(v)).getField("cid")
+
   def ivfTopK(corpus: DataFrame, corpusId: String, queries: DataFrame,
               queryId: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
