@@ -212,21 +212,22 @@ object Similarity {
                     trainIters: Int = 0,
                     maxCell: Option[Long] = None,
                     storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val centroids =
-      if (trainIters > 0) ivfCentroidsTrained(df, idCol, vecCol, nCentroids, trainIters)
-      else ivfCentroids(df, idCol, vecCol, nCentroids)
+    val centroids = centroidsFor(df, idCol, vecCol, nCentroids, trainIters)
     // persisted: both sides of the self-join read the assignment (nCentroids
     // dot products per row) — without the persist the whole map pass runs
-    // twice; DISK_ONLY at 100 TB, same contract as the other pair generators
+    // twice; DISK_ONLY at 100 TB, same contract as the other pair generators.
+    // The capped table persists too: the size-filter groupBy + anti join
+    // would otherwise also run once per join side (cosineNearDupLsh makes
+    // the same two-level choice for its capped key table).
     val cells = withNorm(df, idCol, vecCol)
       .select(col(idCol).as("id"), col("v"), col("nrm"),
-        array_max(cellSimsFor(centroids)(col("v"))).getField("cid").as("cell"))
+        cellAssign(col("v"), centroids).as("cell"))
       .persist(storage)
     val capped = maxCell match {
       case Some(cap) =>
         val big = cells.groupBy("cell").agg(count(lit(1)).as("cn"))
           .filter(col("cn") > cap).select("cell")
-        cells.join(big, Seq("cell"), "left_anti")
+        cells.join(big, Seq("cell"), "left_anti").persist(storage)
       case None => cells
     }
     capped.as("a").join(capped.as("b"),

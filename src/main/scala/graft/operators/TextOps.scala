@@ -90,11 +90,14 @@ object TextOps {
     * tokens starting at token i, space-joined. Unlike
     * [[wordShinglesFromTokens]] this keeps POSITION and multiplicity — the
     * substring-dedup tier needs both (a duplicated substring is a *run* of
-    * duplicated k-grams at known offsets). Callers filter `size(toks) >= k`
-    * first; the md5 keeps both key shuffles at 32 hex chars regardless of k. */
+    * duplicated k-grams at known offsets). Docs shorter than k tokens yield
+    * an empty array (callers still pre-filter `size(toks) >= k` to skip the
+    * work); the md5 keeps both key shuffles at 32 hex chars regardless of k. */
   def wordGramFingerprints(toksIn: Column, k: Int): Column = bindOnce(toksIn) { t =>
-    transform(sequence(lit(0), size(t) - k),
-      i => md5(concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*)))
+    when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => md5(concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   // ---- Gopher-style repetition statistics --------------------------------

@@ -17,16 +17,18 @@ import graft.operators.Similarity
   * re-derive its cell model, and a moving model would make cell membership
   * (hence dedup decisions) time-dependent.
   *
-  * Policy (deterministic, sequentially replayable — the spec's ground
-  * truth): rows process in (ts, id) order; a row is a duplicate iff some
-  * LIVE stored entry of its cell (arrival within `watermarkDelayMs` of the
-  * row's own event time — event-TIME expiry, not watermark-clock, so the
-  * policy is a pure function of the data) has dot(unit, unit) >= minSim;
+  * Policy: rows process in ARRIVAL order, sorted by (ts, id) within each
+  * micro-batch; a row is a duplicate iff some LIVE stored entry of its cell
+  * (stored arrival within `watermarkDelayMs` of the row's own event time —
+  * event-TIME expiry, not watermark-clock) has dot(unit, unit) >= minSim;
   * duplicates are dropped and do NOT claim state; survivors are stored.
-  * Comparing against survivors only is the online analogue of the batch
-  * keep-lowest policy and the same first-claimant trade the verified text
-  * tier makes (it compares against the bucket OWNER); the batch operator
-  * is ground truth for bounded data.
+  * With an in-event-time-order feed this equals a sequential (ts, id)
+  * replay (the spec's ground truth); an out-of-order row split across
+  * batches is judged in arrival order instead — the same first-claimant
+  * trade every streaming tier here makes (the verified text tier's bucket
+  * OWNER is likewise the first ARRIVAL), and the batch operator is ground
+  * truth for bounded data. Comparing against survivors only is the online
+  * analogue of the batch keep-lowest policy.
   *
   * Scale/state design:
   *  - cell assignment is MAP-ONLY (centroid literals in a codegen'd
@@ -64,18 +66,28 @@ object StreamingSemDedup {
                      vecCol: String, centroids: Seq[Seq[Double]],
                      watermarkDelayMs: Long, minSim: Double,
                      maxPerCell: Int = 1024): DataFrame = {
+    // a threshold <= 0 would make two ZERO vectors (dot 0) duplicates here
+    // while the batch operator's NaN cosine never pairs them — refuse the
+    // meaningless threshold instead of diverging silently
+    require(minSim > 0, s"minSim must be > 0, got $minSim")
     val spark = vecs.sparkSession
     import spark.implicits._
+    import graft.operators.bindOnce
     val rows = vecs.select(col(idCol).as("id"), col(tsCol).as("ts"),
         Similarity.toDoubleVec(col(vecCol)).as("v"))
       .withColumn("nrm", Similarity.l2Norm(col("v")))
       .select(col("id"), col("ts"),
         Similarity.cellAssign(col("v"), centroids).cast("int").as("cell"),
         // unit vectors in state: comparisons reduce to a dot product; a
-        // zero vector stays raw (its dots are 0 — never a duplicate,
-        // matching the batch NaN-cosine never-pairs behavior)
-        when(col("nrm") === 0.0, col("v"))
-          .otherwise(transform(col("v"), x => x / col("nrm"))).as("u"))
+        // zero vector stays raw (its dots are 0 — never a duplicate, like
+        // the batch NaN cosine). bindOnce: the division lambda must read a
+        // MATERIALIZED (v, nrm) value — referencing the nrm column inside
+        // the HOF would inline the whole vec_norm subtree per ELEMENT
+        // (the O(dim^2) Catalyst copy trap package.scala documents)
+        bindOnce(struct(col("v").as("v"), col("nrm").as("n"))) { s =>
+          when(s.getField("n") === 0.0, s.getField("v"))
+            .otherwise(transform(s.getField("v"), x => x / s.getField("n")))
+        }.as("u"))
       .withWatermark("ts", s"$watermarkDelayMs milliseconds")
       .as[VecRow]
 
