@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
   *     now-empty query loses its `?`) — each on its own side of the first
   *     `?`, so `/`, `?`, `&` inside parameter values are untouched;
   *  6. a string with no `scheme://` prefix passes through unchanged (not a
-  *     URL — the caller's data problem, not silently rewritten).
+  *     URL — the caller's data problem, not silently rewritten), and such
+  *     rows (incl. NULL/empty) are NEVER dedup keys: [[dedupByUrl]] and the
+  *     streaming twin keep them unconditionally, [[urlGroups]] excludes
+  *     them — otherwise every URL-less document in the corpus would share
+  *     one group and collapse to a single arbitrary survivor.
   *
   * Idempotent: normalize(normalize(u)) == normalize(u) (spec-checked).
   *
@@ -86,22 +90,28 @@ object Urls {
         when(query === "", lit("")).otherwise(concat(lit("?"), query))))
   }
 
-  /** URL dedup groups: one row per canonical URL —
-    * (url_norm, host, keep_id = min id, n_copies). One shuffle. */
+  /** True when the value parses as a `scheme://` URL (false for NULL). */
+  def isUrl(u: Column): Column = coalesce(urlScheme(u) =!= "", lit(false))
+
+  /** URL dedup groups among parseable URLs: one row per canonical URL —
+    * (url_norm, host, keep_id = min id, n_copies). One shuffle. Rows
+    * without a parseable URL form no group (object doc, rule 6). */
   def urlGroups(df: DataFrame, idCol: String, urlCol: String): DataFrame =
-    df.groupBy(urlNormalize(col(urlCol)).as("url_norm"))
+    df.filter(isUrl(col(urlCol)))
+      .groupBy(urlNormalize(col(urlCol)).as("url_norm"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-      .withColumn("host", regexp_replace(
-        regexp_extract(col("url_norm"), HostRe, 1), ":[0-9]+$", ""))
+      .withColumn("host", urlHost(col("url_norm")))
       .select("url_norm", "host", "keep_id", "n_copies")
 
   /** Survivors of URL dedup: the first (min-id) row per canonical URL,
     * arbitrary payload columns intact (min-id semi-join, like
-    * [[Dedup.dedupExact]]). */
+    * [[Dedup.dedupExact]]); rows without a parseable URL are kept
+    * unconditionally — an absent URL is no evidence of duplication. */
   def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
     // keep-set from urlGroups so the group definition lives in ONE place
     // (mirrors Dedup.dedupExact over exactGroups; unused columns are pruned)
     val keep = urlGroups(df, idCol, urlCol).select(col("keep_id").as(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    df.filter(!isUrl(col(urlCol)))
+      .unionByName(df.filter(isUrl(col(urlCol))).join(keep, Seq(idCol), "left_semi"))
   }
 }

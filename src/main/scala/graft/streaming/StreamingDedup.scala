@@ -26,13 +26,22 @@ object StreamingDedup {
     * expression, so rows flow straight to the dedup operator; state is one
     * md5 of the canonical URL (32 hex chars) per distinct URL within the
     * watermark — the same fixed-width-state choice as the exact/paragraph
-    * tiers, independent of URL length. Adds the `url_fp` column. */
+    * tiers, independent of URL length. Adds the `url_fp` column (null for
+    * non-URL rows). Rows WITHOUT a parseable URL bypass the dedup state on
+    * a map-only branch and are kept unconditionally, like the batch twin —
+    * a shared null/placeholder key would otherwise collapse every URL-less
+    * document onto one first arrival. */
   def dedupByUrlStream(docs: DataFrame, tsCol: String, urlCol: String,
-                       watermark: String): DataFrame =
-    docs.withColumn("url_fp",
-        md5(graft.operators.Urls.urlNormalize(col(urlCol))))
+                       watermark: String): DataFrame = {
+    import graft.operators.Urls
+    val urls = docs.filter(Urls.isUrl(col(urlCol)))
+      .withColumn("url_fp", md5(Urls.urlNormalize(col(urlCol))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("url_fp")
+    val nonUrls = docs.filter(!Urls.isUrl(col(urlCol)))
+      .withColumn("url_fp", lit(null).cast("string"))
+    urls.unionByName(nonUrls)
+  }
 
   /** Keep the first-seen document per content fingerprint; state bounded by
     * `watermark` (e.g. "10 minutes"). Adds the `fp` fingerprint column. */

@@ -87,4 +87,24 @@ class UrlsSpec extends SparkSpecBase {
       ("https://a.io/x", "a.io", 1L, 3L),
       ("https://a.io/y", "a.io", 3L, 1L)))
   }
+
+  test("URL-less rows are never dedup keys: all kept, no group formed") {
+    val df = Seq(
+      (1L, "https://a.io/x", "url"),
+      (2L, "https://a.io/x", "url-dup"),
+      (3L, "", "empty"),
+      (4L, "", "empty-too"),
+      (5L, "N/A", "placeholder"),
+      (6L, "N/A", "placeholder-too"),
+      (7L, null.asInstanceOf[String], "null"),
+      (8L, null.asInstanceOf[String], "null-too")).toDF("id", "url", "payload")
+    val kept = Urls.dedupByUrl(df, "id", "url")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // only the true URL dup collapses; shared empty/placeholder/null
+    // values are not evidence of duplication
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L, 7L, 8L))
+    val groups = Urls.urlGroups(df, "id", "url")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(groups == Set(("https://a.io/x", 2L)))
+  }
 }

@@ -60,7 +60,11 @@ class StreamingDedupSpec extends SparkSpecBase {
       (2L, new Timestamp(base + 1000L), "HTTPS://A.IO:443/x?id=1"),
       (3L, new Timestamp(base + 2000L), "https://user@a.io/x/?id=1#frag"),
       (4L, new Timestamp(base + 3000L), "https://a.io/x?id=1"),
-      (5L, new Timestamp(base + 4000L), "https://a.io/y?id=1"))
+      (5L, new Timestamp(base + 4000L), "https://a.io/y?id=1"),
+      // URL-less rows share a surface value but must BOTH survive (they
+      // bypass the dedup state on the map-only branch, like the batch twin)
+      (6L, new Timestamp(base + 5000L), "N/A"),
+      (7L, new Timestamp(base + 6000L), "N/A"))
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
     val q = StreamingDedup.dedupByUrlStream(
@@ -74,7 +78,7 @@ class StreamingDedupSpec extends SparkSpecBase {
     q.stop()
     val kept = spark.table("url_dedup_out").select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    assert(kept == Set(1L, 5L), s"kept $kept")
+    assert(kept == Set(1L, 5L, 6L, 7L), s"kept $kept")
     // parity with the batch operator on the same rows
     val batchKept = graft.operators.Urls
       .dedupByUrl(rows.toDF("doc_id", "ts", "url"), "doc_id", "url")
