@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{MinHashSketchAgg, SimHashAgg, VecDot, VecLshKeys, VecNorm}
+import graft.functions.{BloomContains, BloomSketchAgg, MinHashSketchAgg, SimHashAgg, VecDot, VecLshKeys, VecNorm}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -38,6 +38,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_sketch"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHashAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_sketch"),
+      new ExpressionInfo(classOf[BloomSketchAgg].getName, "bloom_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"bloom_sketch expects literal numBits/numHashes, got $other")
+        }
+        BloomSketchAgg(children.head, intLit(children(1)), intLit(children(2)))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = children match {
+          case Seq(_, _, org.apache.spark.sql.catalyst.expressions.Literal(v, _)) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"bloom_contains expects (bloom, fp, literal numHashes), got $other")
+        }
+        BloomContains(children(0), children(1), k)
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_lsh_keys"),
       new ExpressionInfo(classOf[VecLshKeys].getName, "vec_lsh_keys"),

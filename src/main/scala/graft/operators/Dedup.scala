@@ -253,6 +253,41 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Bloom-filter decontamination — the membership-sketch variant of
+    * [[contaminationHits]] for when the reference set is too large to
+    * broadcast as distinct shingles (the RedPajama-v2-style recipe): the
+    * benchmark's shingle fingerprints fold into ONE `bloom_sketch` bit
+    * array (mergeable OR — map-side combinable, `numBits/8` bytes however
+    * many shingles), which broadcasts to a map-only `bloom_contains` probe
+    * per corpus posting.
+    *
+    * Guarantee vs the exact tier on the same [[mdHash31]] fingerprints: NO
+    * false negatives — every exact hit is a bloom hit — and per-posting
+    * false positives at rate ~(1-e^(-numHashes*n/numBits))^numHashes, so
+    * the flagged set is a slight superset (acceptable for decontamination,
+    * where over-dropping is the safe direction). Size numBits ~ 10-15 bits
+    * per distinct benchmark shingle for sub-percent FP. Spec-gated, not
+    * oracle-gated: the bit layout is engine-internal. */
+  def contaminationHitsBloom(corpus: DataFrame, corpusId: String, corpusText: String,
+                             bench: DataFrame, benchText: String,
+                             n: Int = 3, minShared: Long = 1L,
+                             numBits: Int = 1 << 20,
+                             numHashes: Int = 5): DataFrame = {
+    val benchBloom = shingleSets(
+        bench.select(monotonically_increasing_id().as("bid"),
+          col(benchText).as("btext")), "bid", "btext", n)
+      .select(explode(col("shingles")).as("sh"))
+      .agg(call_function("bloom_sketch", mdHash31(col("sh")),
+        lit(numBits), lit(numHashes)).as("bloom"))
+    val posts = shingleSets(corpus, corpusId, corpusText, n)
+      .select(col("id"), explode(col("shingles")).as("sh"))
+      .select(col("id"), mdHash31(col("sh")).as("fp"))
+    posts.crossJoin(broadcast(benchBloom))
+      .filter(call_function("bloom_contains", col("bloom"), col("fp"), lit(numHashes)))
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Survivors of decontamination: the corpus minus every contaminated doc
     * (one broadcast semi-join + one anti join). */
   def decontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
