@@ -463,14 +463,18 @@ object DedupQueries {
         FROM d2 d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
         ORDER BY d.doc_id""")),
 
-    // ---- p38: SemDeDup (Abbas et al. 2023) — semantic dedup survivors.
-    // Hash-seeded k-means cells block the corpus (p15's portable centroid
-    // derivation), all-pairs cosine runs only WITHIN a cell, and every
-    // higher id of a >= minSim pair drops (keep-lowest). Clones of the
-    // first 3 vectors are planted (both engines identically, p36's
-    // pattern): identical vectors always co-cell, so all 24 clones must
-    // lose to their originals at sim 1.0, on top of the organic >= 0.3
-    // within-cell losers. Output = surviving vec_ids. ----------------------
+    // ---- p38: SemDeDup (Abbas et al. 2023) — semantic dedup survivors,
+    // WITH the maxCell skew guard engaged (every pair-generator cap is
+    // both oracle-gated and soak-measured). Hash-seeded k-means cells
+    // block the corpus (p15's portable centroid derivation), all-pairs
+    // cosine runs only WITHIN a cell of size <= 40 (bigger cells drop
+    // whole before the self-join — their members survive undeduped, the
+    // documented cap semantics), and every higher id of a >= minSim pair
+    // drops (keep-lowest). Clones of the first 3 vectors are planted
+    // (both engines identically, p36's pattern): identical vectors always
+    // co-cell, so their clones lose to the originals at sim 1.0 whenever
+    // their cell is under the cap (3 of 16 cells exceed 40 at sf0.01
+    // and drop whole). Output = surviving vec_ids. ------------
     QueryDef("p38_semdedup",
       (s, d) => {
         val e = T.embeddings(s, d)
@@ -480,7 +484,8 @@ object DedupQueries {
           .select((col("vec_id") + col("r") * 100000L).as("vec_id"), col("embedding"))
         Similarity.semDedup(
           e.select("vec_id", "embedding").unionAll(clones),
-          "vec_id", "embedding", minSim = 0.3, nCentroids = 16)
+          "vec_id", "embedding", minSim = 0.3, nCentroids = 16,
+          maxCell = Some(40L))
           .select("vec_id").orderBy("vec_id")
       },
       Some(s"""
@@ -501,8 +506,11 @@ object DedupQueries {
           FROM n CROSS JOIN cent),
         assign AS (SELECT vec_id, cid AS cell FROM asim
           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) = 1),
+        sizes AS (SELECT cell, COUNT(*) AS cn FROM assign GROUP BY cell),
         m AS (SELECT n.vec_id, n.v, n.nrm, a.cell FROM n
-          JOIN assign a ON n.vec_id = a.vec_id),
+          JOIN assign a ON n.vec_id = a.vec_id
+          JOIN sizes s ON a.cell = s.cell
+          WHERE s.cn <= 40),
         losers AS (SELECT DISTINCT b.vec_id AS id_b
           FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
           WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.3)

@@ -192,6 +192,52 @@ class SkewSoakSpec extends SparkSpecBase {
       s"cap should shrink the max task >5x: capped=${cp.maxSwRecords} uncapped=${up.maxSwRecords}")
   }
 
+  test("semdedup: the cell cap removes the identical-embedding cell straggler") {
+    // vector-side boilerplate, SemDeDup edition: 500 byte-identical
+    // embeddings always co-cell, so the within-cell join owes C(500,2)
+    // pair rows from ONE reduce task; maxCell drops the cell whole. The
+    // pairs route through a distinct (what any consumer's next shuffle
+    // does) so the straggler's output volume lands in shuffle-write
+    // records, the deterministic metric the other soaks assert on.
+    val normal = spark.range(2000L).select(col("id"),
+      transform(sequence(lit(0), lit(15)),
+        j => cos(col("id") * 31 + j.cast("double"))).as("emb"))
+    val boiler = spark.range(500L).select((col("id") + 10000L).as("id"),
+      transform(sequence(lit(0), lit(15)),
+        j => (j.cast("double") + 1.0) / 16.0).as("emb"))
+    val vecs = normal.unionAll(boiler)
+    val boilerPairs = 500L * 499L / 2  // 124,750
+
+    val ((unc, up), (cap, cp)) = atScalePlans {
+      (TaskStats.profile(spark) {
+        val df = Similarity.semDedupPairs(vecs, "id", "emb",
+          minSim = 0.95, nCentroids = 16)
+        val n = df.select("id_a", "id_b").distinct().count(); (df, n)
+      },
+      TaskStats.profile(spark) {
+        val df = Similarity.semDedupPairs(vecs, "id", "emb",
+          minSim = 0.95, nCentroids = 16, maxCell = Some(50L))
+        val n = df.select("id_a", "id_b").distinct().count(); (df, n)
+      })
+    }
+    info(up.summary("semdedup uncapped"))
+    info(cp.summary("semdedup capped(cell<=50)"))
+
+    // clone-pair accounting is exact: identical vectors share a cell and
+    // have sim 1, so every clone pair appears uncapped and none capped
+    def clonePairs(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("id_a") >= 10000L && col("id_b") >= 10000L).count()
+    assert(clonePairs(unc._1) == boilerPairs, "uncapped must emit the whole clone clique")
+    assert(clonePairs(cap._1) == 0L, "capped must drop the 500-deep cell whole")
+
+    // the uncapped clone cell's task writes the entire clique pair set;
+    // capped tasks never see a cell over 50
+    assert(up.maxSwRecords >= boilerPairs,
+      s"expected a straggler writing >= $boilerPairs pair rows, saw ${up.maxSwRecords}")
+    assert(cp.maxSwRecords * 5 < up.maxSwRecords,
+      s"cap should shrink the max task >5x: capped=${cp.maxSwRecords} uncapped=${up.maxSwRecords}")
+  }
+
   test("substring dedup: a 500-deep boilerplate gram stays LINEAR (no pair join to cap)") {
     // the substring tier has NO cap parameter because it has no quadratic
     // shape to guard: the hot gram's postings meet a single winner row
