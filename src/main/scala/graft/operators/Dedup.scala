@@ -298,6 +298,19 @@ object Dedup {
     corpus.join(bad, Seq(corpusId), "left_anti")
   }
 
+  /** Survivors of Bloom decontamination ([[contaminationHitsBloom]]): the
+    * corpus minus every bloom-flagged doc. Over-drops at the filter's FP
+    * rate — the safe direction for eval hygiene; never under-drops. */
+  def decontaminateBloom(corpus: DataFrame, corpusId: String, corpusText: String,
+                         bench: DataFrame, benchText: String,
+                         n: Int = 3, minShared: Long = 1L,
+                         numBits: Int = 1 << 20,
+                         numHashes: Int = 5): DataFrame = {
+    val bad = contaminationHitsBloom(corpus, corpusId, corpusText, bench,
+      benchText, n, minShared, numBits, numHashes).select(col("id").as(corpusId))
+    corpus.join(bad, Seq(corpusId), "left_anti")
+  }
+
   /** MinHash prime modulus (2^31-1) — universal-hash arithmetic stays within
     * Long range under ANSI mode: a,f < 2^31 so a*f+b < 2^62 + 2^31. */
   private val MinhashP = 2147483647L

@@ -64,6 +64,35 @@ class BloomSketchSpec extends SparkSpecBase {
     assert(extras.size <= corpusSize / 20, s"${extras.size} extra flagged docs of $corpusSize")
   }
 
+  test("bloom probe plan: one-row filter broadcasts, corpus side shuffles only for the hit count") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val df = Dedup.contaminationHitsBloom(
+      docs.filter(col("doc_id") >= 5), "doc_id", "text",
+      docs.filter(col("doc_id") < 5), "text")
+    val p = df.queryExecution.executedPlan.toString
+    // the single-row bloom reaches every task via broadcast (a one-row
+    // nested-loop broadcast is O(1) per task at any corpus size) and the
+    // membership probe runs in the scan-side stage: the only corpus-side
+    // hash exchange is the per-doc hit count after the filter
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(p.contains("bloom_contains"), "probe must be the native expression")
+  }
+
+  test("decontaminateBloom survivors = corpus minus flagged") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val flagged = Dedup.contaminationHitsBloom(corpus, "doc_id", "text",
+      docs.filter(col("doc_id") < 5), "text")
+      .collect().map(_.getLong(0)).toSet
+    val kept = Dedup.decontaminateBloom(corpus, "doc_id", "text",
+      docs.filter(col("doc_id") < 5), "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- flagged)
+  }
+
   test("a saturated tiny filter still has no false negatives") {
     val fps = (0L until 1000L).map(i => i * 7919L)
     val tiny = fps.toDF("fp")
