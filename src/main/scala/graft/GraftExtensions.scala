@@ -11,6 +11,13 @@ import graft.functions.{BloomContains, BloomSketchAgg, MinHashSketchAgg, SimHash
   * Usable from SQL (`SELECT vec_dot(a, b)`) and the DataFrame API
   * (`call_function("vec_dot", a, b)`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def intLit(fn: String)(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects literal integer parameters, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
@@ -42,12 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bloom_sketch"),
       new ExpressionInfo(classOf[BloomSketchAgg].getName, "bloom_sketch"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"bloom_sketch expects literal numBits/numHashes, got $other")
-        }
-        BloomSketchAgg(children.head, intLit(children(1)), intLit(children(2)))
+        val lit = intLit("bloom_sketch") _
+        BloomSketchAgg(children.head, lit(children(1)), lit(children(2)))
           .toAggregateExpression()
       }))
     ext.injectFunction((
@@ -66,12 +69,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_lsh_keys"),
       new ExpressionInfo(classOf[VecLshKeys].getName, "vec_lsh_keys"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"vec_lsh_keys expects literal table/plane counts, got $other")
-        }
-        VecLshKeys(children.head, intLit(children(1)), intLit(children(2)))
+        val lit = intLit("vec_lsh_keys") _
+        VecLshKeys(children.head, lit(children(1)), lit(children(2)))
       }))
   }
 }

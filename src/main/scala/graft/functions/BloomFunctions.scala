@@ -35,6 +35,9 @@ object BloomBits {
   }
 
   def contains(words: ArrayData, fp: Long, numHashes: Int): Boolean = {
+    // the probe side accepts ANY array<bigint>; an empty one holds nothing
+    // (and would otherwise divide by zero in pos)
+    if (words.numElements() == 0) return false
     val h1 = mix(fp); val h2 = mix(h1) | 1L
     val numBits = words.numElements() * 64
     var i = 0

@@ -239,15 +239,28 @@ object Dedup {
     * is map-only (broadcast semi-join per posting) and the only shuffle is
     * the per-doc hit count over the matching postings, which is at most
     * |matches|, not |corpus|. */
+  /** (id, sh) shingle postings — the shared prep of BOTH decontamination
+    * tiers, kept in one place so their documented exact-hit-subset
+    * contract cannot drift: a prep change applied to one tier but not the
+    * other would silently break it. */
+  private def shinglePosts(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    shingleSets(df, idCol, textCol, n)
+      .select(col("id"), explode(col("shingles")).as("sh"))
+
+  /** Benchmark-side postings: shingles of the bench texts under a synthetic
+    * id (the bench id never reaches the output). */
+  private def benchShinglePosts(bench: DataFrame, benchText: String,
+                                n: Int): DataFrame =
+    shinglePosts(bench.select(monotonically_increasing_id().as("bid"),
+      col(benchText).as("btext")), "bid", "btext", n)
+
   def contaminationHits(corpus: DataFrame, corpusId: String, corpusText: String,
                         bench: DataFrame, benchText: String,
                         n: Int = 3, minShared: Long = 1L): DataFrame = {
-    val corpusPosts = shingleSets(corpus, corpusId, corpusText, n)
-      .select(col("id"), explode(col("shingles")).as("sh"))
+    val corpusPosts = shinglePosts(corpus, corpusId, corpusText, n)
     val benchShingles = broadcast(
-      shingleSets(bench.select(monotonically_increasing_id().as("bid"),
-          col(benchText).as("btext")), "bid", "btext", n)
-        .select(explode(col("shingles")).as("sh")).distinct())
+      benchShinglePosts(bench, benchText, n).select("sh").distinct())
     corpusPosts.join(benchShingles, Seq("sh"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -273,14 +286,10 @@ object Dedup {
                              n: Int = 3, minShared: Long = 1L,
                              numBits: Int = 1 << 20,
                              numHashes: Int = 5): DataFrame = {
-    val benchBloom = shingleSets(
-        bench.select(monotonically_increasing_id().as("bid"),
-          col(benchText).as("btext")), "bid", "btext", n)
-      .select(explode(col("shingles")).as("sh"))
+    val benchBloom = benchShinglePosts(bench, benchText, n)
       .agg(call_function("bloom_sketch", mdHash31(col("sh")),
         lit(numBits), lit(numHashes)).as("bloom"))
-    val posts = shingleSets(corpus, corpusId, corpusText, n)
-      .select(col("id"), explode(col("shingles")).as("sh"))
+    val posts = shinglePosts(corpus, corpusId, corpusText, n)
       .select(col("id"), mdHash31(col("sh")).as("fp"))
     posts.crossJoin(broadcast(benchBloom))
       .filter(call_function("bloom_contains", col("bloom"), col("fp"), lit(numHashes)))

@@ -109,9 +109,14 @@ object Urls {
     * unconditionally — an absent URL is no evidence of duplication. */
   def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
     // keep-set from urlGroups so the group definition lives in ONE place
-    // (mirrors Dedup.dedupExact over exactGroups; unused columns are pruned)
-    val keep = urlGroups(df, idCol, urlCol).select(col("keep_id").as(idCol))
-    df.filter(!isUrl(col(urlCol)))
-      .unionByName(df.filter(isUrl(col(urlCol))).join(keep, Seq(idCol), "left_semi"))
+    // (mirrors Dedup.dedupExact over exactGroups; unused columns are pruned).
+    // One left join instead of a union of two filtered scans: df is read
+    // twice total (keep-set agg + this pass), same as the pre-contract
+    // shape — a row survives when it has no parseable URL OR won its group.
+    val keep = urlGroups(df, idCol, urlCol)
+      .select(col("keep_id").as(idCol)).withColumn("__graft_keep", lit(1))
+    df.join(keep, Seq(idCol), "left")
+      .filter(!isUrl(col(urlCol)) || col("__graft_keep").isNotNull)
+      .drop("__graft_keep")
   }
 }
