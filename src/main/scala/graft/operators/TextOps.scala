@@ -162,6 +162,16 @@ object TextOps {
       .agg(count(lit(1)).as("n_total"), countDistinct(col("id")).as("n_docs"))
   }
 
+  /** C4-style blocklist flag: true when any TOKEN (lowercased) is in
+    * `blocked`. Token-exact, not substring — "class" must not trip a list
+    * containing "ass" (the classic blocklist false positive the published
+    * C4 recipe is criticized for; token matching avoids it). The list
+    * ships as an expression literal (real blocklists are a few hundred
+    * words — trivially task-local); map-only, no shuffle. */
+  def hasBlockedToken(text: Column, blocked: Seq[String]): Column =
+    arrays_overlap(transform(tokens(text), t => lower(t)),
+      array(blocked.map(w => lit(w.toLowerCase)): _*))
+
   // ---- RefinedWeb/Falcon line-wise corrections ---------------------------
   // (Penedo et al. 2023 §3.1.3: drop boilerplate LINES — nav links, social
   // counters, shouty headers — then drop the whole DOCUMENT if too little

@@ -290,6 +290,21 @@ object TextQueries {
         SELECT doc_id, array_to_string(kl, chr(10)) AS text_kept,
           len(kl) AS n_kept_lines,
           2 * length(array_to_string(kl, chr(10))) >= length(text) AS kept
-        FROM f ORDER BY doc_id"""))
+        FROM f ORDER BY doc_id""")),
+
+    // ---- p40: C4 blocklist filter — token-exact (never substring: "class"
+    // must not trip "ass"), case-insensitive on both sides. Map-only; the
+    // blocklist is an expression literal. Output = flag per doc so the
+    // hash covers both outcomes. ------------------------------------------
+    QueryDef("p40_blocklist",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+          TextOps.hasBlockedToken(col("text"), Seq("slow", "Broken", "hash"))
+            .as("blocked"))
+        .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id,
+          len(list_intersect(list_transform($ToksSql, t -> lower(t)),
+            ['slow', 'broken', 'hash'])) > 0 AS blocked
+        FROM documents ORDER BY doc_id"""))
   )
 }

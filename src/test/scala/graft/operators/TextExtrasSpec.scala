@@ -99,6 +99,19 @@ class TextExtrasSpec extends SparkSpecBase {
       "no pii here just words")
   }
 
+  test("blocklist is token-exact and case-insensitive, never substring") {
+    val df = Seq(
+      (1L, "the class is large today"),   // "ass" inside "class": no trip
+      (2L, "kick ass now"),               // exact token: trip
+      (3L, "a SLOW afternoon"),           // case-insensitive both sides
+      (4L, "perfectly fine words")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextOps.hasBlockedToken($"text", Seq("Ass", "slow")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false))
+  }
+
   test("line-wise corrections drop nav/counter/shouty lines, then guard the doc") {
     val df = Seq(
       // junk lines fall away, enough body survives -> kept
