@@ -142,6 +142,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), "winner must not be a window rank")
   }
 
+  test("p39 line-wise corrections are map-only: no hash shuffle, only the output sort") {
+    val p = plan("p39_line_filter")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("HashAggregate"), "line filter must not need an aggregate")
+  }
+
+  test("p40 blocklist flag is map-only") {
+    val p = plan("p40_blocklist")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
   test("p37 substring dedup: partial-agg gram winner, no product join, no gram-window rank") {
     val df = SparkEntry.queries("p37_dedup_substrings")(spark, sf("sf0.001"))
     df.collect()
