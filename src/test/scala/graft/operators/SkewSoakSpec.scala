@@ -348,9 +348,28 @@ class SkewSoakSpec extends SparkSpecBase {
       // the contract). Map is cluster_size -> docs at that size.
       assert(cl == Map(4L -> 40000L, 1L -> 4000L), s"cluster sizes: $cl")
 
-      // bounded per-task load across all three capped pipelines: nothing
-      // within an order of magnitude of the quadratic terms (5·10^8 / 8M)
-      for ((label, prof) <- Seq(("jaccard", jp), ("minhash", mp), ("clusters", clp)))
+      // substring dedup runs UNCAPPED at this size — it has no quadratic
+      // term: the 4k-deep boilerplate grams and the 4-deep group-body
+      // grams meet a partial-agg winner, never each other. Exact survivor
+      // accounting: a doc is fully intact iff it is globally first for all
+      // its grams = each group's min id (bodies are group-unique) plus the
+      // first boilerplate doc.
+      val (sn, sp) = TaskStats.profile(spark) {
+        val out = Dedup.dedupSubstrings(docs, "id", "text", k = 8)
+        out.persist()
+        val intact = out.filter(col("n_cut") === 0L).count()
+        val boilerKept = out.filter(col("id") >= 40000L && col("n_kept") > 0L).count()
+        out.unpersist()
+        (intact, boilerKept)
+      }
+      info(sp.summary("sf1 substring dedup (uncapped — linear by shape)"))
+      assert(sn._1 == nGroups + 1L, s"intact docs = ${sn._1}")
+      assert(sn._2 == 1L, s"boiler survivors = ${sn._2}")
+
+      // bounded per-task load across all four pipelines: nothing within an
+      // order of magnitude of the quadratic terms (5·10^8 / 8M)
+      for ((label, prof) <- Seq(("jaccard", jp), ("minhash", mp),
+          ("clusters", clp), ("substring", sp)))
         assert(prof.maxSwRecords < 2000000L,
           s"$label max task wrote ${prof.maxSwRecords} records")
     } finally { docs.unpersist(); () }
