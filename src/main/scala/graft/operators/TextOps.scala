@@ -162,15 +162,19 @@ object TextOps {
       .agg(count(lit(1)).as("n_total"), countDistinct(col("id")).as("n_docs"))
   }
 
-  /** C4-style blocklist flag: true when any TOKEN (lowercased) is in
-    * `blocked`. Token-exact, not substring — "class" must not trip a list
+  /** C4-style blocklist flag: true when any WORD (lowercased) is in
+    * `blocked`. Word-exact, not substring — "class" must not trip a list
     * containing "ass" (the classic blocklist false positive the published
-    * C4 recipe is criticized for; token matching avoids it). The list
-    * ships as an expression literal (real blocklists are a few hundred
-    * words — trivially task-local); map-only, no shuffle. */
+    * C4 recipe is criticized for) — and words are `\w+` runs, not
+    * whitespace tokens, so "kick ass." still trips ("ass." as a whitespace
+    * token would not). Both sides lowercase ENGINE-side (`lower()`), never
+    * with driver-locale String.toLowerCase — a Turkish-locale driver would
+    * otherwise fold "KILL" to a dotless-i form no document token matches.
+    * The list ships as an expression literal (real blocklists are a few
+    * hundred words — trivially task-local); map-only, no shuffle. */
   def hasBlockedToken(text: Column, blocked: Seq[String]): Column =
-    arrays_overlap(transform(tokens(text), t => lower(t)),
-      array(blocked.map(w => lit(w.toLowerCase)): _*))
+    arrays_overlap(regexp_extract_all(lower(text), lit("\\w+"), lit(0)),
+      array(blocked.map(w => lower(lit(w))): _*))
 
   // ---- RefinedWeb/Falcon line-wise corrections ---------------------------
   // (Penedo et al. 2023 §3.1.3: drop boilerplate LINES — nav links, social

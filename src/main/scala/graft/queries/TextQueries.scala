@@ -292,8 +292,9 @@ object TextQueries {
           2 * length(array_to_string(kl, chr(10))) >= length(text) AS kept
         FROM f ORDER BY doc_id""")),
 
-    // ---- p40: C4 blocklist filter — token-exact (never substring: "class"
-    // must not trip "ass"), case-insensitive on both sides. Map-only; the
+    // ---- p40: C4 blocklist filter — word-exact (never substring: "class"
+    // must not trip "ass"; \w+ runs, so punctuation-adjacent words still
+    // match), case-insensitive engine-side on both sides. Map-only; the
     // blocklist is an expression literal. Output = flag per doc so the
     // hash covers both outcomes. ------------------------------------------
     QueryDef("p40_blocklist",
@@ -301,9 +302,9 @@ object TextQueries {
           TextOps.hasBlockedToken(col("text"), Seq("slow", "Broken", "hash"))
             .as("blocked"))
         .orderBy("doc_id"),
-      Some(s"""
+      Some("""
         SELECT doc_id,
-          len(list_intersect(list_transform($ToksSql, t -> lower(t)),
+          len(list_intersect(regexp_extract_all(lower(text), '\w+'),
             ['slow', 'broken', 'hash'])) > 0 AS blocked
         FROM documents ORDER BY doc_id"""))
   )

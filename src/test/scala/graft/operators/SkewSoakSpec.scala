@@ -354,17 +354,17 @@ class SkewSoakSpec extends SparkSpecBase {
       // accounting: a doc is fully intact iff it is globally first for all
       // its grams = each group's min id (bodies are group-unique) plus the
       // first boilerplate doc.
-      val (sn, sp) = TaskStats.profile(spark) {
+      val ((intact, boilerKept), sp) = TaskStats.profile(spark) {
         val out = Dedup.dedupSubstrings(docs, "id", "text", k = 8)
         out.persist()
-        val intact = out.filter(col("n_cut") === 0L).count()
-        val boilerKept = out.filter(col("id") >= 40000L && col("n_kept") > 0L).count()
+        val n0 = out.filter(col("n_cut") === 0L).count()
+        val nb = out.filter(col("id") >= 40000L && col("n_kept") > 0L).count()
         out.unpersist()
-        (intact, boilerKept)
+        (n0, nb)
       }
       info(sp.summary("sf1 substring dedup (uncapped — linear by shape)"))
-      assert(sn._1 == nGroups + 1L, s"intact docs = ${sn._1}")
-      assert(sn._2 == 1L, s"boiler survivors = ${sn._2}")
+      assert(intact == nGroups + 1L, s"intact docs = $intact")
+      assert(boilerKept == 1L, s"boiler survivors = $boilerKept")
 
       // bounded per-task load across all four pipelines: nothing within an
       // order of magnitude of the quadratic terms (5·10^8 / 8M)

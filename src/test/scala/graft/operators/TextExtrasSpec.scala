@@ -99,17 +99,20 @@ class TextExtrasSpec extends SparkSpecBase {
       "no pii here just words")
   }
 
-  test("blocklist is token-exact and case-insensitive, never substring") {
+  test("blocklist is word-exact and case-insensitive, never substring") {
     val df = Seq(
       (1L, "the class is large today"),   // "ass" inside "class": no trip
-      (2L, "kick ass now"),               // exact token: trip
+      (2L, "kick ass now"),               // exact word: trip
       (3L, "a SLOW afternoon"),           // case-insensitive both sides
-      (4L, "perfectly fine words")
+      (4L, "perfectly fine words"),
+      (5L, "kick ass."),                  // punctuation-adjacent: still trips
+      (6L, "classes, classy!")            // punctuation splits words, none blocked
     ).toDF("doc_id", "text")
     val out = df.select($"doc_id",
         TextOps.hasBlockedToken($"text", Seq("Ass", "slow")).as("b"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false))
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false,
+      5L -> true, 6L -> false))
   }
 
   test("line-wise corrections drop nav/counter/shouty lines, then guard the doc") {
