@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomContains, BloomSketchAgg, MinHashSketchAgg, SimHashAgg, VecDot, VecLshKeys, VecNorm}
+import graft.functions.{BloomContains, BloomSketchAgg, MinHashSketchAgg, SimHashAgg, VecDot, VecLshKeys, VecNorm, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_sketch"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHashAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShingles(children.head, intLit("word_shingles")(children(1)))))
     ext.injectFunction((
       FunctionIdentifier("bloom_sketch"),
       new ExpressionInfo(classOf[BloomSketchAgg].getName, "bloom_sketch"),

@@ -79,7 +79,15 @@ object TextOps {
     * lambda re-evaluates the whole token subtree (Catalyst copies, not CSEs,
     * subexpressions inside HOF lambdas). Docs shorter than n words produce
     * an empty set. */
-  def wordShinglesFromTokens(toks: Column, n: Int): Column = bindOnce(toks) { t =>
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
+    call_function("word_shingles", toks, lit(n))
+
+  /** The pre-kernel HOF formulation of [[wordShinglesFromTokens]], kept as
+    * the parity reference: `WordShinglesSpec` asserts the native
+    * `word_shingles` expression produces byte-identical arrays (content AND
+    * first-occurrence order), which is what keeps every shingle-derived
+    * oracle hash unchanged across the swap. */
+  private[graft] def wordShinglesHof(toks: Column, n: Int): Column = bindOnce(toks) { t =>
     when(size(t) >= n,
       array_distinct(transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
