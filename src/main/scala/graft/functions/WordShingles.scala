@@ -16,9 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object WordShinglesKernel {
   private val Space = UTF8String.fromString(" ")
 
+  /** Fresh per call: ArrayData is not immutable by contract downstream. */
+  def empty(): ArrayData = new GenericArrayData(Array.empty[Any])
+
   def shingles(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements()
-    if (m < n) return new GenericArrayData(Array.empty[Any])
+    if (m < n) return empty()
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     while (i <= m - n) {
@@ -51,13 +54,32 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(toks: Any): Any =
-    WordShinglesKernel.shingles(toks.asInstanceOf[ArrayData], n)
+  /** NULL-tolerant like the HOF chain it replaced: its
+    * `when(size(t) >= n, ...).otherwise(array())` fell through to the
+    * empty array on a NULL token array (null condition), so callers'
+    * `size(shingles) === 0` short-doc predicates kept selecting those
+    * rows — a null-intolerant expression would silently change that. */
+  override def nullable: Boolean = false
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      s"${ev.value} = graft.functions.WordShinglesKernel.shingles($c, $n);"
-    })
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) WordShinglesKernel.empty()
+    else WordShinglesKernel.shingles(v.asInstanceOf[ArrayData], n)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val resultCode =
+      code"""
+         |${c.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${c.isNull} ?
+         |  graft.functions.WordShinglesKernel.empty() :
+         |  graft.functions.WordShinglesKernel.shingles(${c.value}, $n);
+       """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)

@@ -35,9 +35,8 @@ object Dedup {
   }
 
   /** Per-document distinct word n-gram shingle sets: (id, shingles).
-    * Tokens are staged as a column first so the HOF lambda in
-    * wordShinglesFromTokens reads a materialized array, not a re-evaluated
-    * `split()` subtree (see the staging warning in TextOps). */
+    * Tokens are staged as a column so the shingle kernel and the length
+    * filter share one `split()` subtree however the projections collapse. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     spread(df).select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
       // filter on the TOKEN count, not size(shingles): a size(shingles) > 0

@@ -73,12 +73,11 @@ object TextOps {
   /** Exact-dedup fingerprint — hex MD5, identical in Spark and DuckDB. */
   def fingerprint(text: Column): Column = md5(text)
 
-  /** Word n-gram shingles (distinct). The token input is [[bindOnce]]-bound,
-    * so however the caller's projections collapse, the token array is
-    * evaluated ONCE per row — without the binding, each `element_at` in the
-    * lambda re-evaluates the whole token subtree (Catalyst copies, not CSEs,
-    * subexpressions inside HOF lambdas). Docs shorter than n words produce
-    * an empty set. */
+  /** Word n-gram shingles (distinct, first-occurrence order) — the native
+    * codegen `word_shingles` kernel (graft.functions.WordShingles): one
+    * compiled loop per row inside whole-stage codegen, so the token input
+    * is read once however the caller's projections collapse. Docs shorter
+    * than n words (and NULL token arrays) produce an empty set. */
   def wordShinglesFromTokens(toks: Column, n: Int): Column =
     call_function("word_shingles", toks, lit(n))
 
@@ -170,19 +169,40 @@ object TextOps {
       .agg(count(lit(1)).as("n_total"), countDistinct(col("id")).as("n_docs"))
   }
 
-  /** C4-style blocklist flag: true when any WORD (lowercased) is in
-    * `blocked`. Word-exact, not substring — "class" must not trip a list
-    * containing "ass" (the classic blocklist false positive the published
-    * C4 recipe is criticized for) — and words are `\w+` runs, not
-    * whitespace tokens, so "kick ass." still trips ("ass." as a whitespace
-    * token would not). Both sides lowercase ENGINE-side (`lower()`), never
-    * with driver-locale String.toLowerCase — a Turkish-locale driver would
-    * otherwise fold "KILL" to a dotless-i form no document token matches.
-    * The list ships as an expression literal (real blocklists are a few
-    * hundred words — trivially task-local); map-only, no shuffle. */
-  def hasBlockedToken(text: Column, blocked: Seq[String]): Column =
-    arrays_overlap(regexp_extract_all(lower(text), lit("\\w+"), lit(0)),
-      array(blocked.map(w => lower(lit(w))): _*))
+  /** C4-style blocklist flag: true when any blocked entry occurs in the
+    * text at WORD granularity. Both sides normalize identically — engine-
+    * side `lower()` (never driver-locale String.toLowerCase: a Turkish
+    * JVM would fold "KILL" to a dotless-i form no token matches), then
+    * `\w+` word runs, so non-word characters are separators on BOTH sides:
+    *  - word-exact, never substring — "class" cannot trip a list
+    *    containing "ass" (the documented C4-recipe false-positive class);
+    *  - punctuation-adjacent words still match ("kick ass." trips where a
+    *    whitespace token "ass." would not);
+    *  - entries with non-word characters or spaces match as word-run
+    *    PHRASES: "x-rated" matches "x-rated" and "x rated" alike (both
+    *    normalize to the run pair `x rated`), rather than going silently
+    *    dead the way a token-set lookup would treat them.
+    * Single-word entries take the O(1)-per-token array-overlap path;
+    * phrase entries each cost one `contains` over the space-joined word
+    * runs (real blocklists are a few hundred entries). Map-only. */
+  def hasBlockedToken(text: Column, blocked: Seq[String]): Column = bindOnce(
+      regexp_extract_all(lower(text), lit("\\w+"), lit(0))) { words =>
+    // driver-side partition is on the entry's SHAPE only (character
+    // classes), never its case folding — all lowercasing stays engine-side
+    val (simple, phrases) = blocked.partition(_.matches("\\w+"))
+    val simpleHit =
+      if (simple.isEmpty) lit(false)
+      else arrays_overlap(words, array(simple.map(w => lower(lit(w))): _*))
+    val phraseHit =
+      if (phrases.isEmpty) lit(false)
+      else bindOnce(concat(lit(" "), array_join(words, " "), lit(" "))) { nt =>
+        def normEntry(w: String): Column = concat(lit(" "),
+          array_join(regexp_extract_all(lower(lit(w)), lit("\\w+"), lit(0)), " "),
+          lit(" "))
+        phrases.map(w => nt.contains(normEntry(w))).reduce(_ || _)
+      }
+    simpleHit || phraseHit
+  }
 
   // ---- RefinedWeb/Falcon line-wise corrections ---------------------------
   // (Penedo et al. 2023 §3.1.3: drop boilerplate LINES — nav links, social

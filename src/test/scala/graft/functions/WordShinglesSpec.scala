@@ -13,14 +13,27 @@ class WordShinglesSpec extends SparkSpecBase {
 
   test("kernel output is identical to the HOF chain on the corpus") {
     for (n <- Seq(2, 3, 8)) {
+      // null-safe inequality: a plain =!= evaluates to NULL (row dropped,
+      // diff silently 0) on exactly the NULL-vs-[] divergence class a
+      // null-handling bug would introduce
       val diff = graft.Tables.documents(spark, sf("sf0.001"))
         .select(TextOps.tokens(col("text")).as("t"))
         .select(TextOps.wordShinglesFromTokens(col("t"), n).as("a"),
           TextOps.wordShinglesHof(col("t"), n).as("b"))
-        .filter(col("a") =!= col("b"))
+        .filter(!(col("a") <=> col("b")))
         .count()
       assert(diff == 0L, s"n=$n: $diff rows diverge from the HOF reference")
     }
+  }
+
+  test("NULL token array yields an empty shingle set, like the HOF's otherwise branch") {
+    val df = Seq((1L, Option.empty[String]), (2L, Some("a b c d"))).toDF("id", "text")
+      .select($"id", when($"text".isNotNull, TextOps.tokens($"text")).as("t"))
+    val out = df.select($"id",
+        TextOps.wordShinglesFromTokens($"t", 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(out(1L) == Nil, "NULL input must yield [], not NULL")
+    assert(out(2L) == List("a b c", "b c d"))
   }
 
   test("edges: short docs empty, duplicates keep first-occurrence order") {
@@ -47,7 +60,9 @@ class WordShinglesSpec extends SparkSpecBase {
     val formatted = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val finalPlan = formatted.split("== Initial Plan ==").head
-    assert(finalPlan.contains("* Project") || finalPlan.contains("* HashAggregate"),
-      finalPlan.take(1500))
+    // the PROJECT carrying word_shingles specifically must be starred — a
+    // starred HashAggregate alone would also appear if the expression fell
+    // out of codegen (CodegenFallback) while the agg stage stayed compiled
+    assert(finalPlan.contains("* Project"), finalPlan.take(1500))
   }
 }

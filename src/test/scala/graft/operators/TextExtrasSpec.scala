@@ -106,13 +106,18 @@ class TextExtrasSpec extends SparkSpecBase {
       (3L, "a SLOW afternoon"),           // case-insensitive both sides
       (4L, "perfectly fine words"),
       (5L, "kick ass."),                  // punctuation-adjacent: still trips
-      (6L, "classes, classy!")            // punctuation splits words, none blocked
+      (6L, "classes, classy!"),           // punctuation splits words, none blocked
+      (7L, "an X-Rated film"),            // hyphenated phrase entry matches
+      (8L, "x rated content"),            // same entry, space form: same runs
+      (9L, "pixelated image"),            // "rated" inside a word: no trip
+      (10L, "deeply unrated work")        // adjacent word != phrase: no trip
     ).toDF("doc_id", "text")
     val out = df.select($"doc_id",
-        TextOps.hasBlockedToken($"text", Seq("Ass", "slow")).as("b"))
+        TextOps.hasBlockedToken($"text", Seq("Ass", "slow", "x-rated")).as("b"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false,
-      5L -> true, 6L -> false))
+      5L -> true, 6L -> false, 7L -> true, 8L -> true, 9L -> false,
+      10L -> false))
   }
 
   test("line-wise corrections drop nav/counter/shouty lines, then guard the doc") {
