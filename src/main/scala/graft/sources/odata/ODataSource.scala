@@ -464,13 +464,42 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
 class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
                 filterExpr: Option[String], limit: Option[Int], offset: Option[Int],
                 orderBy: Option[String] = None)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"odata ${meta.entitySetUrl} filter=${filterExpr.getOrElse("-")} " +
       s"select=${schema.fieldNames.mkString(",")}"
+
+  /** Runtime (join-produced) filter pushdown — the reference compiles dynamic
+    * join filters into `$filter` at execution time
+    * (`odata_predicate_pushdown_helper.cpp:717-724`). Spark's rendering:
+    * dynamic partition pruning hands the broadcast side's key values to the
+    * scan as an `In` filter here, AFTER planning but BEFORE
+    * `planInputPartitions()` re-runs, so `attached JOIN small_dim` fetches a
+    * keyed slice instead of paging the whole remote set. Best-effort by
+    * contract: an untranslatable or >50-value filter leaves [[runtimeExpr]]
+    * unset and the scan stays unfiltered (the join still applies it). */
+  @volatile private var runtimeExpr: Option[String] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (!conf.filterPushdown || conf.unwrap.isDefined) Array.empty
+    else {
+      // only flat entity properties are $filter-able; expanded navs are not
+      val navs = conf.expand.map(e => ExpandSpec.parse(e).nav).toSet
+      schema.fields.collect {
+        case f if !navs.contains(f.name) =>
+          org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+      }
+    }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    // In >50 values refuses in the compiler (ODataFilterCompiler In cap) →
+    // expr None → full-scan fallback; residuals are safe to drop because a
+    // runtime filter only PRUNES — Spark's join re-applies the predicate.
+    runtimeExpr = ODataFilterCompiler.compile(filters, v2 = meta.version == 2).expr
+  }
 
   /** Build the request URL exactly like the reference's
     * UpdateUrlFromPredicatePushdown (SURVEY §3.1 step 3). */
@@ -479,6 +508,7 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
     var u = ODataUrl.parse(conf.url.replace(ODataUrl.parse(conf.url).base,
       meta.entitySetUrl))
     filterExpr.foreach(e => u = u.mergeFilter(e))
+    runtimeExpr.foreach(e => u = u.mergeFilter(e))
     val expandSpecs = conf.expand.map(ExpandSpec.parse)
     val expandNavs = expandSpecs.map(_.nav)
     // $select skipped when all columns requested (reference `:430-435`)
@@ -573,7 +603,10 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
   private def countRows(): Option[Long] = {
     try {
       val u0 = ODataUrl.parse(meta.entitySetUrl + "/$count")
-      val withFilter = filterExpr.map(e => u0.mergeFilter(e)).getOrElse(u0)
+      // runtime filter must shape the ranges too, or the $skip/$top windows
+      // would be computed over the unfiltered set the pages no longer serve
+      val withFilter = (filterExpr.toSeq ++ runtimeExpr.toSeq)
+        .foldLeft(u0)((u, e) => u.mergeFilter(e))
       val resp = HttpCore.shared.get(withFilter.render, auth = conf.auth)
       if (resp.status == 200) Some(resp.text.trim.toLong) else None
     } catch { case _: Exception => None }
