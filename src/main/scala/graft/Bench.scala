@@ -3,7 +3,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the machine's cores, not a fixed small number: the driver
+    // sets SPARK_GRAFT_CPUS=32 explicitly, but a bare `runMain graft.Bench`
+    // should bench the hardware it runs on, not a 4-core config
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,27 +19,46 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Cache budget: the warm-cache union of every query's persisted
+    // intermediates is a few hundred MB at sf0.1 but grows linearly with SF —
+    // past the budget the steady-state assumption flips from "warm caches
+    // help" to "cache pressure evicts + GC thrash". When in-memory cached
+    // bytes exceed the budget, drop ALL caches (blunt, but LRU bookkeeping
+    // would itself be noise): queries after a flush re-materialize, exactly
+    // what a fresh cluster run would do.
+    val budgetMb = sys.env.getOrElse("SPARK_GRAFT_CACHE_BUDGET_MB", "8192").toLong
+    def enforceCacheBudget(): Unit = {
+      val usedMb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
+      if (usedMb > budgetMb) {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+    }
+
     // untimed warmup: ONE full pass over every query. Janino codegen
     // (cached by generated-source string), catalyst rule JIT, parquet
     // footer reads, and the shared persisted intermediates (shingle sets,
     // signature tables) would otherwise be charged to whichever query runs
     // first — a partial warmup list left the 40+ unwarmed queries paying
     // 100-400 ms of first-run compilation each inside their measured time.
-    // Measured numbers below are the steady state. (All queries' persisted
-    // intermediates stay warm — at bench SF their union is a few hundred MB;
-    // a bigger-SF bench would need an unpersist budget here.)
+    // Measured numbers below are the steady state.
     SparkEntry.queries.foreach { case (_, f) =>
       try f(spark, sfDir).count() catch { case _: Throwable => }
+      enforceCacheBudget()
     }
     // deterministic name order: map-iteration order made run-to-run totals
     // incomparable (which query paid a shared cache's materialization was
-    // effectively random). Caches stay WARM across the run (the warmup list
-    // pre-materializes them): measured numbers are the steady state, and
-    // clearing between queries measurably increased both total and variance.
+    // effectively random). Caches stay WARM across the run as long as they
+    // fit the budget (the warmup list pre-materializes them): measured
+    // numbers are the steady state, and clearing between queries measurably
+    // increased both total and variance at sf0.1.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      enforceCacheBudget()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

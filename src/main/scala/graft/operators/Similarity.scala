@@ -455,12 +455,52 @@ object Similarity {
     }
   }
 
-  /** `centroidsFrom` reuses an existing IVFPQ index's centroids AND
-    * codebooks (see [[ivfBuildIndex]]). */
+  /** IVFPQ index format version + residual flag. Version 1 (no `meta` dir)
+    * encoded raw vectors; version 2 records whether codes are mean-shift
+    * residual (v/‖v‖ − mean(cell)) encoded, with the per-cell means stored
+    * under `shifts/`. Readers default missing meta to (1, raw) so v1
+    * indexes keep querying correctly. */
+  def loadPqMeta(spark: org.apache.spark.sql.SparkSession,
+                 path: String): (Int, Boolean) =
+    try {
+      val r = spark.read.parquet(s"$path/meta").head()
+      (r.getInt(0), r.getBoolean(1))
+    } catch { case _: Exception => (1, false) }
+
+  /** Read a residual index's per-cell mean shifts, densely indexed by cell
+    * id (bounded: nCentroids × dim). Cells with no members get the zero
+    * shift (they also have no rows, so it is never applied). */
+  def loadShifts(spark: org.apache.spark.sql.SparkSession, path: String,
+                 nCentroids: Int, dim: Int): Seq[Seq[Double]] = {
+    val m = spark.read.parquet(s"$path/shifts").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    (0 until nCentroids).map(c => m.getOrElse(c, Seq.fill(dim)(0.0)))
+  }
+
+  /** `centroidsFrom` reuses an existing IVFPQ index's centroids, codebooks
+    * AND shifts (see [[ivfBuildIndex]]) — the residual flag is then
+    * inherited from the source index (its codebooks were trained in that
+    * geometry; mixing would silently wreck ADC distances).
+    *
+    * `residual = true` (default) encodes the MEAN-SHIFT residual
+    * r = v̂ − mean(cell) (unit vector minus the assigned cell's member
+    * MEAN, not its unit-norm k-means centroid) — the IVFADC construction
+    * (Jégou et al., TPAMI 2011) adapted to the cosine metric this index
+    * ranks by. The cell mean is the L2-optimal per-cell shift (argmin of
+    * within-cell squared distance), so residual energy NEVER exceeds the
+    * raw unit vectors' — on clustered corpora the residuals collapse near
+    * zero and the same m × k code budget yields a large ADC recall jump
+    * (asserted in `TrainedCodebooksSpec` on a planted clustered corpus).
+    * Subtracting the UNIT centroid instead would be wrong: for a member at
+    * angle θ to its centroid the spherical residual has energy 2 − 2·cosθ,
+    * which EXCEEDS 1 (the raw energy) whenever θ > 60° — measured recall
+    * loss on weakly-clustered data. The ADC distance stays metric-aligned
+    * either way: ‖(q̂ − s(cell)) − r̂‖² ≈ ‖q̂ − v̂‖² = 2 − 2·cos(q,v). */
   def ivfPqBuildIndex(corpus: DataFrame, corpusId: String, vecCol: String,
                       path: String, nCentroids: Int = 16,
                       m: Int = 8, k: Int = 16, trainIters: Int = 0,
-                      centroidsFrom: Option[String] = None): Unit = {
+                      centroidsFrom: Option[String] = None,
+                      residual: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = centroidsFrom match {
@@ -469,25 +509,59 @@ object Similarity {
         if (trainIters > 0) ivfCentroidsTrained(corpus, corpusId, vecCol, nCentroids, trainIters)
         else ivfCentroids(corpus, corpusId, vecCol, nCentroids)
     }
+    val effResidual = centroidsFrom
+      .map(src => loadPqMeta(spark, src)._2).getOrElse(residual)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "c")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // cell assignment FIRST: residual codebooks must train on r = v̂ − s(cell)
+    val base = withNorm(corpus, corpusId, vecCol)
+      .withColumn("cell",
+        array_max(cellSimsFor(centroids)(col("v"))).getField("cid"))
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+    // per-cell MEAN of the unit members — the L2-optimal shift. One small
+    // partial-agg pass; driver holds only nCentroids × dim doubles (bounded
+    // metadata, like the centroids).
+    val shifts: Seq[Seq[Double]] =
+      if (!effResidual) Seq.fill(centroids.length)(Seq.fill(centroids.head.length)(0.0))
+      else centroidsFrom match {
+        case Some(src) =>
+          loadShifts(spark, src, centroids.length, centroids.head.length)
+        case None =>
+          val m = base.select(col("cell"), posexplode(col("u")))
+            .groupBy("cell", "pos").agg(sum("col").as("s"), count(lit(1)).as("n"))
+            .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2) / r.getLong(3))).toMap
+          (0 until centroids.length).map(c =>
+            centroids.head.indices.map(j => m.getOrElse((c, j), 0.0)).toSeq)
+      }
+    if (effResidual) {
+      shifts.zipWithIndex.map { case (s, i) => (i, s) }.toDF("cid", "s")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/shifts")
+    }
+    val shiftLit = typedLit(shifts)
+    val assigned = base
+      .withColumn("rv",
+        if (effResidual)
+          zip_with(col("u"), element_at(shiftLit, col("cell") + 1), _ - _)
+        else col("v"))
+      .drop("u")
     val cbs = centroidsFrom match {
       case Some(src) => loadCodebooks(spark, src)
       case None =>
         if (trainIters > 0)
-          graft.operators.Quantize.pqCodebooksTrained(corpus, corpusId, vecCol, m, k, trainIters)
-        else graft.operators.Quantize.pqCodebooks(corpus, corpusId, vecCol, m, k)
+          graft.operators.Quantize.pqCodebooksTrained(assigned, corpusId, "rv", m, k, trainIters)
+        else graft.operators.Quantize.pqCodebooks(assigned, corpusId, "rv", m, k)
     }
     cbs.zipWithIndex.flatMap { case (entries, mi) =>
       entries.zipWithIndex.map { case (c, ki) => (mi, ki, c) }
     }.toDF("m", "ki", "c")
       .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    withNorm(corpus, corpusId, vecCol)
-      .withColumn("cell",
-        array_max(cellSimsFor(centroids)(col("v"))).getField("cid"))
-      .withColumn("codes", graft.operators.Quantize.pqEncode(col("v"), cbs))
+    assigned
+      .withColumn("codes", graft.operators.Quantize.pqEncode(col("rv"), cbs))
+      .drop("rv")
       .withColumnRenamed(corpusId, "id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    Seq((2, effResidual)).toDF("version", "residual")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Query an IVFPQ index: probe cells → ADC over codes → exact rerank of
@@ -497,6 +571,11 @@ object Similarity {
                       k: Int, nProbe: Int = 4, rerank: Int = 64): DataFrame = {
     val centroids = loadCentroids(spark, path)
     val cbs = loadCodebooks(spark, path)
+    val (_, residual) = loadPqMeta(spark, path)
+    val shiftLit =
+      if (residual)
+        typedLit(loadShifts(spark, path, centroids.length, centroids.head.length))
+      else typedLit(Seq(Seq(0.0)))
     val m = cbs.length
     val sub = cbs.head.head.length
 
@@ -513,7 +592,14 @@ object Similarity {
     val codesScan = spark.read.parquet(s"$path/cells")
       .filter(col("cell").isin(probedCells: _*))
       .select(col("id"), col("cell"), col("codes"))
-    val adist = graft.operators.bindOnce(col("qv")) { qv =>
+    // residual indexes rank by ‖(q̂ − s(cell)) − code‖² ≈ 2 − 2·cos(q,v): the
+    // UNIT query is shifted into the candidate cell's mean-centered geometry
+    // before the LUT lookup (IVFADC, cosine-adapted)
+    val adist = graft.operators.bindOnce(
+        if (residual)
+          zip_with(transform(col("qv"), _ / col("qn")),
+            element_at(shiftLit, col("cell") + 1), _ - _)
+        else col("qv")) { qv =>
       graft.operators.bindOnce(col("codes")) { codes =>
         (0 until m).map { mi =>
           val lut = array(cbs(mi).map { cb =>

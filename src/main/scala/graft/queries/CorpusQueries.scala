@@ -136,6 +136,25 @@ object CorpusQueries {
             AS first_frame_bytes
         FROM f ORDER BY doc_id""")),
 
+    // ---- p41: REAL media container headers — PNG/JPEG/GIF/BMP/WAV parsed
+    // from actual on-disk-format bytes (handcrafted canonical fixtures incl.
+    // adversarial cases), all in codegen'd scalar built-ins over the hex
+    // rendering; the oracle replays the identical bounded scans in DuckDB
+    // (see QuerySql.mediaHeadersSql / MediaHeaders.parseHeader). ------------
+    QueryDef("p41_media_headers",
+      (s, d) => {
+        import s.implicits._
+        MediaHeaders.fixtures.toDF("media_id", "hx")
+          .withColumn("content", unhex(col("hx")))
+          .select(col("media_id"),
+            MediaHeaders.parseHeader(col("content")).as("hd"))
+          .select(col("media_id"), col("hd.fmt").as("fmt"),
+            col("hd.width").as("width"), col("hd.height").as("height"),
+            col("hd.duration_ms").as("duration_ms"))
+          .orderBy("media_id")
+      },
+      Some(mediaHeadersSql(MediaHeaders.fixtures))),
+
     // ---- p17: composed cleaning pipeline (the end-to-end use case) ---------
     // quality-filter -> exact dedup -> per-source stats: the shape of a real
     // training-data cleaning job, each stage an operator from this module.

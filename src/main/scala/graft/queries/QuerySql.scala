@@ -15,6 +15,96 @@ private[queries] object QuerySql {
   def normSql(v: String): String =
     s"sqrt(list_reduce(list_transform(range(1, len($v)+1), i -> $v[i]*$v[i]), (x,y) -> x+y))"
 
+  // ---- p41 media-header oracle: DuckDB mirror of MediaHeaders.parseHeader.
+  // DuckDB 1.0 cannot slice BLOBs, so (like the Spark side) everything runs
+  // over the UPPER hex rendering: byte i lives at hex chars i*2-1..i*2.
+
+  /** Unsigned byte at 1-based byte offset `off` (a SQL expression). */
+  private def hxByte(off: String): String =
+    s"('0x' || substring(h, ($off)*2-1, 2))::BIGINT"
+
+  /** Unsigned big-endian `n`-byte int at byte offset `off`. */
+  private def hxBe(off: String, n: Int): String =
+    s"('0x' || substring(h, ($off)*2-1, ${n * 2}))::BIGINT"
+
+  /** Unsigned little-endian `n`-byte int at byte offset `off`. */
+  private def hxLe(off: String, n: Int): String =
+    (0 until n).map(i => s"${hxByte(s"($off)+$i")} * ${1L << (8 * i)}")
+      .mkString("(", " + ", ")")
+
+  private def jpegStepSql(off: String): String = s"""
+      CASE WHEN $off <= 0 THEN $off
+           WHEN length(h) < (($off)+3)*2 THEN 0
+           WHEN substring(h, ($off)*2-1, 2) <> 'FF' THEN 0
+           WHEN substring(h, ($off)*2+1, 2) IN ('C0','C1','C2','C3') THEN -($off)
+           ELSE $off + 2 + ${hxBe(s"($off)+2", 2)} END"""
+
+  private def riffStepSql(off: String, idHex: String): String = s"""
+      CASE WHEN $off <= 0 THEN $off
+           WHEN length(h) < (($off)+7)*2 THEN 0
+           WHEN substring(h, ($off)*2-1, 8) = '$idHex' THEN -($off)
+           ELSE $off + 8 + ${hxLe(s"($off)+4", 4)} + (${hxLe(s"($off)+4", 4)} % 2) END"""
+
+  /** Unrolled single-integer-state scan as a CTE chain `pfx0..pfxN`;
+    * mirrors MediaHeaders.chain (state: >0 next offset, <0 found, 0 dead). */
+  private def scanCtes(pfx: String, init: Int, steps: Int,
+                       step: String => String): String = {
+    val head = s"${pfx}0 AS (SELECT media_id, h, CAST($init AS BIGINT) AS off FROM b)"
+    val rest = (1 to steps).map { i =>
+      s"$pfx$i AS (SELECT media_id, h, ${step("off")} AS off FROM $pfx${i - 1})"
+    }
+    (head +: rest).mkString(",\n        ")
+  }
+
+  /** The full p41 oracle: VALUES fixtures → format dispatch + header fields,
+    * in lockstep with `MediaHeaders.parseHeader`. */
+  def mediaHeadersSql(fixtures: Seq[(Int, String)]): String = {
+    val values = fixtures.map { case (id, hx) => s"($id, '$hx')" }.mkString(", ")
+    s"""
+        WITH fx(media_id, hx) AS (VALUES $values),
+        b AS (SELECT media_id, upper(hx) AS h FROM fx),
+        ${scanCtes("j", 3, 8, jpegStepSql)},
+        jf AS (SELECT media_id, CASE WHEN off < 0 AND length(h) >= (-off+8)*2
+                 THEN -off END AS sof FROM j8),
+        ${scanCtes("wf", 13, 4, riffStepSql(_, "666D7420"))},
+        wff AS (SELECT media_id, CASE WHEN off < 0 AND length(h) >= (-off+19)*2
+                 THEN -off END AS fmtoff FROM wf4),
+        ${scanCtes("wd", 13, 4, riffStepSql(_, "64617461"))},
+        wdf AS (SELECT media_id, CASE WHEN off < 0 AND length(h) >= (-off+7)*2
+                 THEN -off END AS dataoff FROM wd4),
+        m AS (SELECT b.media_id, h, sof, fmtoff, dataoff,
+                h LIKE '89504E470D0A1A0A%' AS is_png,
+                h LIKE 'FFD8%' AS is_jpeg,
+                h LIKE '47494638%' AS is_gif,
+                h LIKE '424D%' AS is_bmp,
+                (h LIKE '52494646%' AND length(h) >= 24
+                  AND substring(h, 17, 8) = '57415645') AS is_wav,
+                CASE WHEN fmtoff IS NOT NULL
+                  THEN ${hxLe("fmtoff+16", 4)} END AS byte_rate,
+                CASE WHEN dataoff IS NOT NULL
+                  THEN ${hxLe("dataoff+4", 4)} END AS data_size
+          FROM b JOIN jf USING (media_id) JOIN wff USING (media_id)
+                 JOIN wdf USING (media_id))
+        SELECT media_id,
+          CASE WHEN is_png THEN 'png' WHEN is_jpeg THEN 'jpeg'
+               WHEN is_gif THEN 'gif' WHEN is_bmp THEN 'bmp'
+               WHEN is_wav THEN 'wav' ELSE 'unknown' END AS fmt,
+          CAST(CASE WHEN is_png AND length(h) >= 40 THEN ${hxBe("17", 4)}
+               WHEN is_jpeg THEN ${hxBe("sof+7", 2)}
+               WHEN is_gif AND length(h) >= 16 THEN ${hxLe("7", 2)}
+               WHEN is_bmp AND length(h) >= 44 THEN ${hxLe("19", 4)}
+               END AS INTEGER) AS width,
+          CAST(CASE WHEN is_png AND length(h) >= 48 THEN ${hxBe("21", 4)}
+               WHEN is_jpeg THEN ${hxBe("sof+5", 2)}
+               WHEN is_gif AND length(h) >= 20 THEN ${hxLe("9", 2)}
+               WHEN is_bmp AND length(h) >= 52 THEN ${hxLe("23", 4)}
+               END AS INTEGER) AS height,
+          CASE WHEN is_wav AND byte_rate > 0
+               THEN CAST(floor(data_size * 1000 / byte_rate) AS BIGINT)
+               END AS duration_ms
+        FROM m ORDER BY media_id"""
+  }
+
   /** MinHash-LSH near-dup pair generation (the p05 pipeline) as a reusable
     * CTE chain ending in `pairs(id_a, id_b, inter, uni, jaccard)` — kept in
     * lockstep with `Dedup.minhashLshPairs` (md5-derived fingerprints,

@@ -84,4 +84,62 @@ class TrainedCodebooksSpec extends SparkSpecBase {
       f"training must not hurt ADC recall: seeded=$rSeeded%.3f trained=$rTrained%.3f")
     assert(rTrained >= 0.2, f"trained ADC recall collapsed: $rTrained%.3f")
   }
+
+  /** ADC-tier recall at rerank == k: the exact rerank cannot mask ADC
+    * ordering quality — recall is the code tier's own, at identical
+    * m/k/trainIters budget. */
+  private def adcTierRecall(corpus: DataFrame, path: String, qs: DataFrame,
+                            truth: DataFrame, residual: Boolean): Double = {
+    Similarity.ivfPqBuildIndex(corpus, "vec_id", "embedding", path,
+      nCentroids = 32, m = 8, k = 16, trainIters = 5, residual = residual)
+    val res = Similarity.ivfPqQueryIndex(spark, path, qs, "vec_id",
+      "embedding", k = 10, nProbe = 8, rerank = 10)
+    val hits = res.select("q_id", "id")
+      .join(truth.select("q_id", "id"), Seq("q_id", "id"), "left_semi").count()
+    hits.toDouble / truth.count()
+  }
+
+  test("residual IVFPQ: large ADC recall jump on clustered data; no loss on sf0.1; format versioned") {
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_res").toString
+
+    // planted clustered corpus — the geometry IVF residual encoding exists
+    // for: 32 tight clusters on the unit sphere (member = normalize(center +
+    // 0.35·noise), within-cluster cosine ≈ 0.95). Mean-shift residuals
+    // collapse near zero, so the same m × k budget resolves within-cluster
+    // offsets that raw encoding spends on cluster positions. Deterministic
+    // (fixed seed), unit-norm like the driver's embeddings.
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(32)(unit(Array.fill(64)(rnd.nextGaussian())))
+    val planted = (0 until 2000).map { i =>
+      val c = centers(i % 32)
+      (i.toLong, unit(c.zip(Array.fill(64)(rnd.nextGaussian()))
+        .map { case (x, e) => x + 0.35 * e / 8 }).map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding").cache()
+    val pq = planted.orderBy("vec_id").limit(20).cache()
+    val pTruth = Similarity
+      .knnBruteForce(planted, "vec_id", pq, "vec_id", "embedding", 10).cache()
+
+    val pRaw = adcTierRecall(planted, s"$base/p_raw", pq, pTruth, residual = false)
+    val pRes = adcTierRecall(planted, s"$base/p_res", pq, pTruth, residual = true)
+    info(f"planted clustered corpus, ADC-tier recall@10: raw=$pRaw%.3f residual=$pRes%.3f")
+    assert(pRes > pRaw,
+      f"residual encoding must beat raw on clustered data: raw=$pRaw%.3f residual=$pRes%.3f")
+
+    // driver embeddings (isotropic random — worst case for IVF residuals:
+    // cell means are small, residual energy ≈ raw energy). The mean shift is
+    // L2-optimal, so residual must stay within seeding noise of raw here.
+    val rRaw = adcTierRecall(emb, s"$base/raw", queries, brute, residual = false)
+    val rRes = adcTierRecall(emb, s"$base/res", queries, brute, residual = true)
+    info(f"sf0.1 embeddings, ADC-tier recall@10: raw=$rRaw%.3f residual=$rRes%.3f")
+    assert(rRes >= rRaw - 0.05,
+      f"residual encoding lost recall beyond seeding noise: raw=$rRaw%.3f residual=$rRes%.3f")
+
+    // format versioning: new indexes are v2 + flag; missing meta reads as v1 raw
+    assert(Similarity.loadPqMeta(spark, s"$base/res") == ((2, true)))
+    assert(Similarity.loadPqMeta(spark, s"$base/raw") == ((2, false)))
+    assert(Similarity.loadPqMeta(spark, s"$base/nonexistent") == ((1, false)))
+  }
 }
