@@ -70,6 +70,67 @@ object TextOps {
   def langIdPredict(text: Column, threshold: Double = 0.02): Column =
     when(stopwordRatio(text) >= threshold, lit("en")).otherwise(lit("unk"))
 
+  /** Character-n-gram language profiles (Cavnar & Trenkle 1994 style): the
+    * most frequent/distinctive trigrams of each language, fixed literals so
+    * BOTH engines (Spark expression and DuckDB oracle SQL) score identically.
+    * 20 trigrams per language — enough for high accuracy on sentence-length
+    * text, small enough to stay an inlined codegen'd expression. Order of
+    * this Seq is the deterministic tie-break cascade (earlier wins ties). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    // each language carries its TRUE top trigrams, shared ones included —
+    // a gram in two profiles adds to both scores and cancels in the argmax,
+    // while asymmetric pruning (dropping " de" from fr but not es) measurably
+    // mis-assigns the shared mass. Equal profile sizes keep raw-count argmax
+    // fair (scores are not normalized by profile size).
+    "en" -> Seq(" th", "the", "he ", "nd ", "and", " an", "ing", "ng ", " of",
+      "of ", "ed ", " to", "to ", " in", "ion", "is ", " is", " be", "at ", " wa"),
+    "de" -> Seq("en ", "er ", "der", " de", "ie ", "die", " di", "sch", "ein",
+      " ei", "ich", "nde", "und", " un", "cht", "ung", "gen", " ge", "ver", "das"),
+    "fr" -> Seq(" de", "de ", "es ", "le ", " le", "ent", "nt ", " la", "la ",
+      "et ", " et", "que", " qu", "ue ", "les", "des", "une", " à ", "ais", "ons"),
+    "es" -> Seq(" de", "de ", "os ", "la ", " la", "el ", " el", "as ", "que",
+      " qu", "ue ", "en ", " en", "ar ", "ión", "los", " y ", "es ", "ta ", "nte"))
+
+  /** Trigram-hit score of `padded` against one profile: Σ over profile grams
+    * of 3 × occurrence-count, via length-delta of literal `replace` — the one
+    * counting primitive with identical semantics in Spark and DuckDB (no
+    * regex dialect involved). Integer-armed. */
+  private def profileScore(padded: Column, grams: Seq[String]): Column =
+    grams.map(g =>
+      length(padded) - length(call_function("replace", padded, lit(g))): Column)
+      .reduce(_ + _)
+
+  /** N-gram-profile language ID: lower-cased, space-padded text scored
+    * against [[LangProfiles]]; argmax with the profile-order tie-break.
+    * CJK text short-circuits to `zh` on a >5% Han-character ratio (trigram
+    * profiles don't transfer to unsegmented scripts); zero hits → `unk`.
+    * Pure scalar expressions — map-only, codegen, and mirrored verbatim by
+    * the p42 oracle (`QuerySql.LangIdNgramSql`). Materially better than the
+    * stopword heuristic ([[langIdPredict]]) on short documents: a sentence
+    * can miss all 10 stopwords but almost never misses 20 trigrams
+    * (accuracy measured on a labeled multilingual fixture set in
+    * `LangIdNgramSpec`). Returns struct(s_en, s_de, s_fr, s_es, pred_lang). */
+  def langIdNgram(text: Column): Column =
+    bindOnce(concat(lit(" "), lower(text), lit(" "))) { t =>
+      val scores = LangProfiles.map { case (l, grams) => l -> profileScore(t, grams) }
+      val s = scores.toMap
+      val hanCnt = length(t) - length(regexp_replace(t, "[一-鿿]", ""))
+      val pred = when(hanCnt * 20 >= length(t), lit("zh"))
+        .when(scores.map(_._2).reduce(_ + _) === 0, lit("unk"))
+        .when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), lit("en"))
+        .when(s("de") >= s("fr") && s("de") >= s("es"), lit("de"))
+        .when(s("fr") >= s("es"), lit("fr"))
+        .otherwise(lit("es"))
+      struct(
+        s("en").cast("long").as("s_en"), s("de").cast("long").as("s_de"),
+        s("fr").cast("long").as("s_fr"), s("es").cast("long").as("s_es"),
+        pred.as("pred_lang"))
+    }
+
+  /** Just the predicted language code from [[langIdNgram]]. */
+  def langIdNgramPredict(text: Column): Column =
+    langIdNgram(text).getField("pred_lang")
+
   /** Exact-dedup fingerprint — hex MD5, identical in Spark and DuckDB. */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -15,6 +15,31 @@ private[queries] object QuerySql {
   def normSql(v: String): String =
     s"sqrt(list_reduce(list_transform(range(1, len($v)+1), i -> $v[i]*$v[i]), (x,y) -> x+y))"
 
+  /** p42 n-gram language-ID oracle: DuckDB mirror of
+    * `TextOps.langIdNgramPredict` — same profiles (from the same Seq), same
+    * replace-based counting, same tie-break cascade. */
+  val LangIdNgramSql: String = {
+    def score(grams: Seq[String]): String =
+      grams.map(g => s"(length(t) - length(replace(t, '$g', '')))")
+        .mkString("(", " + ", ")")
+    val Seq(en, de, fr, es) = TextOps.LangProfiles.map(p => score(p._2))
+    s"""
+        WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+        sc AS (SELECT doc_id, t, $en AS s_en, $de AS s_de, $fr AS s_fr,
+                 $es AS s_es,
+                 length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')) AS han
+          FROM p)
+        SELECT doc_id, CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+          CAST(s_fr AS BIGINT) AS s_fr, CAST(s_es AS BIGINT) AS s_es,
+          CASE WHEN han * 20 >= length(t) THEN 'zh'
+               WHEN s_en + s_de + s_fr + s_es = 0 THEN 'unk'
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+               WHEN s_fr >= s_es THEN 'fr'
+               ELSE 'es' END AS pred_lang
+        FROM sc ORDER BY doc_id"""
+  }
+
   // ---- p41 media-header oracle: DuckDB mirror of MediaHeaders.parseHeader.
   // DuckDB 1.0 cannot slice BLOBs, so (like the Spark side) everything runs
   // over the UPPER hex rendering: byte i lives at hex chars i*2-1..i*2.

@@ -56,6 +56,21 @@ object TextQueries {
           COUNT(*) AS n
         FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""")),
 
+    // ---- p42: n-gram-profile language ID (Cavnar-Trenkle style) — the real
+    // detector (p03's stopword heuristic kept for contrast): per-language
+    // trigram-hit scores + argmax, CJK short-circuit, all via replace-based
+    // counting that is dialect-free in both engines. Accuracy on real
+    // multilingual text is measured in LangIdNgramSpec; this gate pins the
+    // scores AND the decision on every document. ---------------------------
+    QueryDef("p42_langid_ngram",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"), TextOps.langIdNgram(col("text")).as("lg"))
+        .select(col("doc_id"), col("lg.s_en").as("s_en"), col("lg.s_de").as("s_de"),
+          col("lg.s_fr").as("s_fr"), col("lg.s_es").as("s_es"),
+          col("lg.pred_lang").as("pred_lang"))
+        .orderBy("doc_id"),
+      Some(LangIdNgramSql)),
+
     // ---- p10: winnowing fingerprints (rolling-hash mirror in DuckDB) -------
     QueryDef("p10_winnowing",
       (s, d) => T.documents(s, d)

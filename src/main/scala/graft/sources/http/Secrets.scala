@@ -25,10 +25,12 @@ object SecretRegistry {
     def auth: HttpAuth = kind match {
       case "http_basic" =>
         HttpAuth(basicUser = props.get("user"), basicPassword = props.get("password"))
-      case "oauth2" => // client-credentials, token fetched lazily + cached
+      case "oauth2" => // client-credentials, token fetched lazily + cached;
+        // `token_dir` opts into cross-session persistence (see OAuth2)
         HttpAuth(bearer = Some(OAuth2.clientCredentialsToken(
           props("token_endpoint"), props("client_id"),
-          props.getOrElse("client_secret", ""), props.get("oauth_scope"))))
+          props.getOrElse("client_secret", ""), props.get("oauth_scope"),
+          persistDir = props.get("token_dir"))))
       case _ => HttpAuth(bearer = props.get("token"))
     }
   }
@@ -71,13 +73,75 @@ object OAuth2 {
   private case class Tok(value: String, expiresAt: Long)
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Tok]()
 
+  /** Test hook: forget in-memory tokens (simulates a fresh JVM). */
+  private[graft] def clearMemoryCache(): Unit = cache.clear()
+
+  /** Cross-session token persistence (reference: refreshed tokens are
+    * written back into the secret, `src/oauth2_flow_v2.cpp` — DuckDB secrets
+    * are files; graft's conf-backed secrets are not, so persistence is an
+    * explicit `token_dir`). Files live under a Hadoop-FS path (local, hdfs,
+    * s3a all work — same pattern as the ODP state store), named by the
+    * SHA-256 of the cache key so neither endpoint nor client id leak into
+    * file names. Securing the directory is the operator's responsibility,
+    * exactly like the reference's secret files. A persisted live token is
+    * reused by executors and across JVM restarts — the token endpoint is
+    * hit once per expiry window, not once per session. */
+  private def tokenFile(dir: String, key: String): org.apache.hadoop.fs.Path = {
+    val h = MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(32)
+    new org.apache.hadoop.fs.Path(dir, s"tok-$h.json")
+  }
+
+  private def fsFor(p: org.apache.hadoop.fs.Path) = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    p.getFileSystem(conf)
+  }
+
+  private def loadPersisted(dir: String, key: String): Option[Tok] =
+    try {
+      val p = tokenFile(dir, key)
+      val fs = fsFor(p)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val n = try ODataJson.parse(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+        finally in.close()
+        Some(Tok(n.get("access_token").asText, n.get("expires_at").asLong))
+      }
+    } catch { case _: Exception => None } // unreadable/corrupt -> refetch
+
+  private def persist(dir: String, key: String, t: Tok): Unit =
+    try {
+      val p = tokenFile(dir, key)
+      val fs = fsFor(p)
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(
+        s"""{"access_token":${graft.writes.JsonEncode.str(t.value)},"expires_at":${t.expiresAt}}"""
+          .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: Exception => () } // persistence is best-effort
+
   def clientCredentialsToken(tokenEndpoint: String, clientId: String,
                              clientSecret: String, scope: Option[String],
-                             http: HttpCore = HttpCore.shared): String = {
+                             http: HttpCore = HttpCore.shared,
+                             persistDir: Option[String] = None): String = {
     val key = s"$tokenEndpoint|$clientId|${scope.getOrElse("")}"
     val now = System.currentTimeMillis()
     val hit = cache.get(key)
     if (hit != null && hit.expiresAt > now + 30000) return hit.value
+    // fresh JVM / executor: a persisted live token skips the endpoint
+    val persisted = persistDir.flatMap(loadPersisted(_, key))
+      .filter(_.expiresAt > now + 30000)
+    persisted match {
+      case Some(t) =>
+        cache.put(key, t)
+        return t.value
+      case None => ()
+    }
     val form = Seq(
       "grant_type" -> "client_credentials",
       "client_id" -> clientId,
@@ -92,7 +156,9 @@ object OAuth2 {
     val n = ODataJson.parse(resp.text)
     val token = n.get("access_token").asText
     val expiresIn = Option(n.get("expires_in")).map(_.asLong).getOrElse(3600L)
-    cache.put(key, Tok(token, now + expiresIn * 1000))
+    val tok = Tok(token, now + expiresIn * 1000)
+    cache.put(key, tok)
+    persistDir.foreach(persist(_, key, tok))
     token
   }
 

@@ -128,16 +128,53 @@ object Services {
   def odataAttach(spark: SparkSession, serviceUrl: String,
                   prefix: String = "", secret: Option[String] = None): Seq[String] = {
     val auth = SecretRegistry.authFor(spark, serviceUrl, secret)
-    val resp = HttpCore.shared.get(serviceUrl.stripSuffix("/") + "/$metadata", auth = auth)
-    if (resp.status != 200)
-      throw new RuntimeException(s"GET $serviceUrl/$$metadata -> HTTP ${resp.status}")
-    val model = EdmxParser.parse(resp.text)
+    // shared per-JVM model cache: this fetch ALSO serves every per-set
+    // service-root probe below, so an N-set attach is one metadata round-trip
+    val model = graft.sources.odata.ODataMeta.modelAt(serviceUrl.stripSuffix("/"), auth)
     model.entitySets.map { set =>
       val view = prefix + set.name
       reader(spark, serviceUrl.stripSuffix("/") + "/" + set.name, secret)
         .load().createOrReplaceTempView(view)
       view
     }
+  }
+
+  /** Sample every entity set of a service in ONE HTTP round-trip: a JSON
+    * `$batch` of per-set `GET <Set>?$top=n` sub-requests (OData 4.01 §11.7 —
+    * the READ side of the envelope `writes/ODataJsonBatch` already uses for
+    * INSERT grouping; the reference has no batching at all). The service
+    * answers N first pages in one exchange — the cheap "what does this
+    * service contain, with data" probe that `odata_describe` callers
+    * otherwise pay N round-trips for. Output: (entity_set, status, n_rows). */
+  def odataPeek(spark: SparkSession, serviceUrl: String, top: Int = 3,
+                secret: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val root = serviceUrl.stripSuffix("/")
+    val auth = SecretRegistry.authFor(spark, root, secret)
+    val model = graft.sources.odata.ODataMeta.modelAt(root, auth)
+    val sets = model.entitySets.map(_.name)
+    val body = graft.writes.ODataJsonBatch.buildGetBatch(
+      sets.map(s => s"$s?$$top=$top&$$format=json"))
+    val resp = HttpCore.shared.request("POST", s"$root/$$batch",
+      Some((body, "application/json")), auth = auth)
+    if (resp.status != 200)
+      throw new RuntimeException(s"POST $root/$$batch -> HTTP ${resp.status}")
+    val byId = graft.writes.ODataJsonBatch.getResponses(resp.text)
+      .map(r => r._1 -> r).toMap
+    sets.zipWithIndex.map { case (set, i) =>
+      byId.get((i + 1).toString) match {
+        case Some((_, status, bodyJson)) =>
+          val n = try {
+            val node = graft.sources.odata.ODataJson.parse(bodyJson)
+            val v = if (node.has("value")) node.get("value")
+              else if (node.has("d") && node.get("d").has("results")) node.get("d").get("results")
+              else null
+            if (v != null && v.isArray) v.size else 0
+          } catch { case _: Exception => 0 }
+          (set, status, n)
+        case None => (set, 0, 0)
+      }
+    }.toDF("entity_set", "status", "n_rows")
   }
 
   /** SAP Gateway catalog listing (reference `odata_sap_show`): the catalog

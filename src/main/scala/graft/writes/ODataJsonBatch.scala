@@ -24,6 +24,28 @@ object ODataJsonBatch {
         s""""headers":{"Content-Type":"application/json"},"body":$b}"""
     }.mkString("""{"requests":[""", ",", "]}")
 
+  /** Batch body of GET sub-requests (the READ side: N first pages / probes
+    * in one round-trip). `urls` are service-root-relative, ids 1-based. */
+  def buildGetBatch(urls: Seq[String]): String =
+    urls.zipWithIndex.map { case (u, i) =>
+      s"""{"id":"${i + 1}","method":"GET","url":${JsonEncode.str(u)},""" +
+        s""""headers":{"Accept":"application/json"}}"""
+    }.mkString("""{"requests":[""", ",", "]}")
+
+  /** (id, status, body-as-json-text) per sub-response, in response order —
+    * the GET counterpart of [[responseStatuses]]. Missing bodies → "{}". */
+  def getResponses(body: String): Seq[(String, Int, String)] = {
+    val rs = ODataJson.parse(body).get("responses")
+    if (rs == null || !rs.isArray)
+      throw new RuntimeException(s"malformed $$batch response: ${body.take(200)}")
+    (0 until rs.size).map { i =>
+      val r = rs.get(i)
+      (Option(r.get("id")).map(_.asText).getOrElse(""),
+        Option(r.get("status")).map(_.asInt).getOrElse(0),
+        Option(r.get("body")).map(_.toString).getOrElse("{}"))
+    }
+  }
+
   /** (id, status) per sub-response, in response order. */
   def responseStatuses(body: String): Seq[(String, Int)] = {
     val rs = ODataJson.parse(body).get("responses")

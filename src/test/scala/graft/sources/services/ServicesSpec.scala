@@ -165,6 +165,39 @@ class ServicesSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(stub.requests.count(_ == "/token") == tokenCalls)
   }
 
+  test("oauth2 token_dir: a persisted token survives a fresh JVM (endpoint hit once)") {
+    val dir = java.nio.file.Files.createTempDirectory("tokdir").toString
+    spark.conf.set("spark.graft.secret.ccp.type", "oauth2")
+    spark.conf.set("spark.graft.secret.ccp.token_endpoint", s"http://localhost:${stub.port}/token")
+    spark.conf.set("spark.graft.secret.ccp.client_id", "persist-client")
+    spark.conf.set("spark.graft.secret.ccp.client_secret", "shh")
+    spark.conf.set("spark.graft.secret.ccp.token_dir", dir)
+    val before = stub.requests.count(_ == "/token")
+    assert(SecretRegistry.byName(spark, "ccp").get.auth.bearer.contains("cc-token-123"))
+    assert(stub.requests.count(_ == "/token") == before + 1)
+    // "session 2": same secret, new JVM (memory cache cleared) — the
+    // persisted token is reused, the endpoint is NOT hit again
+    graft.sources.http.OAuth2.clearMemoryCache()
+    assert(SecretRegistry.byName(spark, "ccp").get.auth.bearer.contains("cc-token-123"))
+    assert(stub.requests.count(_ == "/token") == before + 1,
+      "persisted token should have prevented a second token fetch")
+    // expired persisted token -> refetch. Rewrite the TOKEN file as expired —
+    // the local Hadoop FS also wrote a .crc sidecar, so pick the .json by
+    // name (findFirst() order is dir-entry order and may land on the .crc)
+    // and drop the now-mismatched checksum so the stale body is readable.
+    graft.sources.http.OAuth2.clearMemoryCache()
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.toList
+    val f = files.find(_.getFileName.toString.endsWith(".json")).get
+    java.nio.file.Files.writeString(f,
+      """{"access_token":"stale","expires_at":1}""")
+    files.filter(_.getFileName.toString.endsWith(".crc"))
+      .foreach(java.nio.file.Files.delete(_))
+    assert(SecretRegistry.byName(spark, "ccp").get.auth.bearer.contains("cc-token-123"))
+    assert(stub.requests.count(_ == "/token") == before + 2)
+  }
+
   test("PKCE end-to-end: callback server captures the code, verifier exchanged for the token") {
     stub.tokenRequests.clear()
     // "browser": follow the authorization URL by redirecting straight back to

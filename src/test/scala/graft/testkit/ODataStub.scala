@@ -183,7 +183,9 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
         postedItems.synchronized { postedItems += body }
         respond(ex, 201, "application/json", body)
       case p if p.endsWith("/$batch") && ex.getRequestMethod == "POST" =>
-        // OData JSON batch: execute POST sub-requests against the item sinks
+        // OData JSON batch: POST sub-requests hit the item sinks; GET
+        // sub-requests are served from the Customers fixture (other sets
+        // answer an empty page) so read-side batching is drivable e2e
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         batchBodies.synchronized { batchBodies += body }
         val reqs = jsonMapper.readTree(body).get("requests")
@@ -191,10 +193,23 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
           val r = reqs.get(i)
           val id = r.get("id").asText
           val u = r.get("url").asText.stripSuffix("/")
-          if (r.get("method").asText == "POST" &&
-              (u.endsWith("Customers") || u.endsWith("items"))) {
+          val method = r.get("method").asText
+          if (method == "POST" && (u.endsWith("Customers") || u.endsWith("items"))) {
             postedItems.synchronized { postedItems += r.get("body").toString }
             s"""{"id":"$id","status":201,"body":{}}"""
+          } else if (method == "GET") {
+            val (path, rawQ) = u.indexOf('?') match {
+              case -1 => (u, "")
+              case q  => (u.take(q), u.drop(q + 1))
+            }
+            val sq = parseQuery(rawQ)
+            val page =
+              if (path.split('/').last == "Customers") {
+                val filtered = applyFilter(rows, sq.get("$filter"))
+                val limited = sq.get("$top").map(t => filtered.take(t.toInt)).getOrElse(filtered)
+                limited.map(jsonObj(_, None)).mkString("[", ",", "]")
+              } else "[]"
+            s"""{"id":"$id","status":200,"body":{"value":$page}}"""
           } else s"""{"id":"$id","status":400,"body":{}}"""
         }
         respond(ex, 200, "application/json",
