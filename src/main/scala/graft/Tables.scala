@@ -23,12 +23,17 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   /** `events.ts` is nanosecond-precision parquet, which Spark 4 rejects by
     * default; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and we
-    * convert back to a (microsecond) timestamp here. */
+    * convert back to a (microsecond) timestamp here. Derived datasets (the
+    * sf1 scale-up is written by DuckDB) store `ts` as TIMESTAMP_NTZ instead —
+    * cast to TIMESTAMP so `unix_micros`-family functions accept it; sessions
+    * pin UTC, so the cast is instant-preserving. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -101,8 +101,10 @@ class HttpCore(val policy: HttpPolicy = HttpPolicy()) {
       headers.toSeq.sorted.map { case (k, v) => k + "\u0001" + v }.mkString("\u0000")
     if (useCache) {
       val e = cache.get(key)
-      if (e != null && System.currentTimeMillis() - e.at < policy.cacheTtlMs)
+      if (e != null && System.currentTimeMillis() - e.at < policy.cacheTtlMs) {
+        Trace.trace("http", s"cache hit GET $url")
         return e.result
+      }
     }
     val r = request("GET", url, None, headers, auth)
     if (useCache && r.status == 200) {
@@ -145,10 +147,14 @@ class HttpCore(val policy: HttpPolicy = HttpPolicy()) {
       if (attempt > 0) {
         val sleep = (policy.retryWaitMs *
           math.pow(policy.retryBackoff, (attempt - 1).toDouble)).toLong
+        Trace.warn("http", s"retry $attempt/${policy.retries} $method $url after ${sleep}ms")
         Thread.sleep(sleep)
       }
       try {
+        val t0 = System.nanoTime()
         val r = send(method, url, body, headers, auth)
+        Trace.debug("http", s"$method $url -> ${r.status} " +
+          s"(${if (r.body == null) 0 else r.body.length} B, ${(System.nanoTime() - t0) / 1000000} ms)")
         // retry server-side errors and 429 throttling; return everything else
         if ((r.status < 500 && r.status != 429) || attempt == policy.retries) return r
         last = Right(r)
@@ -159,7 +165,9 @@ class HttpCore(val policy: HttpPolicy = HttpPolicy()) {
     }
     last match {
       case Right(r) => r
-      case Left(e)  => throw new RuntimeException(s"HTTP $method $url failed after ${policy.retries} retries", e)
+      case Left(e) =>
+        Trace.error("http", s"$method $url failed after ${policy.retries} retries: ${e.getMessage}")
+        throw new RuntimeException(s"HTTP $method $url failed after ${policy.retries} retries", e)
     }
   }
 

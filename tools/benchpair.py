@@ -29,6 +29,9 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+# same hardening as selfcheck.py: big-SF oracles need an explicit cap + spill
+con.execute("SET memory_limit='48GB'")
+con.execute("SET temp_directory='/tmp/duck_spill'")
 
 # warmup pass (buffer pool + casts), then best-of-2 timed
 for name, sql in sorted(oracle.items()):
@@ -41,7 +44,9 @@ for name, sql in sorted(oracle.items()):
     for _ in range(2):
         t0 = time.perf_counter()
         try: con.execute(sql).fetchall()
-        except Exception: times.append(float("nan")); break
+        except Exception as e:
+            print(f"# {name} oracle error: {str(e)[:160]}", file=sys.stderr)
+            times.append(float("nan")); break
         times.append(time.perf_counter() - t0)
     duck = min(times)
     spark = spark_q.get(name)

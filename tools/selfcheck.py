@@ -14,12 +14,17 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# explicit cap + spill dir: the 80%-of-RAM default OOMs when a just-exited
+# Spark JVM's memory hasn't been returned yet (sf1-sized oracle runs)
+con.execute("SET memory_limit='48GB'")
+con.execute("SET temp_directory='/tmp/duck_spill'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
+relnotes = {}
 for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
@@ -44,12 +49,19 @@ for name, sql in sorted(oracle.items()):
             if isinstance(a, float) and isinstance(b, float):
                 if a != b and not (math.isnan(a) and math.isnan(b)):
                     rel = abs(a-b)/max(abs(a),abs(b),1e-300)
-                    bad.append((c, i, a, b, f"rel={rel:.2e}"))
+                    # summation-order noise is not a mismatch: at sf1 a
+                    # 6M-row double sum differs in the last ulp between any
+                    # two engines; report it, fail only beyond 1e-12
+                    if rel > 1e-12:
+                        bad.append((c, i, a, b, f"rel={rel:.2e}"))
+                    elif name not in relnotes:
+                        relnotes[name] = f"{c}[{i}] rel={rel:.2e}"
             elif str(a) != str(b):
                 bad.append((c, i, a, b, "neq"))
     if bad:
         print(f"FAIL {name}: {len(bad)} mismatches, first: {bad[:3]}"); fails += 1
     else:
-        print(f"PASS {name} ({len(exp)} rows, {len(exp.columns)} cols)")
+        note = f" [float ulp noise: {relnotes[name]}]" if name in relnotes else ""
+        print(f"PASS {name} ({len(exp)} rows, {len(exp.columns)} cols){note}")
 print(f"\n{'ALL PASS' if fails == 0 else f'{fails} FAILURES'} / {len(oracle)} queries")
 sys.exit(1 if fails else 0)
