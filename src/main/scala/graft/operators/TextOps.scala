@@ -314,6 +314,79 @@ object TextOps {
         (length(col("o.tk")) * 2 >= length(col("text"))).as("kept"))
   }
 
+  // ---- Gopher document-level quality rules -------------------------------
+  // (Rae et al. 2021 §A1.1 — the doc-level counterpart of the repetition
+  // family above: word-count bounds, mean-word-length bounds, symbol-to-word
+  // ratio, bullet-line / ellipsis-line fractions, alphabetic-word fraction,
+  // minimum stop-word diversity.) All MAP-ONLY scalar expressions. Every
+  // threshold is integer-armed — `3*n <= chars AND chars <= 10*n` instead of
+  // a float mean — so Spark and the DuckDB oracle compare exact integers and
+  // the gate hash has no float tolerance anywhere.
+
+  /** Gopher's stop-word list (§A1.1): a document must contain at least two
+    * of these, counted by distinct presence, not frequency. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Occurrences of literal `what` in `text` via replace length-delta — the
+    * counting primitive with identical semantics in both engines (leftmost
+    * non-overlapping, no regex dialect). */
+  private def literalCount(text: Column, what: String): Column =
+    ((length(text) - length(call_function("replace", text, lit(what))))
+      / lit(what.length)).cast("long")
+
+  /** Gopher rule statistics + keep flag. Output: (id, n_words, n_word_chars,
+    * n_lines, n_bullet, n_ellipsis_end, n_symbols, n_alpha_words,
+    * n_stopwords, keep) — all BIGINT + BOOLEAN, hash-exact by construction.
+    * Rules (keep = all of):
+    *   1. minWords <= n_words <= maxWords
+    *   2. 3 <= mean word length <= 10       (3*n <= chars <= 10*n)
+    *   3. symbol-to-word ratio <= 0.1       ('#' chars + '...' runs)
+    *   4. <= 90% of lines start with a bullet (-, *, •)
+    *   5. <= 30% of lines end with an ellipsis (... or …)
+    *   6. >= 80% of words contain an alphabetic character
+    *   7. >= 2 distinct [[GopherStopwords]] present (lowercased match)
+    */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, minWords: Int = 50,
+                  maxWords: Int = 100000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      // stage the token/line arrays once; downstream counts all read the
+      // staged columns, so tokenization runs once per row however the
+      // projections collapse
+      .select(col("id"), col("text"),
+        tokens(col("text")).as("tk"),
+        transform(split(col("text"), "\n"), l => trim(l)).as("ln"))
+      .select(col("id"),
+        size(col("tk")).cast("long").as("n_words"),
+        aggregate(col("tk"), lit(0L), (a, t) => a + length(t).cast("long"))
+          .as("n_word_chars"),
+        size(col("ln")).cast("long").as("n_lines"),
+        size(filter(col("ln"), l =>
+          l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+          .cast("long").as("n_bullet"),
+        size(filter(col("ln"), l =>
+          l.endsWith("...") || l.endsWith("…")))
+          .cast("long").as("n_ellipsis_end"),
+        (literalCount(col("text"), "#") + literalCount(col("text"), "..."))
+          .as("n_symbols"),
+        size(filter(col("tk"), t => t.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha_words"),
+        size(array_intersect(transform(col("tk"), t => lower(t)),
+          array(GopherStopwords.map(lit): _*))).cast("long").as("n_stopwords"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        lit(3) * col("n_words") <= col("n_word_chars") &&
+        col("n_word_chars") <= lit(10) * col("n_words") &&
+        lit(10) * col("n_symbols") <= col("n_words") &&
+        lit(10) * col("n_bullet") <= lit(9) * col("n_lines") &&
+        lit(10) * col("n_ellipsis_end") <= lit(3) * col("n_lines") &&
+        lit(5) * col("n_alpha_words") >= lit(4) * col("n_words") &&
+        col("n_stopwords") >= 2)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Modulus for rolling hashes: prime < 2^50 so `acc*31 + c` stays far from
     * Long overflow (ANSI mode would throw on wrap). Mirrored in oracle SQL. */
   val RollingHashMod = 1000000000000037L

@@ -321,6 +321,70 @@ object TextQueries {
         SELECT doc_id,
           len(list_intersect(regexp_extract_all(lower(text), '\w+'),
             ['slow', 'broken', 'hash'])) > 0 AS blocked
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- p43: Gopher document-level rules (Rae et al. 2021 §A1.1) — the
+    // third canonical pretraining filter family (p39 = RefinedWeb lines,
+    // p40 = C4 blocklist, p25 = Gopher repetition). The corpus is prose-only,
+    // so rule-tripping junk (bullet walls, ellipsis teasers, symbol soup) is
+    // planted per doc_id mod, identically in both engines. Map-only; every
+    // output is BIGINT/BOOLEAN and every threshold integer-armed — the gate
+    // hash carries no float anywhere. --------------------------------------
+    QueryDef("p43_gopher_rules",
+      (s, d) => {
+        val planted = T.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(lit("\n"), repeat(lit("- bullet item\n"), 9),
+                lit("- bullet item"))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7)) === 1,
+              lit("\nread more...\nclick here...\nsubscribe now..."))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11)) === 3,
+              concat(lit("\n"), repeat(lit("### "), 15))).otherwise(lit("")))
+            .as("text"))
+        TextOps.gopherRules(planted, "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""
+        WITH d2 AS (SELECT doc_id, text ||
+            (CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || repeat('- bullet item' || chr(10), 9) || '- bullet item'
+               ELSE '' END) ||
+            (CASE WHEN doc_id % 7 = 1
+               THEN chr(10) || 'read more...' || chr(10) || 'click here...'
+                    || chr(10) || 'subscribe now...'
+               ELSE '' END) ||
+            (CASE WHEN doc_id % 11 = 3
+               THEN chr(10) || repeat('### ', 15)
+               ELSE '' END) AS text
+          FROM documents),
+        t AS (SELECT doc_id, text,
+            string_split_regex(trim(text), '\s+') AS tk,
+            list_transform(string_split(text, chr(10)), l -> trim(l)) AS ln
+          FROM d2),
+        c AS (SELECT doc_id,
+            CAST(len(tk) AS BIGINT) AS n_words,
+            CAST(list_reduce(list_transform(tk, x -> len(x)), (a,b) -> a+b) AS BIGINT) AS n_word_chars,
+            CAST(len(ln) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(ln, l ->
+              l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS BIGINT) AS n_bullet,
+            CAST(len(list_filter(ln, l ->
+              l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS n_ellipsis_end,
+            CAST((len(text) - len(replace(text, '#', '')))
+              + ((len(text) - len(replace(text, '...', ''))) // 3) AS BIGINT) AS n_symbols,
+            CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+            CAST(len(list_intersect(list_distinct(list_transform(tk, x -> lower(x))),
+              ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stopwords
+          FROM t)
+        SELECT doc_id, n_words, n_word_chars, n_lines, n_bullet,
+          n_ellipsis_end, n_symbols, n_alpha_words, n_stopwords,
+          (n_words >= 50 AND n_words <= 100000
+           AND 3*n_words <= n_word_chars AND n_word_chars <= 10*n_words
+           AND 10*n_symbols <= n_words
+           AND 10*n_bullet <= 9*n_lines
+           AND 10*n_ellipsis_end <= 3*n_lines
+           AND 5*n_alpha_words >= 4*n_words
+           AND n_stopwords >= 2) AS keep
+        FROM c ORDER BY doc_id"""))
   )
 }

@@ -139,4 +139,31 @@ class TextExtrasSpec extends SparkSpecBase {
     assert(out(3L)._2 == 1L && !out(3L)._3)   // survives line-wise, fails doc guard
     assert(out(4L)._3 && out(4L)._2 == 1L)
   }
+
+  test("Gopher rules: each rule trips in isolation, good prose passes") {
+    // 56 words, mean length ~4.2, 4 distinct Gopher stopwords, no symbols
+    val good = Array.fill(4)(
+      "the quick brown fox jumps over that lazy dog with great energy and poise")
+      .mkString(" ")
+    val df = Seq(
+      (1L, good),                                               // passes all
+      (2L, "too short"),                                        // rule 1: < minWords
+      (3L, good + "\n" + "- bullet item\n" * 9 + "- bullet item"), // rule 4: 10/11 bullet lines
+      (4L, good + "\nread more...\nclick here...\nsubscribe now..."), // rule 5: 3/4 ellipsis
+      (5L, good + " " + "#" * 20),                              // rule 3: symbols > 10%
+      (6L, Array.fill(15)("alpha beta gamma delta").mkString(" ")), // rule 7: no stopwords
+      (7L, (Array.fill(50)("extraordinarily") ++ Seq("the", "of")).mkString(" ")) // rule 2: mean len > 10
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    (2L to 7L).foreach(id => assert(!out(id).getAs[Boolean]("keep"), s"doc $id"))
+    // spot-check the counters behind two of the trips
+    assert(out(3L).getAs[Long]("n_bullet") == 10L &&
+      out(3L).getAs[Long]("n_lines") == 11L)
+    assert(out(5L).getAs[Long]("n_symbols") == 20L)
+    assert(out(6L).getAs[Long]("n_stopwords") == 0L)
+    assert(out(1L).getAs[Long]("n_words") == 56L &&
+      out(1L).getAs[Long]("n_stopwords") == 4L)
+  }
 }
