@@ -230,6 +230,46 @@ object TextOps {
       .agg(count(lit(1)).as("n_total"), countDistinct(col("id")).as("n_docs"))
   }
 
+  /** TF-IDF top-k terms per document — the classic keyword-extraction pass
+    * (the per-doc ranking side of [[vocabulary]]'s counting contract).
+    *
+    * Scoring uses the undamped inverse-frequency weight `tf * N / df`
+    * rather than `tf * ln(N/df)`: multiplication and division are IEEE
+    * correctly-rounded (bit-identical across engines), while a
+    * transcendental `ln` may differ in the last ulp between libm
+    * implementations and break a hash gate. The damping factor is monotone
+    * in N/df, so the per-document RANKING is the familiar TF-IDF one
+    * whenever tf ties break the same way — and ties are fully ordered by
+    * (score DESC, token ASC).
+    *
+    * Shape at scale: explode → groupBy(doc,token) [partial-agg shuffle] →
+    * groupBy(token) for DF [partial-agg — the Zipf head pre-sums per task]
+    * → tf⋈df on token → per-doc window top-k. The df build side is ONE row
+    * per token, so the hot-token stream partitions ("the" appears in every
+    * document) are safely splittable by AQE skew-join; nothing here needs
+    * the vocabulary to fit in driver or broadcast memory. */
+  def tfIdfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, broadcast, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val n = docs.agg(count(lit(1)).as("n_corpus"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf").cast("double") * col("n_corpus").cast("double"))
+          / col("df").cast("double"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("doc_id").as(idCol), col("token"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
   /** C4-style blocklist flag: true when any blocked entry occurs in the
     * text at WORD granularity. Both sides normalize identically — engine-
     * side `lower()` (never driver-locale String.toLowerCase: a Turkish

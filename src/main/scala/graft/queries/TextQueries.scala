@@ -385,6 +385,32 @@ object TextQueries {
            AND 10*n_ellipsis_end <= 3*n_lines
            AND 5*n_alpha_words >= 4*n_words
            AND n_stopwords >= 2) AS keep
-        FROM c ORDER BY doc_id"""))
+        FROM c ORDER BY doc_id""")),
+
+    // ---- p44: TF-IDF top-5 terms per document — keyword extraction over
+    // the whole corpus. Score = tf*N/df (undamped inverse frequency): only
+    // IEEE correctly-rounded ops (multiply, divide), so both engines produce
+    // bit-identical doubles — a transcendental ln() could differ in the last
+    // ulp between libms and break the hash gate. Ties fully ordered by
+    // (score DESC, token ASC). ---------------------------------------------
+    QueryDef("p44_tfidf_topk",
+      (s, d) => TextOps.tfIdfTopTerms(T.documents(s, d), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rk"),
+      Some("""
+        WITH toks AS (SELECT doc_id,
+            unnest(string_split_regex(trim(text), '\s+')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+        s AS (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+            (CAST(tf.tf AS DOUBLE) * CAST(n.n_corpus AS DOUBLE))
+              / CAST(dfreq.df AS DOUBLE) AS score
+          FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        r AS (SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+          FROM s)
+        SELECT doc_id, token, tf, df, score, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 5 ORDER BY doc_id, rk"""))
   )
 }

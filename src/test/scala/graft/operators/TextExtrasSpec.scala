@@ -166,4 +166,26 @@ class TextExtrasSpec extends SparkSpecBase {
     assert(out(1L).getAs[Long]("n_words") == 56L &&
       out(1L).getAs[Long]("n_stopwords") == 4L)
   }
+
+  test("TF-IDF top terms: hand-computed scores, ranks, and tie-breaks") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple date date date")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 2, banana 2, cherry 1, date 1
+    val out = TextOps.tfIdfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out((1L, 1L)) == (("apple", 2L, 2L, 3.0)))   // 2*3/2
+    assert(out((1L, 2L)) == (("banana", 1L, 2L, 1.5)))  // 1*3/2
+    assert(out((2L, 1L)) == (("cherry", 1L, 1L, 3.0)))  // 1*3/1 beats banana 1.5
+    assert(out((2L, 2L)) == (("banana", 1L, 2L, 1.5)))
+    assert(out((3L, 1L)) == (("date", 3L, 1L, 9.0)))    // 3*3/1
+    assert(out((3L, 2L)) == (("apple", 1L, 2L, 1.5)))
+    // equal scores tie-break by token ascending
+    val ties = TextOps.tfIdfTopTerms(Seq((9L, "zeta alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 2).collect().map(r => r.getLong(5) -> r.getString(1)).toMap
+    assert(ties == Map(1L -> "alpha", 2L -> "zeta"))
+  }
 }

@@ -153,6 +153,23 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
   }
 
+  test("p43 Gopher rules are map-only: no hash shuffle, no aggregate") {
+    val p = plan("p43_gopher_rules")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("HashAggregate"), "doc-level rules must not aggregate")
+  }
+
+  test("p44 tfidf: partial-agg counts, broadcast 1-row corpus size, per-doc window") {
+    val p = plan("p44_tfidf_topk")
+    // the corpus count joins as a broadcast single row, never a product/shuffle
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), "N must broadcast, not product-join")
+    // tf/df counts must pre-sum per task (the Zipf head combines map-side)
+    assert(p.contains("partial_count"), p.take(2000))
+    // the only window is the per-document rank
+    assert(p.contains("row_number"), p.take(2000))
+  }
+
   test("p37 substring dedup: partial-agg gram winner, no product join, no gram-window rank") {
     val df = SparkEntry.queries("p37_dedup_substrings")(spark, sf("sf0.001"))
     df.collect()
