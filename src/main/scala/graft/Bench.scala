@@ -1,6 +1,94 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Prints ONE JSON line with per-query seconds plus
+  * self-diagnosing context so the number stands on its own:
+  *
+  *   - `flushes` / `flush_before`: how often the cache budget fired and which
+  *     query paid the re-materialization (a flush makes the NEXT query's
+  *     time unattributable — now it is visible instead of silent);
+  *   - `loadavg_start` / `loadavg_end`: /proc/loadavg at the run boundaries —
+  *     a bench taken on a loaded machine carries its own evidence;
+  *   - `duckdb_total` / `ratio`: a same-session DuckDB pass over
+  *     `SparkEntry.oracleSql` (via a python3 subprocess; duckdb is present on
+  *     the bench machine, not a library dependency of this code), so the
+  *     Spark/DuckDB ratio is measured under identical machine conditions.
+  *     Gated by SPARK_GRAFT_PAIR (default on, degrades to null if python3 or
+  *     duckdb is unavailable). Per-query pair rows go to BENCHPAIR.json.
+  *
+  * Field order in the emitted line puts the summary AFTER the per-query map:
+  * harnesses that keep only the tail of the output still capture the totals.
+  */
 object Bench {
+  private def loadavg(): String =
+    try new String(Files.readAllBytes(Paths.get("/proc/loadavg")),
+      StandardCharsets.UTF_8).trim.split("\\s+").take(3).mkString(" ")
+    catch { case _: Throwable => "" }
+
+  /** Runs the oracle SQL suite in DuckDB (warmup pass + best-of-2) in this
+    * same session. Returns per-query best seconds, or None if the subprocess
+    * can't run. The python script is fed on stdin; argv = sfDir, oracle path.
+    */
+  private def duckdbPair(sfDir: String, oracle: Map[String, String]): Option[Map[String, Double]] = {
+    val mapper = new ObjectMapper()
+    val oraclePath = Files.createTempFile("graft_oracle", ".json")
+    val juMap = new java.util.LinkedHashMap[String, String]()
+    oracle.toSeq.sortBy(_._1).foreach { case (k, v) => juMap.put(k, v) }
+    Files.write(oraclePath, mapper.writeValueAsBytes(juMap))
+    val script =
+      """import sys, json, time
+        |try:
+        |    import duckdb
+        |except Exception:
+        |    print("{}"); sys.exit(0)
+        |sfdir, opath = sys.argv[1], sys.argv[2]
+        |oracle = json.load(open(opath))
+        |con = duckdb.connect()
+        |for t in ["region","nation","customer","supplier","part","orders",
+        |          "lineitem","events","documents","embeddings"]:
+        |    try: con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        |    except Exception: pass
+        |con.execute("SET memory_limit='48GB'")
+        |con.execute("SET temp_directory='/tmp/duck_spill'")
+        |for name, sql in sorted(oracle.items()):
+        |    try: con.execute(sql).fetchall()
+        |    except Exception: pass
+        |out = {}
+        |for name, sql in sorted(oracle.items()):
+        |    best = None
+        |    for _ in range(2):
+        |        t0 = time.perf_counter()
+        |        try: con.execute(sql).fetchall()
+        |        except Exception: best = None; break
+        |        dt = time.perf_counter() - t0
+        |        best = dt if best is None or dt < best else best
+        |    if best is not None: out[name] = best
+        |print(json.dumps(out))
+        |""".stripMargin
+    try {
+      val pb = new ProcessBuilder("python3", "-", sfDir, oraclePath.toString)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      proc.getOutputStream.write(script.getBytes(StandardCharsets.UTF_8))
+      proc.getOutputStream.close()
+      val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      val rc = proc.waitFor()
+      if (rc != 0) return None
+      val node = mapper.readTree(out.trim.linesIterator.toSeq.lastOption.getOrElse("{}"))
+      val it = node.fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asDouble()) }
+      val m = b.result()
+      if (m.isEmpty) None else Some(m)
+    } catch { case _: Throwable => None }
+    finally { try Files.deleteIfExists(oraclePath) catch { case _: Throwable => } }
+  }
+
+  private def r3(d: Double): Double = math.round(d * 1000).toDouble / 1000
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's cores, not a fixed small number: the driver
@@ -8,6 +96,7 @@ object Bench {
     // should bench the hardware it runs on, not a 4-core config
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,14 +115,16 @@ object Bench {
     // help" to "cache pressure evicts + GC thrash". When in-memory cached
     // bytes exceed the budget, drop ALL caches (blunt, but LRU bookkeeping
     // would itself be noise): queries after a flush re-materialize, exactly
-    // what a fresh cluster run would do.
+    // what a fresh cluster run would do. Returns whether it fired so the
+    // emitted JSON can attribute the next query's re-materialization cost.
     val budgetMb = sys.env.getOrElse("SPARK_GRAFT_CACHE_BUDGET_MB", "8192").toLong
-    def enforceCacheBudget(): Unit = {
+    def enforceCacheBudget(): Boolean = {
       val usedMb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
       if (usedMb > budgetMb) {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      }
+        true
+      } else false
     }
 
     // untimed warmup: ONE full pass over every query. Janino codegen
@@ -43,9 +134,10 @@ object Bench {
     // first — a partial warmup list left the 40+ unwarmed queries paying
     // 100-400 ms of first-run compilation each inside their measured time.
     // Measured numbers below are the steady state.
+    var warmupFlushes = 0
     SparkEntry.queries.foreach { case (_, f) =>
       try f(spark, sfDir).count() catch { case _: Throwable => }
-      enforceCacheBudget()
+      if (enforceCacheBudget()) warmupFlushes += 1
     }
     // deterministic name order: map-iteration order made run-to-run totals
     // incomparable (which query paid a shared cache's materialization was
@@ -53,17 +145,55 @@ object Bench {
     // fit the budget (the warmup list pre-materializes them): measured
     // numbers are the steady state, and clearing between queries measurably
     // increased both total and variance at sf0.1.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val flushBefore = Seq.newBuilder[String]
+    var pendingFlush = false
+    val results = names.map { case (name, fn) =>
+      if (pendingFlush) { flushBefore += name; pendingFlush = false }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      enforceCacheBudget()
+      pendingFlush = enforceCacheBudget()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadEnd = loadavg()
+    val sparkTotal = r3(results.map(_._2).sum)
+    val flushed = flushBefore.result()
+
+    // same-session DuckDB pass over the oracle suite → measured ratio under
+    // identical machine conditions (the whole point: a loaded machine slows
+    // both engines, so the ratio survives load even when totals don't)
+    val pairOn = sys.env.getOrElse("SPARK_GRAFT_PAIR", "1") != "0"
+    val duck = if (pairOn) duckdbPair(sfDir, SparkEntry.oracleSql) else None
+    val duckTotal = duck.map(m => r3(m.values.sum))
+    val ratio = duckTotal.filter(_ > 0).map(d => r3(sparkTotal / d))
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // summary fields AFTER the queries map: tail-truncating captures keep them
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,""" +
+      s""""warmup_flushes":$warmupFlushes,"flushes":${flushed.length},""" +
+      s""""flush_before":${flushed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+      s""""cpus":$cpus,"spark_total":$sparkTotal,""" +
+      s""""duckdb_total":${duckTotal.map(_.toString).getOrElse("null")},""" +
+      s""""ratio":${ratio.map(_.toString).getOrElse("null")},"value":$sparkTotal}"""
+
+    // full artifact (incl. per-query pair rows) persisted for the record —
+    // survives even when the stdout capture truncates
+    try {
+      val pairRows = duck.map { m =>
+        results.map { case (k, s) =>
+          val d = m.get(k)
+          s"""{"query":"$k","spark_s":${r3(s)},"duckdb_s":${d.map(x => r3(x).toString).getOrElse("null")},""" +
+            s""""ratio":${d.filter(_ > 0).map(x => r3(s / x).toString).getOrElse("null")}}"""
+        }.mkString("[", ",", "]")
+      }.getOrElse("[]")
+      Files.write(Paths.get("BENCHPAIR.json"),
+        (s"""{"line":$line,"rows":$pairRows}""" + "\n").getBytes(StandardCharsets.UTF_8))
+    } catch { case _: Throwable => }
+
+    println(line)
     spark.stop()
   }
 }
