@@ -56,6 +56,9 @@ final case class ODataConf(
     pageSize: Option[Int] = None,
     parallelism: Int = 1,
     partitionRows: Long = 100000L,
+    pagination: String = "auto", // auto | offset | keyset
+    partitionKey: Option[String] = None,
+    keysetSweepMax: Long = 2000000L,
     bearer: Option[String] = None,
     user: Option[String] = None,
     password: Option[String] = None,
@@ -81,6 +84,9 @@ object ODataConf {
       pageSize = o.get("pagesize").map(_.toInt),
       parallelism = o.getOrElse("parallelism", "1").toInt,
       partitionRows = o.getOrElse("partitionrows", "100000").toLong,
+      pagination = o.getOrElse("pagination", "auto").toLowerCase,
+      partitionKey = o.get("partitionkey"),
+      keysetSweepMax = o.getOrElse("keysetsweepmax", "2000000").toLong,
       bearer = o.get("bearertoken"),
       user = o.get("user"),
       password = o.get("password"),
@@ -513,11 +519,13 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
   /** Build the request URL exactly like the reference's
     * UpdateUrlFromPredicatePushdown (SURVEY §3.1 step 3). */
   private def buildUrl(skipOverride: Option[Long], topOverride: Option[Long],
-                       orderOverride: Option[String] = None): String = {
+                       orderOverride: Option[String] = None,
+                       windowFilter: Option[String] = None): String = {
     var u = ODataUrl.parse(conf.url.replace(ODataUrl.parse(conf.url).base,
       meta.entitySetUrl))
     filterExpr.foreach(e => u = u.mergeFilter(e))
     runtimeExpr.foreach(e => u = u.mergeFilter(e))
+    windowFilter.foreach(e => u = u.mergeFilter(e))
     val expandSpecs = conf.expand.map(ExpandSpec.parse)
     val expandNavs = expandSpecs.map(_.nav)
     // $select skipped when all columns requested (reference `:430-435`)
@@ -587,26 +595,134 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
       // the ranges are pinned with $orderby on the entity key(s) — without
       // it, partitions taken from differently-ordered result sets silently
       // duplicate and drop rows. No key metadata (fixed-schema mode) -> the
-      // ranges cannot be pinned -> serial scan.
-      val keyOrder: Option[String] =
+      // ranges cannot be pinned -> serial scan, unless `partitionKey` names
+      // one explicitly (fixed-schema Graph collections have string ids).
+      val keyOrder: Option[String] = conf.partitionKey.orElse {
         if (conf.schemaDdl.isDefined) None
         else meta.model.entitySets.find(_.name == meta.setName)
           .flatMap(es => meta.model.entityTypes.get(es.entityTypeName.split('.').last))
           .map(_.keys).filter(_.nonEmpty).map(_.mkString(","))
-      (countRows(), keyOrder) match {
-        case (Some(total), Some(ord)) if total > 0 =>
-          // at least partitionRows rows per range; cap at `parallelism`
-          val nParts = math.min(conf.parallelism.toLong,
-            math.max(1L, (total + conf.partitionRows - 1) / conf.partitionRows)).toInt
-          val per = (total + nParts - 1) / nParts
-          (0 until nParts).map { i =>
-            val skipBase = conf.skip.getOrElse(0L) + offset.map(_.toLong).getOrElse(0L)
-            ODataInputPartition(
-              buildUrl(Some(skipBase + i * per), Some(per), Some(ord)), i)
-          }.toArray
-        case _ => Array(ODataInputPartition(buildUrl(None, None), 0))
+      }
+      val total = countRows()
+      keyOrder match {
+        case Some(ord) =>
+          val offsetOk = conf.pagination match {
+            case "offset" => true
+            case "keyset" => false
+            case _        => skipProbe(ord) // auto: ask the server once
+          }
+          if (offsetOk && total.exists(_ > 0)) {
+            val t = total.get
+            // at least partitionRows rows per range; cap at `parallelism`
+            val nParts = math.min(conf.parallelism.toLong,
+              math.max(1L, (t + conf.partitionRows - 1) / conf.partitionRows)).toInt
+            val per = (t + nParts - 1) / nParts
+            (0 until nParts).map { i =>
+              val skipBase = conf.skip.getOrElse(0L) + offset.map(_.toLong).getOrElse(0L)
+              ODataInputPartition(
+                buildUrl(Some(skipBase + i * per), Some(per), Some(ord)), i)
+            }.toArray
+          } else if (conf.pagination == "offset") // explicit: never keyset
+            Array(ODataInputPartition(buildUrl(None, None), 0))
+          else planKeysetPartitions(ord, total)
+            .getOrElse(Array(ODataInputPartition(buildUrl(None, None), 0)))
+        case None => Array(ODataInputPartition(buildUrl(None, None), 0))
       }
     }
+  }
+
+  /** Does the server honor `$skip`? One cheap authenticated probe
+    * (`$top=1&$skip=1`) at planning time. Graph rejects `$skip` on many
+    * collections and delta feeds always do — those used to silently fall
+    * back to ONE partition; now they take the keyset path below. */
+  @volatile private var skipProbeResult: Option[Boolean] = None
+  private def skipProbe(ord: String): Boolean = skipProbeResult.getOrElse {
+    val r = try {
+      var u = ODataUrl.parse(meta.entitySetUrl)
+        .withParam("$top", "1").withParam("$skip", "1").withParam("$orderby", ord)
+      if (meta.version == 2) u = u.withParam("$format", "json")
+      HttpCore.shared.get(u.render, useCache = false, auth = conf.auth).status / 100 == 2
+    } catch { case _: Exception => false }
+    skipProbeResult = Some(r) // plan may re-run under runtime filtering: probe once
+    r
+  }
+
+  /** Keyset-window parallel scan for servers that reject `$skip`: partitions
+    * are disjoint key ranges (`$filter=key gt lo and key le hi`), boundaries
+    * taken from a `$top`-paged keys-only sweep in server key order. Windows
+    * are filter-disjoint and filter-complete, so no cross-request ordering
+    * guarantee is needed at read time — correctness rests only on the server
+    * applying the SAME key comparison in `$orderby` and `$filter`, which
+    * OData defines. Single-property string/integral keys only; anything else
+    * (composite keys, pushed OFFSET, key types without a literal rendering)
+    * returns None -> serial scan. */
+  private def planKeysetPartitions(ord: String, total: Option[Long]): Option[Array[InputPartition]] = {
+    import org.apache.spark.sql.types._
+    if (ord.contains(",")) return None // composite key: no single gt chain
+    if (conf.skip.getOrElse(0L) + offset.map(_.toLong).getOrElse(0L) > 0) return None
+    val keyField = meta.sparkSchema.fields.find(_.name == ord).getOrElse(return None)
+    val stringKey = keyField.dataType match {
+      case StringType => true
+      case ByteType | ShortType | IntegerType | LongType => false
+      case _ => return None // float/timestamp keys: unsafe literal round-trip
+    }
+    val v2 = meta.version == 2
+    def renderKey(node: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+      if (stringKey) ODataFilterCompiler.lit(node.asText, v2)
+      else Some(node.asText) // v2 serializes Int64 as string; bare text is the literal
+    val nParts = total match {
+      case Some(t) if t > 0 =>
+        math.min(conf.parallelism.toLong,
+          math.max(1L, (t + conf.partitionRows - 1) / conf.partitionRows)).toInt
+      case _ => conf.parallelism
+    }
+    if (nParts <= 1) return None
+    val per = total.map(t => (t + nParts - 1) / nParts).getOrElse(conf.partitionRows)
+
+    // boundary sweep: repeated keys-only `$top=per` chains, each continuing
+    // past the previous boundary; the last key of a full batch is a boundary
+    def sweep(afterLit: Option[String]): Seq[String] = {
+      var u = ODataUrl.parse(meta.entitySetUrl)
+      (filterExpr.toSeq ++ runtimeExpr.toSeq).foreach(e => u = u.mergeFilter(e))
+      afterLit.foreach(l => u = u.mergeFilter(s"$ord gt $l"))
+      u = u.withParam("$select", ord).withParam("$orderby", ord)
+        .withParam("$top", per.toString)
+      if (v2) u = u.withParam("$format", "json")
+      val out = scala.collection.mutable.Buffer[String]()
+      var next: Option[String] = Some(u.render)
+      while (next.isDefined && out.size < per) {
+        val resp = HttpCore.shared.get(next.get, useCache = false, auth = conf.auth)
+        if (resp.status != 200)
+          throw new RuntimeException(s"keyset sweep GET -> HTTP ${resp.status}")
+        val page = ODataJson.extractPage(ODataJson.parse(resp.text))
+        page.rows.foreach { n =>
+          Option(n.get(ord)).filterNot(_.isNull).flatMap(renderKey).foreach(out += _)
+        }
+        next = page.nextLink
+      }
+      out.take(math.min(per, Int.MaxValue.toLong).toInt).toSeq
+    }
+    try {
+      val boundaries = scala.collection.mutable.Buffer[String]()
+      var lastLit: Option[String] = None
+      var swept = 0L
+      var exhausted = false
+      while (!exhausted && boundaries.size < nParts - 1 && swept < conf.keysetSweepMax) {
+        val got = sweep(lastLit)
+        swept += got.size
+        if (got.size < per) exhausted = true // tail fits in the final window
+        else { boundaries += got.last; lastLit = Some(got.last) }
+      }
+      if (boundaries.isEmpty) return None // set fits one window: serial is right
+      val windows: Seq[String] =
+        (s"$ord le ${boundaries.head}" +:
+          (1 until boundaries.size).map { i =>
+            s"$ord gt ${boundaries(i - 1)} and $ord le ${boundaries(i)}"
+          }) :+ s"$ord gt ${boundaries.last}"
+      Some(windows.zipWithIndex.map { case (w, i) =>
+        ODataInputPartition(buildUrl(None, None, None, Some(w)), i): InputPartition
+      }.toArray)
+    } catch { case _: Exception => None } // sweep failure: correct, serial
   }
 
   private def countRows(): Option[Long] = {

@@ -103,6 +103,47 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(ranged.size >= 2, s"expected ranged partitions, got: ${v4.requests}")
   }
 
+  test("parallel scan: server rejecting $skip falls back to keyset windows") {
+    v4.skipStatus = 501
+    try {
+      v4.requests.clear()
+      val df = read(v4, "parallelism" -> "4", "partitionRows" -> "5")
+      val ids = df.collect().map(_.getString(0)).toSeq
+      assert(ids.length == 20 && ids.distinct.length == 20,
+        s"keyset union wrong: $ids") // disjoint + complete windows
+      // boundary sweep: keys-only ordered pages
+      val sweeps = v4.requests.filter(r =>
+        r.contains("$select=CustomerID") && r.contains("$orderby=CustomerID"))
+      assert(sweeps.nonEmpty, s"no boundary sweep in ${v4.requests}")
+      // 4 partition windows over boundaries C04/C09/C14
+      val windows = v4.requests.filter(r =>
+        r.contains("/Customers?") && r.contains("$filter=") &&
+          !r.contains("$orderby") && (r.contains(" gt ") || r.contains(" le ")))
+      assert(windows.exists(_.contains("CustomerID le 'C04'")), s"got $windows")
+      assert(windows.exists(r => r.contains("CustomerID gt 'C04'") &&
+        r.contains("CustomerID le 'C09'")), s"got $windows")
+      assert(windows.exists(_.contains("CustomerID gt 'C14'")), s"got $windows")
+      // no $skip-paged data was served
+      assert(!v4.requests.exists(r => r.contains("$skip=") && r.contains("$top=5")),
+        s"offset ranges used despite 501: ${v4.requests}")
+    } finally v4.skipStatus = 200
+  }
+
+  test("parallel scan: pushed filter rides inside the keyset windows") {
+    v4.skipStatus = 501
+    try {
+      v4.requests.clear()
+      val df = read(v4, "parallelism" -> "4", "partitionRows" -> "3")
+        .filter(col("Country") === "Germany")
+      val ids = df.collect().map(_.getString(0)).toSeq
+      assert(ids.length == 7 && ids.distinct.length == 7, s"got $ids")
+      // the sweep and every window carry the pushed predicate too
+      val winReqs = v4.requests.filter(r => r.contains(" le ") || r.contains(" gt "))
+      assert(winReqs.nonEmpty && winReqs.forall(_.contains("Country eq 'Germany'")),
+        s"window requests missing pushed filter: $winReqs")
+    } finally v4.skipStatus = 200
+  }
+
   test("COUNT(*) is answered by /$count alone — no data transferred") {
     v4.requests.clear()
     val n = read(v4).count()

@@ -55,6 +55,11 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
     * server without $count support; 403 = auth failure on the probe). */
   var countStatus: Int = 200
 
+  /** When != 200, any data request carrying `$skip` answers with this status
+    * — models Graph collections and delta feeds that reject offset paging
+    * (keyset-fallback regression harness). */
+  var skipStatus: Int = 200
+
   /** Raw bodies POSTed to /$batch (JSON batch round-trips). */
   val batchBodies = mutable.ListBuffer[String]()
   private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -332,6 +337,9 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
   }
 
   private def serveRows(ex: HttpExchange, q: Map[String, String]): Unit = {
+    if (q.contains("$skip") && skipStatus != 200) {
+      respond(ex, skipStatus, "text/plain", "$skip not supported"); return
+    }
     var data = applyFilter(rows, q.get("$filter"))
     q.get("$orderby").foreach { ob =>
       val keys = ob.split(',').map(_.trim).map { part =>
