@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomContains, BloomSketchAgg, MinHashSketchAgg, SimHashAgg, VecDot, VecLshKeys, VecNorm, WordShingles}
+import graft.functions.{BinRead, BloomContains, BloomSketchAgg, MatVec, MinHashSketchAgg, SimHashAgg, VecDot, VecLshKeys, VecNorm, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -70,6 +70,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BloomContains(children(0), children(1), k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("mat_vec"),
+      new ExpressionInfo(classOf[MatVec].getName, "mat_vec"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MatVec(children(0), children(1))))
+    Seq(("bin_be", false), ("bin_le", true)).foreach { case (name, le) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[BinRead].getName, name),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          BinRead(children(0), children(1), intLit(name)(children(2)), le)))
+    }
     ext.injectFunction((
       FunctionIdentifier("vec_lsh_keys"),
       new ExpressionInfo(classOf[VecLshKeys].getName, "vec_lsh_keys"),

@@ -187,3 +187,70 @@ case class VecLshKeys(child: Expression, tables: Int, planesPerTable: Int)
   override protected def withNewChildInternal(newChild: Expression): VecLshKeys =
     copy(child = newChild)
 }
+
+/** `mat_vec(m, v)` — matrix-vector product: out[i] = Σ_j m[i][j] · v[j].
+  * The OPQ-rotation kernel ([[graft.operators.Quantize.opqRotation]]): the
+  * rotation matrix rides as a literal `array<array<double>>`, so rotating a
+  * corpus stays inside whole-stage codegen instead of an interpreted
+  * `transform`/`aggregate` HOF pair (D² boxed evaluations per row). Rows are
+  * clamped to the shorter of (row length, vector length); same strict
+  * left-to-right summation contract as [[VecDot]]. */
+case class MatVec(mat: Expression, vec: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = mat
+  override def right: Expression = vec
+
+  override def checkInputDataTypes(): TypeCheckResult = (mat.dataType, vec.dataType) match {
+    case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"mat_vec expects (array<array<double>>, array<double>), got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+
+  override def nullSafeEval(m: Any, v: Any): Any = {
+    val rows = m.asInstanceOf[ArrayData]
+    val x = v.asInstanceOf[ArrayData]
+    val out = new Array[Double](rows.numElements())
+    var i = 0
+    while (i < out.length) {
+      val row = rows.getArray(i)
+      val n = math.min(row.numElements(), x.numElements())
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += row.getDouble(j) * x.getDouble(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, v) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      val out = ctx.freshName("out")
+      s"""
+         |double[] $out = new double[$m.numElements()];
+         |for (int $i = 0; $i < $out.length; $i++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $m.getArray($i);
+         |  int $n = java.lang.Math.min($row.numElements(), $v.numElements());
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $s += $row.getDouble($j) * $v.getDouble($j);
+         |  }
+         |  $out[$i] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MatVec =
+    copy(mat = newLeft, vec = newRight)
+}

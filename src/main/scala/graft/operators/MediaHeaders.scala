@@ -3,24 +3,23 @@ package graft.operators
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** REAL media container header parsers — PNG / JPEG / GIF / BMP / WAV — over
-  * opaque binary columns, replacing the stub dimension fold for payloads that
-  * actually are media files (ref: erpl-web treats HTTP media bodies as opaque
-  * blobs; this gives them typed width/height/duration metadata without any
-  * codec library).
+/** REAL media container header parsers — PNG / JPEG / GIF / BMP / WAV plus
+  * MP4 (ISO-BMFF) / MP3 — over opaque binary columns, replacing the stub
+  * dimension fold for payloads that actually are media files (ref: erpl-web
+  * treats HTTP media bodies as opaque blobs; this gives them typed
+  * width/height/duration metadata without any codec library).
   *
-  * Everything is built from codegen'd scalar built-ins over the HEX rendering
-  * of the bytes (`hex(content)` then fixed-offset / scanned `substring`s) —
-  * map-only, no UDFs, no shuffle, and byte-for-byte reproducible in DuckDB
-  * SQL, which has no BLOB slicing but identical hex-string functions (the
-  * p41 oracle mirrors every step).
+  * Fields are read straight from the bytes with the codegen `bin_be/bin_le`
+  * kernel ([[graft.functions.BinRead]]): map-only, no UDFs, no shuffle, no
+  * `hex()` staging (the previous hex-string rendering held 2x the binary in
+  * memory and built a much larger expression tree). The DuckDB oracles
+  * replay the identical reads over the hex rendering — same integer results.
   *
   * Variable-position structures use a BOUNDED scan (8 JPEG segments, 4 RIFF
-  * chunks) expressed as an unrolled step chain. The scan state is ONE integer
-  * column: positive = next offset to inspect, negative = found at -offset,
-  * 0 = dead (corrupt/truncated). One-column state keeps the unroll linear
-  * and engine-portable (no struct fold; DuckDB 1.0's list_reduce takes no
-  * initial value).
+  * chunks, 6 ISO-BMFF boxes per level) expressed as an unrolled step chain.
+  * The scan state is ONE integer column: positive = next offset to inspect,
+  * negative = found at -offset, 0 = dead (corrupt/truncated). One-column
+  * state keeps the unroll linear and engine-portable.
   *
   * Formats (all offsets 1-based byte positions):
   *  - PNG: 8-byte signature, IHDR width BE32 @17, height BE32 @21.
@@ -31,106 +30,165 @@ import org.apache.spark.sql.functions._
   *  - WAV: "RIFF"+"WAVE", chunk scan from @13 for "fmt " (byte-rate LE32 @
   *    fmt+16) and "data" (size LE32 @data+4); duration_ms =
   *    floor(data_size · 1000 / byte_rate).
+  *  - MP4: "ftyp" @5; top-level box walk ([size BE32][type 4CC]) for
+  *    "moov", child walk inside for "mvhd"; v0: timescale BE32 @m+20,
+  *    duration BE32 @m+24; v1: @m+28 / BE64 @m+32. duration_ms =
+  *    floor(duration · 1000 / timescale). 64-bit box sizes (size==1) and
+  *    size<8 kill the scan (corrupt → NULL, never garbage).
+  *  - MP3: ID3v2 tag (syncsafe size @7..10) skipped, then one MPEG1
+  *    Layer III frame header: bitrate index → kbps table, duration_ms =
+  *    floor(payload_bytes · 8 / kbps) — the standard CBR estimate.
   */
 object MediaHeaders {
 
-  /** hex-pair count guard: field at byte `off`, `n` bytes wide is readable. */
-  private def canRead(h: Column, off: Column, n: Int): Column =
-    length(h) >= (off + (n - 1)) * 2
+  /** Unsigned big-endian `n`-byte read at 1-based byte offset (NULL when out
+    * of range — see BinRead's contract; that NULL is the truncation guard). */
+  private def be(b: Column, off: Column, n: Int): Column =
+    call_function("bin_be", b, off, lit(n))
 
-  private def canRead(h: Column, off: Int, n: Int): Column =
-    length(h) >= lit((off + (n - 1)) * 2)
-
-  /** Unsigned big-endian integer of `n` bytes at 1-based byte offset. */
-  private def be(h: Column, off: Column, n: Int): Column =
-    conv(h.substr(off * 2 - 1, lit(n * 2)), 16, 10).cast("long")
-
-  /** Unsigned little-endian integer of `n` bytes at 1-based byte offset. */
-  private def le(h: Column, off: Column, n: Int): Column =
-    (0 until n).map(i => be(h, off + i, 1) * (1L << (8 * i)): Column)
-      .reduce(_ + _)
-
-  private def bytesAt(h: Column, off: Column, n: Int): Column =
-    h.substr(off * 2 - 1, lit(n * 2))
+  private def le(b: Column, off: Column, n: Int): Column =
+    call_function("bin_le", b, off, lit(n))
 
   /** One JPEG segment-scan step over state `off` (see scan-state contract
     * in the object doc). SOF0-SOF3 markers carry the frame dimensions. */
-  private def jpegStep(h: Column, off: Column): Column =
+  private def jpegStep(b: Column, off: Column): Column =
     when(off <= 0, off)
-      .when(!canRead(h, off, 4), lit(0L))
-      .when(bytesAt(h, off, 1) =!= "FF", lit(0L))
-      .when(bytesAt(h, off + 1, 1).isin("C0", "C1", "C2", "C3"), -off)
-      .otherwise(off + 2 + be(h, off + 2, 2))
+      .when(be(b, off, 4).isNull, lit(0L))
+      .when(be(b, off, 1) =!= 0xFF, lit(0L))
+      .when(be(b, off + 1, 1).between(0xC0, 0xC3), -off)
+      .otherwise(off + 2 + be(b, off + 2, 2))
 
-  /** One RIFF chunk-scan step looking for the chunk id whose hex is
-    * `idHex`; chunks are 8-byte header + payload padded to even length. */
-  private def riffStep(h: Column, off: Column, idHex: String): Column =
+  /** One RIFF chunk-scan step looking for the 4CC whose BE32 value is
+    * `idBe`; chunks are 8-byte header + payload padded to even length. */
+  private def riffStep(b: Column, off: Column, idBe: Long): Column =
     when(off <= 0, off)
-      .when(!canRead(h, off, 8), lit(0L))
-      .when(bytesAt(h, off, 4) === idHex, -off)
-      .otherwise(off + 8 + le(h, off + 4, 4) + pmod(le(h, off + 4, 4), lit(2L)))
+      .when(be(b, off, 8).isNull, lit(0L))
+      .when(be(b, off, 4) === idBe, -off)
+      .otherwise(off + 8 + le(b, off + 4, 4) + pmod(le(b, off + 4, 4), lit(2L)))
+
+  /** One ISO-BMFF box-walk step looking for box type `typeBe`
+    * ([size BE32][type 4CC] headers; size 0/1/<8 = unwalkable → dead). */
+  private def boxStep(b: Column, off: Column, typeBe: Long): Column =
+    when(off <= 0, off)
+      .when(be(b, off, 8).isNull, lit(0L))
+      .when(be(b, off + 4, 4) === typeBe, -off)
+      .when(be(b, off, 4) < 8, lit(0L))
+      .otherwise(off + be(b, off, 4))
 
   /** Unrolled scan chain. Each step's state is staged through [[bindOnce]]
     * so the next step sees a lambda VALUE, not the previous step's expression
     * tree — a step references its state ~6×, so inlining would grow the tree
     * 6^steps (observed: OOM at analysis time); binding keeps it linear. */
-  private def chain(h: Column, init: Column, steps: Int,
+  private def chain(b: Column, init: Column, steps: Int,
                     step: (Column, Column) => Column): Column =
-    (0 until steps).foldLeft(init)((acc, _) => bindOnce(acc)(step(h, _)))
+    (0 until steps).foldLeft(init)((acc, _) => bindOnce(acc)(step(b, _)))
 
   private val JpegScanSteps = 8
   private val RiffScanSteps = 4
+  private val BoxScanSteps = 6
+
+  private val Moov = 0x6D6F6F76L // "moov"
+  private val Mvhd = 0x6D766864L // "mvhd"
 
   /** Parsed header struct (fmt, width, height, duration_ms) from a binary
     * content column. Unknown/truncated payloads → fmt 'unknown' / NULLs. */
-  def parseHeader(content: Column): Column = bindOnce(hex(content)) { h =>
-    val isPng = h.startsWith("89504E470D0A1A0A")
-    val isJpeg = h.startsWith("FFD8")
-    val isGif = h.startsWith("47494638")
-    val isBmp = h.startsWith("424D")
-    val isWav = h.startsWith("52494646") &&
-      when(canRead(h, 9, 4), bytesAt(h, lit(9L), 4) === "57415645")
-        .otherwise(lit(false))
+  def parseHeader(content: Column): Column = bindOnce(content) { b =>
+    val isPng = be(b, lit(1L), 4) === 0x89504E47L && be(b, lit(5L), 4) === 0x0D0A1A0AL
+    val isJpeg = be(b, lit(1L), 2) === 0xFFD8L
+    val isGif = be(b, lit(1L), 4) === 0x47494638L
+    val isBmp = be(b, lit(1L), 2) === 0x424DL
+    val isWav = be(b, lit(1L), 4) === 0x52494646L && be(b, lit(9L), 4) === 0x57415645L
+    val isMp4 = be(b, lit(5L), 4) === 0x66747970L // "ftyp" after the size word
+    // frame sync (FFE) or an ID3v2 container
+    val isMp3 = be(b, lit(1L), 3) === 0x494433L ||
+      (be(b, lit(1L), 1) === 0xFFL && be(b, lit(2L), 1).bitwiseAND(0xE0) === 0xE0L)
 
+    // when() skips NULL conditions (truncated reads) exactly like false — a
+    // payload too short for any signature lands on 'unknown'
     val fmt = when(isPng, "png").when(isJpeg, "jpeg").when(isGif, "gif")
-      .when(isBmp, "bmp").when(isWav, "wav").otherwise("unknown")
+      .when(isBmp, "bmp").when(isWav, "wav").when(isMp4, "mp4")
+      .when(isMp3, "mp3").otherwise("unknown")
 
-    // JPEG: bounded segment scan; -st = SOF marker offset when found
-    val jpegSof = bindOnce(chain(h, lit(3L), JpegScanSteps, jpegStep)) { st =>
-      when(st < 0 && canRead(h, -st, 9), -st)
+    // JPEG: bounded segment scan; -st = SOF marker offset when found, and
+    // the whole 9-byte SOF head must be readable
+    val jpegSof = bindOnce(chain(b, lit(3L), JpegScanSteps, jpegStep)) { st =>
+      when(st < 0 && be(b, -st + 8, 1).isNotNull, -st)
     }
     // WAV: independent bounded chunk scans for "fmt " and "data"
-    val wavFmt = bindOnce(chain(h, lit(13L), RiffScanSteps,
-      riffStep(_, _, "666D7420"))) { st =>
-      when(st < 0 && canRead(h, -st, 20), -st)
+    val wavFmt = bindOnce(chain(b, lit(13L), RiffScanSteps,
+      riffStep(_, _, 0x666D7420L))) { st =>
+      when(st < 0 && be(b, -st + 19, 1).isNotNull, -st)
     }
-    val wavData = bindOnce(chain(h, lit(13L), RiffScanSteps,
-      riffStep(_, _, "64617461"))) { st =>
-      when(st < 0 && canRead(h, -st, 8), -st)
+    val wavData = bindOnce(chain(b, lit(13L), RiffScanSteps,
+      riffStep(_, _, 0x64617461L))) { st =>
+      when(st < 0 && be(b, -st + 7, 1).isNotNull, -st)
     }
-
+    // MP4: top-level walk for moov, then child walk inside for mvhd
+    val mvhdOff = bindOnce(chain(b, lit(1L), BoxScanSteps,
+      boxStep(_, _, Moov))) { moovSt =>
+      bindOnce(chain(b, when(moovSt < 0, -moovSt + 8).otherwise(lit(0L)),
+        BoxScanSteps, boxStep(_, _, Mvhd))) { st =>
+        when(st < 0 && be(b, -st + 8, 1).isNotNull, -st)
+      }
+    }
     val width =
-      when(isPng && canRead(h, 17, 4), be(h, lit(17L), 4))
-        .when(isJpeg, be(h, jpegSof + 7, 2))
-        .when(isGif && canRead(h, 7, 2), le(h, lit(7L), 2))
-        .when(isBmp && canRead(h, 19, 4), le(h, lit(19L), 4))
+      when(isPng, be(b, lit(17L), 4))
+        .when(isJpeg, be(b, jpegSof + 7, 2))
+        .when(isGif, le(b, lit(7L), 2))
+        .when(isBmp, le(b, lit(19L), 4))
     val height =
-      when(isPng && canRead(h, 21, 4), be(h, lit(21L), 4))
-        .when(isJpeg, be(h, jpegSof + 5, 2))
-        .when(isGif && canRead(h, 9, 2), le(h, lit(9L), 2))
-        .when(isBmp && canRead(h, 23, 4), le(h, lit(23L), 4))
-    // duration: data bytes over byte-rate (both from the chunk scan); guard
-    // the zero byte-rate a corrupt fmt chunk would produce
-    val durationMs = bindOnce(le(h, wavFmt + 16, 4)) { byteRate =>
+      when(isPng, be(b, lit(21L), 4))
+        .when(isJpeg, be(b, jpegSof + 5, 2))
+        .when(isGif, le(b, lit(9L), 2))
+        .when(isBmp, le(b, lit(23L), 4))
+    // WAV duration: data bytes over byte-rate (both from the chunk scan);
+    // guard the zero byte-rate a corrupt fmt chunk would produce
+    val wavMs = bindOnce(le(b, wavFmt + 16, 4)) { byteRate =>
       when(isWav && byteRate > 0,
-        floor(le(h, wavData + 4, 4) * 1000 / byteRate).cast("long"))
+        floor(le(b, wavData + 4, 4) * 1000 / byteRate).cast("long"))
+    }
+    // MP4 duration: mvhd v0/v1 timescale + duration (mvhd offset bound once —
+    // its value feeds five reads, and its tree is the double box walk)
+    val mp4Ms = bindOnce(mvhdOff) { m =>
+      bindOnce(be(b, m + 8, 1)) { ver =>
+        bindOnce(when(ver === 1, be(b, m + 28, 4)).otherwise(be(b, m + 20, 4))) { ts =>
+          bindOnce(when(ver === 1, be(b, m + 32, 8)).otherwise(be(b, m + 24, 4))) { dur =>
+            when(isMp4 && ts > 0, floor(dur * 1000 / ts).cast("long"))
+          }
+        }
+      }
+    }
+    // MP3: first audio frame sits after an optional ID3v2 tag (syncsafe
+    // size); duration is the standard CBR estimate over the frame bytes.
+    // MPEG1 (version bits 11) Layer III (layer bits 01) only.
+    val mp3Ms = bindOnce(
+      when(be(b, lit(1L), 3) === 0x494433L,
+        lit(11L) + be(b, lit(7L), 1) * 2097152L + be(b, lit(8L), 1) * 16384L +
+          be(b, lit(9L), 1) * 128L + be(b, lit(10L), 1))
+        .otherwise(lit(1L))) { off =>
+      bindOnce(when(be(b, off, 1) === 0xFFL &&
+        be(b, off + 1, 1).bitwiseAND(0xE0) === 0xE0L &&
+        floor(be(b, off + 1, 1) / 8).cast("long").bitwiseAND(3L) === 3L &&
+        floor(be(b, off + 1, 1) / 2).cast("long").bitwiseAND(3L) === 1L, off)) { fo =>
+        bindOnce(floor(be(b, fo + 2, 1) / 16).cast("long")) { idx =>
+          // MPEG1 Layer III bitrate table; 0 (free) and 15 (bad) → NULL
+          bindOnce(when(idx === 1, 32L).when(idx === 2, 40L).when(idx === 3, 48L)
+            .when(idx === 4, 56L).when(idx === 5, 64L).when(idx === 6, 80L)
+            .when(idx === 7, 96L).when(idx === 8, 112L).when(idx === 9, 128L)
+            .when(idx === 10, 160L).when(idx === 11, 192L).when(idx === 12, 224L)
+            .when(idx === 13, 256L).when(idx === 14, 320L)) { kbps =>
+            when(isMp3 && kbps.isNotNull,
+              floor((length(b).cast("long") - fo + 1) * 8 / kbps).cast("long"))
+          }
+        }
+      }
     }
 
     struct(
       fmt.as("fmt"),
       width.cast("int").as("width"),
       height.cast("int").as("height"),
-      durationMs.as("duration_ms"))
+      coalesce(wavMs, mp4Ms, mp3Ms).as("duration_ms"))
   }
 
   /** Deterministic on-disk-format fixtures (hex) used by the p41 gate query
@@ -169,4 +227,53 @@ object MediaHeaders {
     // 9: JPEG with a corrupt segment chain (second marker not FF-led) ->
     //    jpeg, NULL dims (scan dies instead of reading garbage)
     9 -> ("FFD8" + "FFE00004AABB" + "00C00011DEAD"))
+
+  /** mvhd box body (hex), full 100/112-byte layout with zeroed rate/volume/
+    * matrix/next-track fields — real-format bytes, not a truncated stub. */
+  private def mvhdHex(version: Int, timescale: Long, duration: Long): String = {
+    def be32(v: Long) = f"$v%08X"
+    def be64(v: Long) = f"$v%016X"
+    val body =
+      if (version == 0) "00" + "000000" + be32(0) + be32(0) + be32(timescale) + be32(duration)
+      else "01" + "000000" + be64(0) + be64(0) + be32(timescale) + be64(duration)
+    val tail = "00010000" + "0100" + "0000" + "00" * 8 +
+      ("00000001" + "00000000" * 2 + "00000000" + "00000001" + "00000000" +
+        "00000000" + "00000000" + "40000000") + "00000000" * 6 + "00000002"
+    val full = body + tail
+    be32(8 + full.length / 2) + "6D766864" + full
+  }
+
+  private def box(tpe: String, bodyHex: String): String =
+    f"${8 + bodyHex.length / 2}%08X" + tpe.getBytes("ASCII").map(b => f"$b%02X").mkString + bodyHex
+
+  /** MP4/MP3 fixtures for the p45 gate query: real container layouts plus
+    * truncated/corrupt cases. */
+  val avFixtures: Seq[(Int, String)] = {
+    val ftyp = box("ftyp", "69736F6D" + "00000200" + "69736F6D" + "6D703431")
+    Seq(
+      // 1: minimal mp4 — ftyp + moov(mvhd v0): timescale 600, dur 3000 -> 5000 ms
+      1 -> (ftyp + box("moov", mvhdHex(0, 600L, 3000L))),
+      // 2: mp4 with 64-bit mvhd (v1): timescale 90000, dur 450000 -> 5000 ms
+      2 -> (ftyp + box("moov", mvhdHex(1, 90000L, 450000L))),
+      // 3: mp4 with a free box before moov, and a udta box before mvhd
+      //    inside it (both walks must skip): timescale 1000, dur 2500 -> 2500 ms
+      3 -> (ftyp + box("free", "00" * 12) +
+        box("moov", box("udta", "00" * 4) + mvhdHex(0, 1000L, 2500L))),
+      // 4: bare mp3 — MPEG1 Layer III 128 kbps 44.1 kHz, 1600 bytes -> 100 ms
+      4 -> ("FFFB9000" + "00" * 1596),
+      // 5: mp3 behind an ID3v2 tag (10-byte tag payload, syncsafe size):
+      //    800 audio bytes at 128 kbps -> 50 ms
+      5 -> ("494433" + "0400" + "00" + "0000000A" + "00" * 10 +
+        "FFFB9000" + "00" * 796),
+      // 6: truncated mp4 (ftyp only) -> mp4, NULL duration
+      6 -> ftyp,
+      // 7: mp3 frame with reserved version bits (FFE2: MPEG2.5) -> mp3,
+      //    NULL duration (bitrate table refuses, no garbage math)
+      7 -> ("FFE21000" + "00" * 60),
+      // 8: mp4 with corrupt box chain inside moov (child size 0) -> mp4,
+      //    NULL duration (walk dies)
+      8 -> (ftyp + box("moov", "00000000" + "75647461" + "00" * 8)),
+      // 9: not a media file -> unknown
+      9 -> "6E6F7468696E6720746F207365652068657265")
+  }
 }

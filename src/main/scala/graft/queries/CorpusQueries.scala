@@ -155,6 +155,25 @@ object CorpusQueries {
       },
       Some(mediaHeadersSql(MediaHeaders.fixtures))),
 
+    // ---- p45: MP4 (ISO-BMFF) + MP3 headers — the video/audio containers a
+    // multimodal crawl actually contains, same bounded-scan technique as
+    // p41 (box walk for moov/mvhd; ID3 skip + MPEG1 Layer III frame parse);
+    // fixtures include truncated and corrupt cases. Oracle replays the
+    // walks in DuckDB (QuerySql.avHeadersSql). ----------------------------
+    QueryDef("p45_av_headers",
+      (s, d) => {
+        import s.implicits._
+        MediaHeaders.avFixtures.toDF("media_id", "hx")
+          .withColumn("content", unhex(col("hx")))
+          .select(col("media_id"),
+            MediaHeaders.parseHeader(col("content")).as("hd"))
+          .select(col("media_id"), col("hd.fmt").as("fmt"),
+            col("hd.width").as("width"), col("hd.height").as("height"),
+            col("hd.duration_ms").as("duration_ms"))
+          .orderBy("media_id")
+      },
+      Some(avHeadersSql(MediaHeaders.avFixtures))),
+
     // ---- p17: composed cleaning pipeline (the end-to-end use case) ---------
     // quality-filter -> exact dedup -> per-source stats: the shape of a real
     // training-data cleaning job, each stage an operator from this module.

@@ -130,6 +130,92 @@ private[queries] object QuerySql {
         FROM m ORDER BY media_id"""
   }
 
+  // ---- p45 MP4/MP3 oracle: DuckDB mirror of MediaHeaders' ISO-BMFF box
+  // walk + MPEG frame-header parse. Reads use TRY_CAST + explicit length
+  // guards to reproduce BinRead's null-on-out-of-range contract exactly.
+
+  /** Guarded unsigned BE `n`-byte read: NULL when out of range (BinRead). */
+  private def hxBeG(off: String, n: Int): String =
+    s"CASE WHEN ($off) >= 1 AND length(h) >= (($off)+${n - 1})*2 " +
+      s"THEN TRY_CAST('0x' || substring(h, ($off)*2-1, ${n * 2}) AS BIGINT) END"
+
+  private def boxStepSql(typeHex: String)(off: String): String = s"""
+      CASE WHEN $off <= 0 THEN $off
+           WHEN length(h) < (($off)+7)*2 THEN 0
+           WHEN substring(h, (($off)+4)*2-1, 8) = '$typeHex' THEN -($off)
+           WHEN ${hxBeG(off, 4)} < 8 THEN 0
+           ELSE $off + ${hxBeG(off, 4)} END"""
+
+  /** The full p45 oracle. NOTE: the fixture set contains no image formats,
+    * so width/height are literal NULLs here; add image branches if image
+    * fixtures ever join `avFixtures`. */
+  def avHeadersSql(fixtures: Seq[(Int, String)]): String = {
+    val values = fixtures.map { case (id, hx) => s"($id, '$hx')" }.mkString(", ")
+    val mvhdSteps = (1 to 6).map { i =>
+      s"mv$i AS (SELECT media_id, h, ${boxStepSql("6D766864")("off")} AS off FROM mv${i - 1})"
+    }.mkString(",\n        ")
+    s"""
+        WITH fx(media_id, hx) AS (VALUES $values),
+        b AS (SELECT media_id, upper(hx) AS h FROM fx),
+        bx0 AS (SELECT media_id, h, CAST(1 AS BIGINT) AS off FROM b),
+        ${(1 to 6).map { i =>
+      s"bx$i AS (SELECT media_id, h, ${boxStepSql("6D6F6F76")("off")} AS off FROM bx${i - 1})"
+    }.mkString(",\n        ")},
+        moovf AS (SELECT media_id, CASE WHEN off < 0 THEN -off END AS moov FROM bx6),
+        mv0 AS (SELECT b.media_id, h,
+            CASE WHEN moov IS NOT NULL THEN moov + 8 ELSE 0 END AS off
+          FROM b JOIN moovf USING (media_id)),
+        $mvhdSteps,
+        mvf AS (SELECT media_id, CASE WHEN off < 0 AND length(h) >= (-off+8)*2
+                 THEN -off END AS m FROM mv6),
+        fr AS (SELECT media_id, h,
+            CASE WHEN length(h) >= 20 AND substring(h, 1, 6) = '494433'
+                 THEN 11 + ${hxBeG("7", 1)} * 2097152 + ${hxBeG("8", 1)} * 16384
+                      + ${hxBeG("9", 1)} * 128 + ${hxBeG("10", 1)}
+                 ELSE 1 END AS fo0 FROM b),
+        frv AS (SELECT media_id, h,
+            CASE WHEN ${hxBeG("fo0", 1)} = 255
+                  AND ${hxBeG("fo0+1", 1)} >= 224
+                  AND (${hxBeG("fo0+1", 1)} // 8) % 4 = 3
+                  AND (${hxBeG("fo0+1", 1)} // 2) % 4 = 1
+                 THEN fo0 END AS fo FROM fr),
+        kb AS (SELECT media_id, fo,
+            CASE (${hxBeG("fo+2", 1)} // 16)
+              WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+              WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+              WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+              WHEN 13 THEN 256 WHEN 14 THEN 320 END AS kbps FROM frv),
+        m4 AS (SELECT media_id, h, m, ${hxBeG("m+8", 1)} AS ver FROM mvf JOIN b USING (media_id)),
+        m4f AS (SELECT media_id, m,
+            CASE WHEN ver = 1 THEN ${hxBeG("m+28", 4)} ELSE ${hxBeG("m+20", 4)} END AS ts,
+            CASE WHEN ver = 1 THEN ${hxBeG("m+32", 8)} ELSE ${hxBeG("m+24", 4)} END AS dur
+          FROM m4),
+        d AS (SELECT b.media_id, h,
+            (length(h) >= 16 AND substring(h, 9, 8) = '66747970') AS is_mp4,
+            ((length(h) >= 6 AND substring(h, 1, 6) = '494433') OR
+             (${hxBeG("1", 1)} = 255 AND ${hxBeG("2", 1)} >= 224)) AS is_mp3,
+            ts, dur, fo, kbps
+          FROM b JOIN m4f USING (media_id) JOIN kb USING (media_id))
+        SELECT media_id,
+          CASE WHEN h LIKE '89504E470D0A1A0A%' THEN 'png'
+               WHEN h LIKE 'FFD8%' THEN 'jpeg'
+               WHEN h LIKE '47494638%' THEN 'gif'
+               WHEN h LIKE '424D%' THEN 'bmp'
+               WHEN h LIKE '52494646%' AND length(h) >= 24
+                    AND substring(h, 17, 8) = '57415645' THEN 'wav'
+               WHEN is_mp4 THEN 'mp4'
+               WHEN is_mp3 THEN 'mp3'
+               ELSE 'unknown' END AS fmt,
+          CAST(NULL AS INTEGER) AS width,
+          CAST(NULL AS INTEGER) AS height,
+          CASE WHEN is_mp4 AND ts > 0
+                 THEN CAST(floor(dur * 1000 / ts) AS BIGINT)
+               WHEN is_mp3 AND kbps IS NOT NULL
+                 THEN CAST(floor((length(h) // 2 - fo + 1) * 8 / kbps) AS BIGINT)
+               END AS duration_ms
+        FROM d ORDER BY media_id"""
+  }
+
   /** MinHash-LSH near-dup pair generation (the p05 pipeline) as a reusable
     * CTE chain ending in `pairs(id_a, id_b, inter, uni, jaccard)` — kept in
     * lockstep with `Dedup.minhashLshPairs` (md5-derived fingerprints,

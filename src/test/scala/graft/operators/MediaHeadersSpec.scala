@@ -45,7 +45,35 @@ class MediaHeadersSpec extends SparkSpecBase {
     assert(parsed(8) == (("unknown", None, None, None)))
   }
 
-  test("parse is map-only scalar work: no shuffle, no UDF in the plan") {
+  private lazy val parsedAv: Map[Int, (String, Option[Int], Option[Int], Option[Long])] =
+    MediaHeaders.avFixtures.toDF("media_id", "hx")
+      .withColumn("content", unhex(col("hx")))
+      .select(col("media_id"), MediaHeaders.parseHeader(col("content")).as("hd"))
+      .select("media_id", "hd.fmt", "hd.width", "hd.height", "hd.duration_ms")
+      .collect()
+      .map { r =>
+        r.getInt(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      }.toMap
+
+  test("MP4: mvhd v0/v1 durations; box-skipping walks; corrupt chain dies to NULL") {
+    assert(parsedAv(1) == (("mp4", None, None, Some(5000L)))) // v0 600/3000
+    assert(parsedAv(2) == (("mp4", None, None, Some(5000L)))) // v1 90000/450000
+    assert(parsedAv(3) == (("mp4", None, None, Some(2500L)))) // free + udta skipped
+    assert(parsedAv(6) == (("mp4", None, None, None)))        // ftyp only
+    assert(parsedAv(8) == (("mp4", None, None, None)))        // zero-size child box
+  }
+
+  test("MP3: CBR duration; ID3v2 tag skipped; reserved version bits refuse") {
+    assert(parsedAv(4) == (("mp3", None, None, Some(100L)))) // 1600 B @ 128 kbps
+    assert(parsedAv(5) == (("mp3", None, None, Some(50L))))  // 800 B behind ID3
+    assert(parsedAv(7) == (("mp3", None, None, None)))       // MPEG2.5 header
+    assert(parsedAv(9) == (("unknown", None, None, None)))
+  }
+
+  test("parse is map-only scalar work: binary kernel, no shuffle, no UDF") {
     val df = MediaHeaders.fixtures.toDF("media_id", "hx")
       .withColumn("content", unhex(col("hx")))
       .select(MediaHeaders.parseHeader(col("content")).as("hd"))
@@ -53,5 +81,12 @@ class MediaHeadersSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
     assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"),
       s"unexpected UDF:\n$plan")
+    // fields are read straight off the bytes — no hex-string staging (the
+    // executed plan constant-folds the literal fixtures to a LocalTableScan,
+    // so the kernel is asserted on the analyzed plan)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("bin_be"), s"binary kernel missing:\n$analyzed")
+    assert("""(?<!un)hex\(""".r.findFirstIn(analyzed).isEmpty,
+      s"hex staging crept back:\n$analyzed") // unhex(hx) input decode is fine
   }
 }
