@@ -91,6 +91,128 @@ object Quantize {
     } finally { v.unpersist(); () }
   }
 
+  /** Parametric OPQ rotation (Ge et al., CVPR 2013, the closed-form variant):
+    * PCA-rotate the data, then allocate eigen-dimensions to the `m` PQ
+    * subspaces so the per-subspace variance PRODUCTS balance (greedy on
+    * log-eigenvalues, capacity D/m each) — the allocation that minimizes
+    * expected quantization distortion for Gaussian data at a fixed code
+    * budget. Returns R as D rows; rotated vector = `mat_vec(R, v)`.
+    *
+    * 100 TB shape: covariance is accumulated per-partition (one D×D double
+    * array each, the only `mapPartitions` here) and reduced; the driver
+    * holds D×D doubles and runs a cyclic-Jacobi eigendecomposition — all
+    * bounded metadata, like centroids and codebooks. */
+  def opqRotation(corpus: org.apache.spark.sql.DataFrame, vecCol: String,
+                  m: Int): Seq[Seq[Double]] = {
+    val rows = corpus.select(col(vecCol).cast("array<double>"))
+    val d = rows.head().getSeq[Double](0).length
+    require(d % m == 0, s"vector dim $d must be divisible by m=$m")
+    // per-partition second-moment + mean accumulation → centered covariance
+    val (m2, mean, n) = rows.rdd.mapPartitions { it =>
+      val acc = Array.ofDim[Double](d * d)
+      val mu = Array.ofDim[Double](d)
+      var cnt = 0L
+      it.foreach { r =>
+        val v = r.getSeq[Double](0)
+        var i = 0
+        while (i < d) {
+          val vi = v(i)
+          mu(i) += vi
+          var j = 0
+          while (j < d) { acc(i * d + j) += vi * v(j); j += 1 }
+          i += 1
+        }
+        cnt += 1
+      }
+      Iterator((acc, mu, cnt))
+    }.reduce { (a, b) =>
+      var i = 0
+      while (i < d * d) { a._1(i) += b._1(i); i += 1 }
+      i = 0
+      while (i < d) { a._2(i) += b._2(i); i += 1 }
+      (a._1, a._2, a._3 + b._3)
+    }
+    val cov = Array.tabulate(d, d)((i, j) =>
+      m2(i * d + j) / n - (mean(i) / n) * (mean(j) / n))
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    // greedy log-eigenvalue balancing: biggest first, into the bucket with
+    // the smallest accumulated weight. Weights are SHIFTED to non-negative
+    // (w = log λ − min log λ): every bucket ends with exactly `sub` factors,
+    // so the balance objective is shift-invariant — and without the shift,
+    // λ < 1 makes log λ negative and the greedy INVERTS (the bucket that
+    // took the biggest eigenvalue looks emptiest and takes them all;
+    // measured: one bucket got every strong dimension).
+    val sub = d / m
+    val logs = eigVals.map(v => math.log(math.max(v, 1e-12)))
+    val minLog = logs.min
+    val order = eigVals.indices.sortBy(i => -eigVals(i))
+    val bucketW = Array.ofDim[Double](m)
+    val bucketDims = Array.fill(m)(List.empty[Int])
+    order.foreach { ei =>
+      val bi = (0 until m).filter(bucketDims(_).length < sub)
+        .minBy(bucketW(_))
+      bucketW(bi) += logs(ei) - minLog
+      bucketDims(bi) = bucketDims(bi) :+ ei
+    }
+    (0 until m).flatMap(bi => bucketDims(bi).map(ei => eigVecs(ei).toSeq))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — returns
+    * (eigenvalues, eigenvectors-as-rows). Driver-side, O(D³) per sweep;
+    * D ≤ a few hundred, so microseconds-to-millis territory. */
+  private[operators] def jacobiEigen(aIn: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = Array.tabulate(d, d)((i, j) => aIn(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            // theta == 0 (equal diagonals) takes the full 45° rotation
+            val t = if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vpk = v(p)(k); val vqk = v(q)(k)
+              v(p)(k) = c * vpk - s * vqk
+              v(q)(k) = s * vpk + c * vqk
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Apply a rotation matrix (array of rows) to a vector column — a literal
+    * `mat_vec`, codegen'd, map-only. */
+  def rotate(vec: Column, r: Seq[Seq[Double]]): Column =
+    call_function("mat_vec", typedLit(r), vec.cast("array<double>"))
+
   /** Encode a vector as its `m` PQ codes (array<int>): per subspace, the
     * codebook entry with minimal L2 distance (ties → lowest id, via
     * lexicographic struct min). All-literal expression tree — map-only,

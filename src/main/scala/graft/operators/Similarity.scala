@@ -455,17 +455,28 @@ object Similarity {
     }
   }
 
-  /** IVFPQ index format version + residual flag. Version 1 (no `meta` dir)
-    * encoded raw vectors; version 2 records whether codes are mean-shift
-    * residual (v/‖v‖ − mean(cell)) encoded, with the per-cell means stored
-    * under `shifts/`. Readers default missing meta to (1, raw) so v1
+  /** IVFPQ index format (version, residual, opq). Version 1 (no `meta` dir)
+    * encoded raw vectors; version 2 added the mean-shift residual flag
+    * (v/‖v‖ − mean(cell), per-cell means under `shifts/`); version 3 adds
+    * the OPQ flag (codes computed on `mat_vec(R, residual)` with the
+    * rotation rows under `rotation/`). Readers default missing meta to
+    * (1, raw, no-rotation) and a 2-column v2 meta to opq=false, so v1/v2
     * indexes keep querying correctly. */
   def loadPqMeta(spark: org.apache.spark.sql.SparkSession,
-                 path: String): (Int, Boolean) =
+                 path: String): (Int, Boolean, Boolean) =
     try {
-      val r = spark.read.parquet(s"$path/meta").head()
-      (r.getInt(0), r.getBoolean(1))
-    } catch { case _: Exception => (1, false) }
+      val df = spark.read.parquet(s"$path/meta")
+      val r = df.head()
+      val opq = if (df.columns.contains("opq")) r.getAs[Boolean]("opq") else false
+      (r.getInt(0), r.getBoolean(1), opq)
+    } catch { case _: Exception => (1, false, false) }
+
+  /** Read a v3 index's OPQ rotation rows (bounded: D × D doubles). */
+  def loadRotation(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/rotation").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).map(_._2).toSeq
 
   /** Read a residual index's per-cell mean shifts, densely indexed by cell
     * id (bounded: nCentroids × dim). Cells with no members get the zero
@@ -500,7 +511,8 @@ object Similarity {
                       path: String, nCentroids: Int = 16,
                       m: Int = 8, k: Int = 16, trainIters: Int = 0,
                       centroidsFrom: Option[String] = None,
-                      residual: Boolean = true): Unit = {
+                      residual: Boolean = true,
+                      opq: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = centroidsFrom match {
@@ -511,6 +523,8 @@ object Similarity {
     }
     val effResidual = centroidsFrom
       .map(src => loadPqMeta(spark, src)._2).getOrElse(residual)
+    val effOpq = centroidsFrom
+      .map(src => loadPqMeta(spark, src)._3).getOrElse(opq)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "c")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
     // cell assignment FIRST: residual codebooks must train on r = v̂ − s(cell)
@@ -538,12 +552,31 @@ object Similarity {
         .repartition(1).write.mode("overwrite").parquet(s"$path/shifts")
     }
     val shiftLit = typedLit(shifts)
-    val assigned = base
-      .withColumn("rv",
+    val preRot = base
+      .withColumn("rv0",
         if (effResidual)
           zip_with(col("u"), element_at(shiftLit, col("cell") + 1), _ - _)
-        else col("v"))
+        else col("v").cast("array<double>"))
       .drop("u")
+    // OPQ: codes are computed in the rotated geometry rv = R · rv0; the
+    // rotation is PCA-derived from the (residual) training distribution and
+    // persisted so queries rotate identically. Orthogonality preserves L2,
+    // so ADC distances in rotated space equal the unrotated ones.
+    val rotation: Seq[Seq[Double]] =
+      if (!effOpq) Seq.empty
+      else centroidsFrom match {
+        case Some(src) => loadRotation(spark, src)
+        case None => graft.operators.Quantize.opqRotation(preRot, "rv0", m)
+      }
+    if (effOpq) {
+      rotation.zipWithIndex.map { case (row, i) => (i, row) }.toDF("i", "r")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/rotation")
+    }
+    val assigned = preRot
+      .withColumn("rv",
+        if (effOpq) graft.operators.Quantize.rotate(col("rv0"), rotation)
+        else col("rv0"))
+      .drop("rv0")
     val cbs = centroidsFrom match {
       case Some(src) => loadCodebooks(spark, src)
       case None =>
@@ -560,7 +593,7 @@ object Similarity {
       .drop("rv")
       .withColumnRenamed(corpusId, "id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-    Seq((2, effResidual)).toDF("version", "residual")
+    Seq((3, effResidual, effOpq)).toDF("version", "residual", "opq")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -571,11 +604,12 @@ object Similarity {
                       k: Int, nProbe: Int = 4, rerank: Int = 64): DataFrame = {
     val centroids = loadCentroids(spark, path)
     val cbs = loadCodebooks(spark, path)
-    val (_, residual) = loadPqMeta(spark, path)
+    val (_, residual, opq) = loadPqMeta(spark, path)
     val shiftLit =
       if (residual)
         typedLit(loadShifts(spark, path, centroids.length, centroids.head.length))
       else typedLit(Seq(Seq(0.0)))
+    val rotation = if (opq) loadRotation(spark, path) else Seq.empty
     val m = cbs.length
     val sub = cbs.head.head.length
 
@@ -595,11 +629,16 @@ object Similarity {
     // residual indexes rank by ‖(q̂ − s(cell)) − code‖² ≈ 2 − 2·cos(q,v): the
     // UNIT query is shifted into the candidate cell's mean-centered geometry
     // before the LUT lookup (IVFADC, cosine-adapted)
-    val adist = graft.operators.bindOnce(
-        if (residual)
-          zip_with(transform(col("qv"), _ / col("qn")),
-            element_at(shiftLit, col("cell") + 1), _ - _)
-        else col("qv")) { qv =>
+    // OPQ indexes rotate the (shifted) query into code space first —
+    // orthogonal R preserves the L2 the ADC LUTs approximate
+    val adist = graft.operators.bindOnce({
+        val shifted =
+          if (residual)
+            zip_with(transform(col("qv"), _ / col("qn")),
+              element_at(shiftLit, col("cell") + 1), _ - _)
+          else col("qv").cast("array<double>")
+        if (opq) graft.operators.Quantize.rotate(shifted, rotation) else shifted
+      }) { qv =>
       graft.operators.bindOnce(col("codes")) { codes =>
         (0 until m).map { mi =>
           val lut = array(cbs(mi).map { cb =>

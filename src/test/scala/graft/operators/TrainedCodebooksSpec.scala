@@ -137,9 +137,76 @@ class TrainedCodebooksSpec extends SparkSpecBase {
     assert(rRes >= rRaw - 0.05,
       f"residual encoding lost recall beyond seeding noise: raw=$rRaw%.3f residual=$rRes%.3f")
 
-    // format versioning: new indexes are v2 + flag; missing meta reads as v1 raw
-    assert(Similarity.loadPqMeta(spark, s"$base/res") == ((2, true)))
-    assert(Similarity.loadPqMeta(spark, s"$base/raw") == ((2, false)))
-    assert(Similarity.loadPqMeta(spark, s"$base/nonexistent") == ((1, false)))
+    // format versioning: new indexes are v3 + flags; missing meta reads as
+    // v1 raw, and a 2-column v2 meta reads as opq=false (back-compat)
+    assert(Similarity.loadPqMeta(spark, s"$base/res") == ((3, true, false)))
+    assert(Similarity.loadPqMeta(spark, s"$base/raw") == ((3, false, false)))
+    assert(Similarity.loadPqMeta(spark, s"$base/nonexistent") == ((1, false, false)))
+    Seq((2, true)).toDF("version", "residual")
+      .write.mode("overwrite").parquet(s"$base/v2meta/meta")
+    assert(Similarity.loadPqMeta(spark, s"$base/v2meta") == ((2, true, false)))
+  }
+
+  test("jacobiEigen diagonalizes a known symmetric matrix") {
+    // [[4,1,0],[1,3,1],[0,1,2]] — eigenvalues via characteristic poly check:
+    // reconstruct A from (vals, vecs) and compare entrywise
+    val a = Array(Array(4.0, 1.0, 0.0), Array(1.0, 3.0, 1.0), Array(0.0, 1.0, 2.0))
+    val (vals, vecs) = Quantize.jacobiEigen(a)
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val recon = (0 until 3).map(e => vals(e) * vecs(e)(i) * vecs(e)(j)).sum
+      assert(math.abs(recon - a(i)(j)) < 1e-9,
+        s"A[$i][$j]: recon=$recon expected=${a(i)(j)}")
+    }
+    // rows orthonormal
+    for (e1 <- 0 until 3; e2 <- 0 until 3) {
+      val d = (0 until 3).map(k => vecs(e1)(k) * vecs(e2)(k)).sum
+      assert(math.abs(d - (if (e1 == e2) 1.0 else 0.0)) < 1e-9)
+    }
+  }
+
+  test("OPQ rotation: ADC-tier recall beats residual-only on anisotropic data; format v3") {
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_opq").toString
+    // planted SUBSPACE-IMBALANCED corpus — the geometry OPQ's eigenvalue
+    // allocation exists for: nearly all variance lives in the first 8 dims,
+    // i.e. inside ONE native PQ subspace (the shape of concatenated
+    // multi-feature embeddings). Plain PQ spends one 16-code book on all the
+    // energy and seven books on noise; OPQ redistributes the strong axes one
+    // per subspace. Deterministic (fixed seed), unit-norm.
+    val rnd = new scala.util.Random(7)
+    val d = 64
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val planted = (0 until 2000).map { i =>
+      val x = Array.tabulate(d)(j =>
+        rnd.nextGaussian() * (if (j < 8) 1.0 else 0.05))
+      (i.toLong, unit(x).map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding").cache()
+    val pq = planted.orderBy("vec_id").limit(20).cache()
+    val pTruth = Similarity
+      .knnBruteForce(planted, "vec_id", pq, "vec_id", "embedding", 10).cache()
+
+    def tierRecall(path: String, useOpq: Boolean): Double = {
+      Similarity.ivfPqBuildIndex(planted, "vec_id", "embedding", path,
+        nCentroids = 32, m = 8, k = 16, trainIters = 5, residual = true,
+        opq = useOpq)
+      val res = Similarity.ivfPqQueryIndex(spark, path, pq, "vec_id",
+        "embedding", k = 10, nProbe = 8, rerank = 10)
+      val hits = res.select("q_id", "id")
+        .join(pTruth.select("q_id", "id"), Seq("q_id", "id"), "left_semi").count()
+      hits.toDouble / pTruth.count()
+    }
+    val rRes = tierRecall(s"$base/res", useOpq = false)
+    val rOpq = tierRecall(s"$base/opq", useOpq = true)
+    info(f"anisotropic corpus, ADC-tier recall@10: residual=$rRes%.3f residual+OPQ=$rOpq%.3f")
+    assert(rOpq > rRes,
+      f"OPQ must beat residual-only on anisotropic data: $rRes%.3f vs $rOpq%.3f")
+    assert(Similarity.loadPqMeta(spark, s"$base/opq") == ((3, true, true)))
+    // reuse path: centroidsFrom inherits rotation + flags
+    Similarity.ivfPqBuildIndex(planted, "vec_id", "embedding", s"$base/reuse",
+      centroidsFrom = Some(s"$base/opq"))
+    assert(Similarity.loadPqMeta(spark, s"$base/reuse") == ((3, true, true)))
+    assert(Similarity.loadRotation(spark, s"$base/reuse")
+      == Similarity.loadRotation(spark, s"$base/opq"))
   }
 }
