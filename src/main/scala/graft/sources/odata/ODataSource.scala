@@ -65,6 +65,7 @@ final case class ODataConf(
     schemaDdl: Option[String] = None,
     unwrap: Option[String] = None,
     filterPushdown: Boolean = true,
+    applyPushdown: Boolean = true,
     insertBatchSize: Option[Int] = None,
     serviceRoot: Option[String] = None) {
   def auth: HttpAuth = HttpAuth(bearer, user, password)
@@ -93,6 +94,7 @@ object ODataConf {
       schemaDdl = o.get("schemaddl"),
       unwrap = o.get("unwrap"),
       filterPushdown = o.getOrElse("filterpushdown", "true").toBoolean,
+      applyPushdown = o.getOrElse("applypushdown", "true").toBoolean,
       insertBatchSize = o.get("insertbatchsize").map(_.toInt),
       serviceRoot = o.get("serviceroot").map(_.stripSuffix("/")))
   }
@@ -410,8 +412,9 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
     // $orderby names entity properties: in unwrap mode the sort columns are
     // wrapped-payload keys (Graph would 400 on them, same as $select), and
-    // filterPushdown=false marks a projection-only service — let Spark sort
-    if (conf.unwrap.isDefined || !conf.filterPushdown) return false
+    // filterPushdown=false marks a projection-only service — let Spark sort.
+    // After a complete $apply pushdown the sort is over groups: stays in Spark.
+    if (conf.unwrap.isDefined || !conf.filterPushdown || applyAgg.isDefined) return false
     val parts = orders.toSeq.map { so =>
       so.expression() match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -430,24 +433,128 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
   override def isPartiallyPushed(): Boolean = false
 
   private var countPushed = false
+  private var applyAgg: Option[ApplyAgg] = None
 
   /** Bare COUNT(*) (no grouping) → one GET of `<set>/\$count` — the server
     * counts, nothing is transferred. The reference only uses \$count as a
-    * progress hint (`:669-681`); full pushdown exceeds it. */
+    * progress hint (`:669-681`); full pushdown exceeds it.
+    *
+    * Beyond that, whole `groupBy().agg()` queries push as a v4
+    * `\$apply=groupby((cols),aggregate(col with sum as a0,...))` pipeline —
+    * the same server-side-aggregation economy the Datasphere analytical
+    * reader exploits via metrics→`\$select` (ref `datasphere_read.cpp:
+    * 289-312`). Capability-gated: an authenticated `\$top=1` probe must
+    * return a 2xx page whose rows carry the aggregate alias (servers that
+    * silently IGNORE `\$apply` hand back raw entities — the alias check
+    * catches that); anything else keeps the aggregation in Spark. */
   override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    isBareCountStar(agg)
+    isBareCountStar(agg) || translateApply(agg).exists(probeApply)
 
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (isBareCountStar(agg) && limit.isEmpty && offset.isEmpty) {
       countPushed = true
       true
-    } else false
+    } else translateApply(agg) match {
+      case Some(a) if probeApply(a) => applyAgg = Some(a); true
+      case _ => false
+    }
   }
 
   private def isBareCountStar(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     agg.groupByExpressions().isEmpty && agg.aggregateExpressions().length == 1 &&
       agg.aggregateExpressions().head
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  /** Spark `Aggregation` → `\$apply` pipeline + positional result schema
+    * (group columns first, then one column per aggregate — the order Spark
+    * maps complete-pushdown scan output by). None = not expressible. */
+  private def translateApply(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[ApplyAgg] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.types._
+    // $apply is OData v4; unwrap/expand reshape rows after transfer and a
+    // pushed TopN/limit would apply to groups, not entities — all bail out
+    if (meta.version != 4 || !conf.applyPushdown || !conf.filterPushdown) return None
+    if (conf.unwrap.isDefined || conf.expand.nonEmpty || conf.schemaDdl.isDefined) return None
+    if (limit.isDefined || offset.isDefined || orderBy.isDefined) return None
+    if (conf.skip.exists(_ > 0) || conf.top.isDefined) return None
+    if (isBareCountStar(agg)) return None // the /$count GET is cheaper
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        meta.sparkSchema.fields.find(_.name == nr.fieldNames().head)
+      case _ => None
+    }
+    val groups = agg.groupByExpressions().toSeq.map(colOf)
+    if (groups.exists(_.isEmpty)) return None
+    val aggs = agg.aggregateExpressions().toSeq.zipWithIndex.map { case (f, i) =>
+      val alias = s"agg$i"
+      f match {
+        case _: CountStar => Some((s"$$count as $alias", LongType: DataType))
+        case c: Count if c.isDistinct =>
+          colOf(c.column).map(cf => (s"${cf.name} with countdistinct as $alias", LongType: DataType))
+        case m: Min => colOf(m.column).collect {
+          case cf if minMaxable(cf.dataType) => (s"${cf.name} with min as $alias", cf.dataType)
+        }
+        case m: Max => colOf(m.column).collect {
+          case cf if minMaxable(cf.dataType) => (s"${cf.name} with max as $alias", cf.dataType)
+        }
+        case s: Sum if !s.isDistinct => colOf(s.column).flatMap(cf => cf.dataType match {
+          // match Spark's Sum result type so the positional mapping needs no cast
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some((s"${cf.name} with sum as $alias", LongType: DataType))
+          case FloatType | DoubleType =>
+            Some((s"${cf.name} with sum as $alias", DoubleType: DataType))
+          case _ => None // decimal sums widen server-side unpredictably
+        })
+        case a: Avg if !a.isDistinct => colOf(a.column).collect {
+          case cf if cf.dataType.isInstanceOf[NumericType] &&
+            !cf.dataType.isInstanceOf[DecimalType] =>
+            (s"${cf.name} with average as $alias", DoubleType: DataType)
+        }
+        case _ => None
+      }
+    }
+    if (aggs.exists(_.isEmpty) || aggs.isEmpty) return None
+    val aggList = aggs.flatten.map(_._1).mkString(",")
+    val groupNames = groups.flatten.map(_.name)
+    // $filter evaluates AFTER $apply per the OData spec, so pushed filters
+    // must fold INTO the pipeline as a filter() stage to keep pre-agg scope
+    val pipeline = (pushedFilterExpr.map(f => s"filter($f)").toSeq :+
+      (if (groupNames.nonEmpty) s"groupby((${groupNames.mkString(",")}),aggregate($aggList))"
+       else s"aggregate($aggList)")).mkString("/")
+    val schema = StructType(
+      groups.flatten.map(f => f.copy(nullable = true)) ++
+        aggs.flatten.zipWithIndex.map { case ((_, t), i) => StructField(s"agg$i", t) })
+    Some(ApplyAgg(pipeline, schema))
+  }
+
+  private def minMaxable(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case _: NumericType | StringType | TimestampType | DateType | BooleanType => true
+      case _ => false
+    }
+  }
+
+  @volatile private var applyProbeCache: Map[String, Boolean] = Map.empty
+  private def probeApply(a: ApplyAgg): Boolean = {
+    val url = ODataUrl.parse(meta.entitySetUrl)
+      .withParam("$apply", a.pipeline).withParam("$top", "1").render
+    applyProbeCache.getOrElse(url, {
+      val ok = try {
+        val resp = HttpCore.shared.get(url, useCache = false, auth = conf.auth)
+        resp.status / 100 == 2 && {
+          val page = ODataJson.extractPage(ODataJson.parse(resp.text))
+          // rows must carry the aggregate alias: a server that ignores
+          // $apply echoes raw entities, which would decode as all-null aggs
+          page.rows.forall(_.has("agg0"))
+        }
+      } catch { case _: Exception => false }
+      applyProbeCache += (url -> ok)
+      ok
+    })
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // servers that cannot evaluate field predicates (SharePoint list items —
@@ -463,17 +570,50 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(required: StructType): Unit = {
-    requiredSchema = required
+    // after a complete $apply pushdown the scan schema IS the agg output;
+    // pruning is positional there and already minimal (JDBC does the same)
+    if (applyAgg.isEmpty) requiredSchema = required
   }
 
-  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
-  override def pushOffset(o: Int): Boolean = { offset = Some(o); true }
+  // a limit pushed AFTER a complete aggregation would $top entity rows while
+  // Spark expects it to cap groups — keep those operators in Spark
+  override def pushLimit(l: Int): Boolean =
+    if (applyAgg.isDefined) false else { limit = Some(l); true }
+  override def pushOffset(o: Int): Boolean =
+    if (applyAgg.isDefined) false else { offset = Some(o); true }
 
   override def build(): Scan =
     if (countPushed)
       new ODataCountScan(conf, meta, pushedFilterExpr)
-    else
-      new ODataScan(conf, meta, requiredSchema, pushedFilterExpr, limit, offset, orderBy)
+    else applyAgg match {
+      case Some(a) => new ODataApplyScan(conf, meta, a)
+      case None =>
+        new ODataScan(conf, meta, requiredSchema, pushedFilterExpr, limit, offset, orderBy)
+    }
+}
+
+/** A fully-translated server-side aggregation: the `\$apply` pipeline string
+  * and the positional result schema (group columns, then `agg<i>` aliases). */
+final case class ApplyAgg(pipeline: String, schema: StructType)
+
+/** Complete group-by aggregation answered by ONE `\$apply` request chain —
+  * rows transferred = number of groups, not entities. Single partition by
+  * construction: each partition would otherwise return the full group set. */
+class ODataApplyScan(conf: ODataConf, meta: ODataMeta, agg: ApplyAgg)
+  extends Scan with Batch {
+  override def readSchema(): StructType = agg.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"odata apply ${meta.entitySetUrl} $$apply=${agg.pipeline}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    var u = ODataUrl.parse(meta.entitySetUrl).withParam("$apply", agg.pipeline)
+    Array(ODataInputPartition(u.render, 0))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ODataReaderFactory(agg.schema, conf.pageSize, conf.bearer, conf.user,
+      conf.password, None)
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new PagesFetchedMetric, new RowsFetchedMetric, new BytesFetchedMetric)
 }
 
 class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,

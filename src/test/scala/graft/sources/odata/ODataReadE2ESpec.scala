@@ -144,6 +144,68 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
     } finally v4.skipStatus = 200
   }
 
+  test("groupBy agg pushes $apply=groupby — only group rows transferred") {
+    v4.requests.clear()
+    val df = read(v4).groupBy("Country")
+      .agg(sum("Revenue").as("rev"), count(lit(1)).as("cnt"))
+    val out = df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("Germany" -> ((70000L, 7L)), "France" -> ((77000L, 7L)),
+      "Mexico" -> ((63000L, 6L))), s"got $out")
+    assert(v4.requests.exists(_.contains(
+      "$apply=groupby((Country),aggregate(Revenue with sum as agg0,$count as agg1))")),
+      s"no $$apply groupby in ${v4.requests}")
+    // zero entity rows: every data request to the set carries $apply
+    val plain = v4.requests.filter(r => r.contains("/Customers?") && !r.contains("$apply"))
+    assert(plain.isEmpty, s"entity rows were fetched for a pushed agg: $plain")
+  }
+
+  test("pushed filter folds into the $apply pipeline as a filter() stage") {
+    v4.requests.clear()
+    val df = read(v4).filter(col("Revenue") > 5000L)
+      .groupBy("Country").agg(avg("Revenue").as("a"))
+    val out = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("Germany") == 13000.0 && out.size == 3, s"got $out")
+    val applied = v4.requests.filter(_.contains("$apply=filter("))
+    assert(applied.exists(r => r.contains("Revenue gt 5000") &&
+      r.contains("/groupby((Country),aggregate(Revenue with average as agg0))")),
+      s"filter not folded into $$apply: ${v4.requests}")
+  }
+
+  test("global agg (no groupBy) pushes a bare aggregate() pipeline") {
+    v4.requests.clear()
+    val row = read(v4).agg(sum("Revenue").as("s"), avg("Revenue").as("a")).head()
+    assert(row.getLong(0) == 210000L && row.getDouble(1) == 10500.0, s"got $row")
+    assert(v4.requests.exists(_.contains(
+      "$apply=aggregate(Revenue with sum as agg0,Revenue with average as agg1)")),
+      s"no bare aggregate() in ${v4.requests}")
+  }
+
+  test("min/max/countDistinct push through $apply") {
+    v4.requests.clear()
+    val df = read(v4).groupBy("Country").agg(
+      min("CustomerID").as("lo"), max("CustomerID").as("hi"),
+      countDistinct("Revenue").as("d"))
+    val out = df.collect().map(r =>
+      r.getString(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out("Germany") == (("C00", "C18", 7L)), s"got $out")
+    assert(v4.requests.exists(r => r.contains("CustomerID with min as agg0") &&
+      r.contains("CustomerID with max as agg1") &&
+      r.contains("Revenue with countdistinct as agg2")), v4.requests.toString)
+  }
+
+  test("server rejecting $apply keeps the aggregation in Spark — still correct") {
+    v4.applyStatus = 400
+    try {
+      v4.requests.clear()
+      val df = read(v4).groupBy("Country").agg(sum("Revenue").as("rev"))
+      val out = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == Map("Germany" -> 70000L, "France" -> 77000L, "Mexico" -> 63000L))
+      // probe failed -> entity pages fetched, no successful $apply data flow
+      assert(v4.requests.exists(r => r.contains("/Customers?") && !r.contains("$apply")),
+        s"expected an entity scan fallback in ${v4.requests}")
+    } finally v4.applyStatus = 200
+  }
+
   test("COUNT(*) is answered by /$count alone — no data transferred") {
     v4.requests.clear()
     val n = read(v4).count()

@@ -60,6 +60,11 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
     * (keyset-fallback regression harness). */
   var skipStatus: Int = 200
 
+  /** When != 200, any request carrying `$apply` answers with this status —
+    * models servers without aggregation-extension support (the probe must
+    * fail and the aggregation stay in Spark). */
+  var applyStatus: Int = 200
+
   /** Raw bodies POSTed to /$batch (JSON batch round-trips). */
   val batchBodies = mutable.ListBuffer[String]()
   private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -340,6 +345,11 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
     if (q.contains("$skip") && skipStatus != 200) {
       respond(ex, skipStatus, "text/plain", "$skip not supported"); return
     }
+    if (q.contains("$apply")) {
+      if (applyStatus != 200) respond(ex, applyStatus, "text/plain", "$apply not supported")
+      else serveApply(ex, q("$apply"), q.get("$top").map(_.toInt))
+      return
+    }
     var data = applyFilter(rows, q.get("$filter"))
     q.get("$orderby").foreach { ob =>
       val keys = ob.split(',').map(_.trim).map { part =>
@@ -386,6 +396,79 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
         s"""{"d":{"results":$items${nextLink.map(l => s""","__next":"$l"""").getOrElse("")}}}"""
       else
         s"""{"value":$items${nextLink.map(l => s""","@odata.nextLink":"$l"""").getOrElse("")}}"""
+    respond(ex, 200, "application/json", body)
+  }
+
+  /** Tiny `$apply` evaluator: `filter(...)` / `groupby((cols),aggregate(...))`
+    * / bare `aggregate(...)` stages separated by '/'. Aggregate specs:
+    * `$count as X` and `Col with sum|min|max|average|countdistinct as X`. */
+  private def serveApply(ex: HttpExchange, apply: String, top: Option[Int]): Unit = {
+    var data = rows
+    var groupCols: Seq[String] = Seq.empty
+    var aggSpecs: Seq[(String, String, String)] = Seq.empty // (fn, col, alias)
+    def parseAggs(s: String): Seq[(String, String, String)] =
+      s.split(',').map(_.trim).toSeq.map { spec =>
+        val m1 = "^\\$count as (\\w+)$".r.findFirstMatchIn(spec)
+        val m2 = "^(\\w+) with (\\w+) as (\\w+)$".r.findFirstMatchIn(spec)
+        (m1, m2) match {
+          case (Some(m), _) => ("count", "", m.group(1))
+          case (_, Some(m)) => (m.group(2), m.group(1), m.group(3))
+          case _ => throw new IllegalArgumentException(s"bad aggregate spec: $spec")
+        }
+      }
+    // '/' only separates stages in our URLs (no literals contain it)
+    apply.split('/').map(_.trim).foreach {
+      case s if s.startsWith("filter(") && s.endsWith(")") =>
+        data = applyFilter(data, Some(s.stripPrefix("filter(").stripSuffix(")")))
+      case s if s.startsWith("groupby(") && s.endsWith(")") =>
+        val inner = s.stripPrefix("groupby(").stripSuffix(")")
+        val m = "^\\(([^)]*)\\),aggregate\\((.*)\\)$".r.findFirstMatchIn(inner)
+          .getOrElse(throw new IllegalArgumentException(s"bad groupby: $inner"))
+        groupCols = m.group(1).split(',').map(_.trim).toSeq.filter(_.nonEmpty)
+        aggSpecs = parseAggs(m.group(2))
+      case s if s.startsWith("aggregate(") && s.endsWith(")") =>
+        aggSpecs = parseAggs(s.stripPrefix("aggregate(").stripSuffix(")"))
+      case s => throw new IllegalArgumentException(s"bad $$apply stage: $s")
+    }
+    def num(v: Any): Double = v match {
+      case l: Long => l.toDouble; case i: Int => i.toDouble
+      case d: Double => d; case s: String => s.toDouble
+    }
+    val groups: Seq[(Seq[(String, Any)], Seq[Map[String, Any]])] =
+      if (groupCols.isEmpty) Seq((Seq.empty, data))
+      else data.groupBy(r => groupCols.map(c => c -> r(c))).toSeq
+        .sortBy(_._1.map(_._2.toString).mkString("|")).map { case (k, v) => (k, v) }
+    val items = groups.map { case (key, grp) =>
+      val aggJson = aggSpecs.map { case (fn, col, alias) =>
+        val rendered = fn match {
+          case "count" => grp.size.toString
+          case "countdistinct" => grp.map(_(col)).distinct.size.toString
+          case "sum" =>
+            val s = grp.map(r => num(r(col))).sum
+            if (s == s.floor) s.toLong.toString else s.toString
+          case "min" | "max" =>
+            val vs = grp.map(_(col))
+            val picked =
+              if (vs.forall(_.isInstanceOf[Long])) { val l = vs.map(_.asInstanceOf[Long]); if (fn == "min") l.min else l.max }
+              else { val ss = vs.map(_.toString); if (fn == "min") ss.min else ss.max }
+            picked match { case l: Long => l.toString; case s => "\"" + s + "\"" }
+          case "average" => (grp.map(r => num(r(col))).sum / grp.size).toString
+        }
+        s""""$alias":$rendered"""
+      }
+      val keyJson = key.map { case (c, v) =>
+        v match {
+          case s: String => s""""$c":"$s""""
+          case l: Long => if (v2) s""""$c":"$l"""" else s""""$c":$l"""
+          case other => s""""$c":$other"""
+        }
+      }
+      (keyJson ++ aggJson).mkString("{", ",", "}")
+    }
+    val limited = top.map(items.take).getOrElse(items)
+    val body =
+      if (v2) s"""{"d":{"results":${limited.mkString("[", ",", "]")}}}"""
+      else s"""{"value":${limited.mkString("[", ",", "]")}}"""
     respond(ex, 200, "application/json", body)
   }
 
