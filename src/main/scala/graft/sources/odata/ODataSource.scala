@@ -59,6 +59,7 @@ final case class ODataConf(
     pagination: String = "auto", // auto | offset | keyset
     partitionKey: Option[String] = None,
     keysetSweepMax: Long = 2000000L,
+    bulkDeleteThreshold: Long = 10000L,
     bearer: Option[String] = None,
     user: Option[String] = None,
     password: Option[String] = None,
@@ -88,6 +89,7 @@ object ODataConf {
       pagination = o.getOrElse("pagination", "auto").toLowerCase,
       partitionKey = o.get("partitionkey"),
       keysetSweepMax = o.getOrElse("keysetsweepmax", "2000000").toLong,
+      bulkDeleteThreshold = o.getOrElse("bulkdeletethreshold", "10000").toLong,
       bearer = o.get("bearertoken"),
       user = o.get("user"),
       password = o.get("password"),
@@ -250,28 +252,83 @@ class ODataTable(conf: ODataConf, schema: StructType) extends Table
     val keyIsString = et.properties.find(_.name == key)
       .exists(_.edmType == "Edm.String")
     val compiled = ODataFilterCompiler.compile(filters, meta.version == 2)
-    var u = ODataUrl.parse(meta.entitySetUrl).withParam("$select", key)
-    compiled.expr.foreach(e => u = u.mergeFilter(e))
-    if (meta.version == 2) u = u.withParam("$format", "json")
-    val http = graft.sources.http.HttpCore.shared
-    // collect ALL matching keys BEFORE deleting anything: interleaving
-    // deletes with a $skip-paged walk shifts the remaining rows under the
-    // pagination and silently skips ~half the matches. Keys only — bounded.
-    val keys = Seq.newBuilder[String]
-    var next: Option[String] = Some(u.render)
-    while (next.isDefined) {
-      val resp = http.get(next.get, auth = conf.auth, useCache = false)
-      if (resp.status != 200)
-        throw new RuntimeException(s"delete key fetch -> HTTP ${resp.status}")
-      val page = ODataJson.extractPage(ODataJson.parse(resp.text))
-      page.rows.foreach(row => keys += row.get(key).asText)
-      next = page.nextLink
+    def keysUrl(top: Option[Long]): String = {
+      var u = ODataUrl.parse(meta.entitySetUrl).withParam("$select", key)
+      compiled.expr.foreach(e => u = u.mergeFilter(e))
+      top.foreach(t => u = u.withParam("$top", t.toString))
+      if (meta.version == 2) u = u.withParam("$format", "json")
+      u.render
     }
-    keys.result().foreach { kv =>
+    val http = graft.sources.http.HttpCore.shared
+    def fetchKeys(url: String, cap: Long): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var n = 0L
+      var next: Option[String] = Some(url)
+      while (next.isDefined && n < cap) {
+        val resp = http.get(next.get, auth = conf.auth, useCache = false)
+        if (resp.status != 200)
+          throw new RuntimeException(s"delete key fetch -> HTTP ${resp.status}")
+        val page = ODataJson.extractPage(ODataJson.parse(resp.text))
+        page.rows.foreach { row => out += row.get(key).asText; n += 1 }
+        next = page.nextLink
+      }
+      out.result()
+    }
+    // size probe decides the path: filtered /$count when the server has it,
+    // else a capped key fetch (threshold + 1 keys is itself bounded)
+    val approxSize: Long = {
+      val countUrl = {
+        val u0 = ODataUrl.parse(meta.entitySetUrl + "/$count")
+        compiled.expr.foldLeft(u0)((u, e) => u.mergeFilter(e)).render
+      }
+      try {
+        val resp = http.get(countUrl, auth = conf.auth, useCache = false)
+        if (resp.status == 200) resp.text.trim.toLong
+        else fetchKeys(keysUrl(None), conf.bulkDeleteThreshold + 1).length.toLong
+      } catch { case _: Exception =>
+        fetchKeys(keysUrl(None), conf.bulkDeleteThreshold + 1).length.toLong
+      }
+    }
+    def deleteSerial(keys: Seq[String]): Unit = keys.foreach { kv =>
       val lit = if (keyIsString) s"'${kv.replace("'", "''")}'" else kv
       val del = http.request("DELETE", s"${meta.entitySetUrl}($lit)", None, auth = conf.auth)
       if (del.status >= 300)
         throw new RuntimeException(s"DELETE ($lit) -> HTTP ${del.status}")
+    }
+    if (approxSize <= conf.bulkDeleteThreshold) {
+      // interactive scale: collect ALL matching keys BEFORE deleting anything —
+      // interleaving deletes with a $skip-paged walk shifts the remaining rows
+      // under the pagination and silently skips ~half the matches. Keys only.
+      deleteSerial(fetchKeys(keysUrl(None), Long.MaxValue))
+    } else {
+      // bulk scale: never buffer the full key set. Repeatedly fetch the FIRST
+      // page of remaining matches ($top, no $skip — so deleting cannot shift
+      // pagination under us) and fan the page's DELETE calls across executors;
+      // stop when the filter matches nothing. Progress guard: a surviving
+      // first key after its own page was "deleted" means the server is not
+      // actually removing rows — abort instead of looping forever.
+      val spark = org.apache.spark.sql.SparkSession.active
+      val pageSize = math.max(1L, conf.pageSize.map(_.toLong).getOrElse(1000L))
+      val (setUrl, bearer, user, password) = (meta.entitySetUrl, conf.bearer, conf.user, conf.password)
+      val keyQuoted = keyIsString
+      var prevFirst: Option[String] = None
+      var batch = fetchKeys(keysUrl(Some(pageSize)), pageSize)
+      while (batch.nonEmpty) {
+        if (prevFirst.contains(batch.head))
+          throw new RuntimeException(
+            s"bulk delete is not progressing: key ${batch.head} survived its delete")
+        prevFirst = Some(batch.head)
+        val nParts = math.max(1, math.min(
+          spark.sparkContext.defaultParallelism, batch.length / 32 + 1))
+        spark.sparkContext.parallelize(batch, nParts).foreach { kv =>
+          val lit = if (keyQuoted) s"'${kv.replace("'", "''")}'" else kv
+          val del = graft.sources.http.HttpCore.shared.request(
+            "DELETE", s"$setUrl($lit)", None, auth = HttpAuth(bearer, user, password))
+          if (del.status >= 300)
+            throw new RuntimeException(s"DELETE ($lit) -> HTTP ${del.status}")
+        }
+        batch = fetchKeys(keysUrl(Some(pageSize)), pageSize)
+      }
     }
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

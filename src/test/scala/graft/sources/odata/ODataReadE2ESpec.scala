@@ -363,6 +363,39 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
       v4.deletedKeys.toString)
   }
 
+  test("bulk DELETE streams key pages into distributed executor deletes") {
+    val big = new ODataStub(v2 = false).start()
+    try {
+      big.rows = big.makeRows(12000)
+      big.applyDeletes = true
+      @volatile var maxTasks = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          maxTasks = math.max(maxTasks, s.stageInfo.numTasks)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val cat = s"bdel${big.port}"
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.odata.ODataCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.url", big.serviceUrl)
+        // 11999 matches — above the (default 10000) bulk threshold
+        spark.sql(s"DELETE FROM $cat.main.Customers WHERE Revenue > 1000")
+        assert(big.deletedKeys.size == 11999, s"deleted ${big.deletedKeys.size}")
+        assert(big.rows.map(_("CustomerID")) == Seq("C00"), s"survivors: ${big.rows.size}")
+        // no driver key buffering: keys arrived as bounded $top first pages,
+        // never as one unbounded walk
+        val keyPages = big.requests.filter(r =>
+          r.contains("$select=CustomerID") && r.contains("$top=1000"))
+        assert(keyPages.size >= 12, s"expected >=12 bounded key pages, got ${keyPages.size}")
+        // executor distribution: the delete stages ran with many tasks
+        val deadline = System.nanoTime() + 5000000000L
+        while (maxTasks <= 1 && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(maxTasks > 1, s"deletes were not distributed (maxTasks=$maxTasks)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally big.stop()
+  }
+
   test("nested $expand (v4): Orders($expand=Items) gives two-level structs and parenthesized URL") {
     v4.requests.clear()
     val df = read(v4, "expand" -> "Orders($expand=Items)")

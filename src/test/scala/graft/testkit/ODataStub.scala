@@ -30,8 +30,7 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
       Option(ex.getRequestHeaders.getFirst("Authorization")).contains(expected)
   }
 
-  /** 20 deterministic customers. */
-  val rows: Seq[Map[String, Any]] = (0 until 20).map { i =>
+  def makeRows(n: Int): Seq[Map[String, Any]] = (0 until n).map { i =>
     Map(
       "CustomerID" -> s"C${"%02d".format(i)}",
       "CompanyName" -> s"Company $i",
@@ -39,6 +38,13 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
       "Revenue" -> (1000L * (i + 1)),
       "Founded" -> (946684800000L + i * 86400000L)) // 2000-01-01 + i days
   }
+
+  /** 20 deterministic customers (tests may resize/replace the set). */
+  @volatile var rows: Seq[Map[String, Any]] = makeRows(20)
+
+  /** When true, DELETE calls actually remove the row from [[rows]] — the
+    * bulk-delete loop terminates on the live set like a real service. */
+  @volatile var applyDeletes: Boolean = false
 
   /** ODP delta queue: each pushDelta() becomes one delta batch; token Tk =
     * "k batches already consumed". */
@@ -89,7 +95,10 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
   def start(): this.type = {
     server = HttpServer.create(new InetSocketAddress("localhost", 0), 0)
     server.createContext("/", new Handler)
-    server.setExecutor(null)
+    // small daemon pool: executor-distributed operations (bulk delete) hit
+    // the stub concurrently; shared state is synchronized where mutated
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16,
+      r => { val t = new Thread(r); t.setDaemon(true); t }))
     server.start()
     this
   }
@@ -186,7 +195,10 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
       case p if p.startsWith("/svc/Customers(") && ex.getRequestMethod == "DELETE" =>
         val key = p.stripPrefix("/svc/Customers(").stripSuffix(")")
           .stripPrefix("'").stripSuffix("'")
-        deletedKeys.synchronized { deletedKeys += key }
+        deletedKeys.synchronized {
+          deletedKeys += key
+          if (applyDeletes) rows = rows.filterNot(_("CustomerID") == key)
+        }
         respond(ex, 200, "application/json", "{}")
       case "/svc/Customers" if ex.getRequestMethod == "POST" =>
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
