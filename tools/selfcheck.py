@@ -15,9 +15,14 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
 # explicit cap + spill dir: the 80%-of-RAM default OOMs when a just-exited
-# Spark JVM's memory hasn't been returned yet (sf1-sized oracle runs)
-con.execute("SET memory_limit='48GB'")
+# Spark JVM's memory hasn't been returned yet (sf1-sized oracle runs).
+# Overridable (SELFCHECK_MEM): the p24/p32 oracles need >48GB at sf1 —
+# their recursive-CTE/list operators cannot spill — and on an idle machine
+# a bigger cap is available.
+import os
+con.execute(f"SET memory_limit='{os.environ.get('SELFCHECK_MEM', '48GB')}'")
 con.execute("SET temp_directory='/tmp/duck_spill'")
+only = os.environ.get("SELFCHECK_ONLY")  # comma-separated query-name filter
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -26,6 +31,8 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
 relnotes = {}
 for name, sql in sorted(oracle.items()):
+    if only and name not in only.split(","):
+        continue
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1; continue
