@@ -427,6 +427,48 @@ object TextOps {
       .withColumnRenamed("id", idCol)
   }
 
+  // ---- Encoding-artifact / mojibake detection (p46) -----------------------
+  // A standard crawl-cleaning step (C4/RefinedWeb drop docs whose decode went
+  // wrong): count U+FFFD replacement chars, C0 control chars, and the
+  // classic double-encoded-UTF-8 sequences ("Ã©", "â€™", ... — Latin-1
+  // renderings of UTF-8 byte pairs/triples). All literal `replace`
+  // length-delta counts (the engine-portable counting primitive) plus ONE
+  // ASCII-only regex for C0 controls; the keep flag is integer-armed.
+
+  /** The mojibake tell-tales: UTF-8 bytes of é/è/ä/ö/ü/ñ/ó/ç and the
+    * smart-punctuation triples decoded as Latin-1/Windows-1252. Literal Seq
+    * shared with the generated oracle SQL. All BMP, so `.length` (UTF-16
+    * units) equals the codepoint count both engines' `length` reports. */
+  val MojibakeSeqs: Seq[String] = Seq(
+    "\u00C3\u00A9", "\u00C3\u00A8", "\u00C3\u00A4", "\u00C3\u00B6", // e-acute/grave, a/o-umlaut
+    "\u00C3\u00BC", "\u00C3\u00B1", "\u00C3\u00B3", "\u00C3\u00A7", // u-umlaut, n-tilde, o-acute, c-cedilla
+    "\u00E2\u0080\u0099", "\u00E2\u0080\u009C", "\u00E2\u0080\u009D", // smart quotes
+    "\u00E2\u0080\u0093", "\u00E2\u0080\u0094", "\u00E2\u0080\u00A6", // dashes, ellipsis
+    "\u00C2\u00A0") // non-breaking space
+
+  /** C0 controls minus tab/newline/CR, plus DEL — ASCII-only, so Java regex
+    * and DuckDB's RE2 agree character-for-character. C1 artifacts are
+    * covered by [[MojibakeSeqs]] (their sequences contain the C1 bytes as
+    * literal characters — no regex needed). */
+  private[operators] val ControlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** (n_replacement, n_control, n_mojibake, looks_clean) over a text column.
+    * looks_clean: no U+FFFD, no mojibake sequence, and C0 controls under
+    * 0.5% of characters (`200 * n_control <= length`). */
+  def encodingArtifacts(text: Column): Column = bindOnce(text) { t =>
+    val nRep = (length(t) -
+      length(call_function("replace", t, lit("\uFFFD")))).cast("long")
+    val nCtl = (length(t) -
+      length(regexp_replace(t, ControlClass, ""))).cast("long")
+    val nMoji = MojibakeSeqs.map(literalCount(t, _)).reduce(_ + _)
+    struct(
+      nRep.as("n_replacement"),
+      nCtl.as("n_control"),
+      nMoji.as("n_mojibake"),
+      (nRep === 0 && nMoji === 0 && nCtl * 200 <= length(t).cast("long"))
+        .as("looks_clean"))
+  }
+
   /** Modulus for rolling hashes: prime < 2^50 so `acc*31 + c` stays far from
     * Long overflow (ANSI mode would throw on wrap). Mirrored in oracle SQL. */
   val RollingHashMod = 1000000000000037L

@@ -130,6 +130,37 @@ private[queries] object QuerySql {
         FROM m ORDER BY media_id"""
   }
 
+  /** p46 encoding-artifact oracle: DuckDB mirror of
+    * `TextOps.encodingArtifacts` over the SAME planted inputs (mojibake
+    * sample / U+FFFD / C0 controls appended per doc_id mod). Generated from
+    * the same [[TextOps.MojibakeSeqs]] constants; counts via literal
+    * `replace` length-deltas (integer `//` division — the deltas are exact
+    * multiples) and one ASCII-only RE2 class for C0 controls. */
+  val EncodingArtifactsSql: String = {
+    val moji = TextOps.MojibakeSeqs
+      .map(s => s"((length(t) - length(replace(t, '$s', ''))) // ${s.length})")
+      .mkString("(", " + ", ")")
+    val sample = TextOps.MojibakeSeqs.mkString(" ")
+    s"""
+        WITH p AS (SELECT doc_id, CASE CAST(doc_id % 7 AS INT)
+            WHEN 0 THEN text || ' $sample'
+            WHEN 1 THEN text || chr(65533) || chr(65533) || 'broken'
+            WHEN 2 THEN text || repeat(chr(1), 8) || 'ctrl'
+            ELSE text END AS t FROM documents),
+        c AS (SELECT doc_id, t,
+            length(t) - length(replace(t, chr(65533), '')) AS n_rep,
+            length(t) - length(regexp_replace(t,
+              '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS n_ctl,
+            $moji AS n_moji
+          FROM p)
+        SELECT doc_id,
+          CAST(n_rep AS BIGINT) AS n_replacement,
+          CAST(n_ctl AS BIGINT) AS n_control,
+          CAST(n_moji AS BIGINT) AS n_mojibake,
+          (n_rep = 0 AND n_moji = 0 AND n_ctl * 200 <= length(t)) AS looks_clean
+        FROM c ORDER BY doc_id"""
+  }
+
   // ---- p45 MP4/MP3 oracle: DuckDB mirror of MediaHeaders' ISO-BMFF box
   // walk + MPEG frame-header parse. Reads use TRY_CAST + explicit length
   // guards to reproduce BinRead's null-on-out-of-range contract exactly.

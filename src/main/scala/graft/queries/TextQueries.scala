@@ -411,6 +411,33 @@ object TextQueries {
             (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
           FROM s)
         SELECT doc_id, token, tf, df, score, CAST(rk AS BIGINT) AS rk
-        FROM r WHERE rk <= 5 ORDER BY doc_id, rk"""))
+        FROM r WHERE rk <= 5 ORDER BY doc_id, rk""")),
+
+    // ---- p46: encoding-artifact / mojibake detection — the decode-went-
+    // wrong filter every crawl pipeline runs (drop docs with U+FFFD,
+    // control soup, or double-encoded UTF-8 tell-tales). Artifacts are
+    // PLANTED per doc_id mod identically in both engines (the corpus text
+    // itself is clean); counts are literal replace length-deltas plus one
+    // ASCII-only C0 regex, keep flag integer-armed — hash-exact. ----------
+    QueryDef("p46_encoding_artifacts",
+      (s, d) => {
+        val planted = T.documents(s, d).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" " + TextOps.MojibakeSeqs.mkString(" "))))
+            .when(pmod(col("doc_id"), lit(7)) === 1,
+              concat(col("text"), lit("\uFFFD\uFFFDbroken")))
+            .when(pmod(col("doc_id"), lit(7)) === 2,
+              concat(col("text"), lit("\u0001" * 8 + "ctrl")))
+            .otherwise(col("text")).as("t"))
+        planted.select(col("doc_id"),
+            TextOps.encodingArtifacts(col("t")).as("ea"))
+          .select(col("doc_id"),
+            col("ea.n_replacement").as("n_replacement"),
+            col("ea.n_control").as("n_control"),
+            col("ea.n_mojibake").as("n_mojibake"),
+            col("ea.looks_clean").as("looks_clean"))
+          .orderBy("doc_id")
+      },
+      Some(EncodingArtifactsSql))
   )
 }

@@ -188,4 +188,23 @@ class TextExtrasSpec extends SparkSpecBase {
       "doc_id", "text", k = 2).collect().map(r => r.getLong(5) -> r.getString(1)).toMap
     assert(ties == Map(1L -> "alpha", 2L -> "zeta"))
   }
+  test("encoding artifacts: U+FFFD, C0 controls, mojibake sequences counted; clean flag") {
+    val moji = "caf\u00C3\u00A9 said \u00E2\u0080\u009Chi\u00E2\u0080\u009D" // 3 sequences
+    val df = Seq(
+      (1L, "perfectly normal prose with plenty of words to dilute ratios"),
+      (2L, "bad decode \uFFFD here and \uFFFD there"),              // 2 replacements
+      (3L, moji),                                                   // 3 mojibake
+      (4L, "ctl" + ("\u0001" * 5)),                                 // 5/8 chars are C0
+      (5L, "tab\tand\nnewline\rare fine")                          // allowed whitespace
+    ).toDF("id", "text")
+    val out = df.select($"id", TextOps.encodingArtifacts($"text").as("ea"))
+      .select($"id", $"ea.n_replacement", $"ea.n_control", $"ea.n_mojibake", $"ea.looks_clean")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((0L, 0L, 0L, true)))
+    assert(out(2L) == ((2L, 0L, 0L, false)))
+    assert(out(3L) == ((0L, 0L, 3L, false)))
+    assert(out(4L) == ((0L, 5L, 0L, false))) // 200*5 > 8 chars
+    assert(out(5L) == ((0L, 0L, 0L, true)))  // \t \n \r excluded from the class
+  }
 }
