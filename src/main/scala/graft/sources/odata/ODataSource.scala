@@ -850,23 +850,45 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
     * are filter-disjoint and filter-complete, so no cross-request ordering
     * guarantee is needed at read time — correctness rests only on the server
     * applying the SAME key comparison in `$orderby` and `$filter`, which
-    * OData defines. Single-property string/integral keys only; anything else
-    * (composite keys, pushed OFFSET, key types without a literal rendering)
-    * returns None -> serial scan. */
+    * OData defines. Composite keys use the row-value expansion (OData has no
+    * tuple literals): `(a,b) > (a0,b0)` renders as
+    * `a gt a0 or (a eq a0 and b gt b0)`. String/integral key properties only;
+    * anything else (pushed OFFSET, key types without a safe literal
+    * round-trip) returns None -> serial scan. */
   private def planKeysetPartitions(ord: String, total: Option[Long]): Option[Array[InputPartition]] = {
     import org.apache.spark.sql.types._
-    if (ord.contains(",")) return None // composite key: no single gt chain
+    val keys: Seq[String] = ord.split(',').map(_.trim).toSeq.filter(_.nonEmpty)
+    if (keys.isEmpty) return None
     if (conf.skip.getOrElse(0L) + offset.map(_.toLong).getOrElse(0L) > 0) return None
-    val keyField = meta.sparkSchema.fields.find(_.name == ord).getOrElse(return None)
-    val stringKey = keyField.dataType match {
-      case StringType => true
-      case ByteType | ShortType | IntegerType | LongType => false
-      case _ => return None // float/timestamp keys: unsafe literal round-trip
+    val stringKey: Seq[Boolean] = keys.map { k =>
+      val f = meta.sparkSchema.fields.find(_.name == k).getOrElse(return None)
+      f.dataType match {
+        case StringType => true
+        case ByteType | ShortType | IntegerType | LongType => false
+        case _ => return None // float/timestamp keys: unsafe literal round-trip
+      }
     }
     val v2 = meta.version == 2
-    def renderKey(node: com.fasterxml.jackson.databind.JsonNode): Option[String] =
-      if (stringKey) ODataFilterCompiler.lit(node.asText, v2)
+    def renderKey(i: Int, node: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+      if (stringKey(i)) ODataFilterCompiler.lit(node.asText, v2)
       else Some(node.asText) // v2 serializes Int64 as string; bare text is the literal
+    // Lexicographic tuple comparisons over the key properties. `and` binds
+    // tighter than `or` in OData, so every nested tail that still contains an
+    // `or` is re-parenthesized. Single-key input renders the flat comparison
+    // (no parens) so the common case stays byte-identical to the URLs the
+    // single-key implementation produced.
+    def tupleCmp(lits: Seq[String], strict: String, last: String): String = {
+      def rec(i: Int): String =
+        if (i == keys.size - 1) s"${keys(i)} $last ${lits(i)}"
+        else {
+          val rest = rec(i + 1)
+          val restP = if (i + 1 == keys.size - 1) rest else s"($rest)"
+          s"${keys(i)} $strict ${lits(i)} or (${keys(i)} eq ${lits(i)} and $restP)"
+        }
+      if (keys.size == 1) rec(0) else s"(${rec(0)})"
+    }
+    def tupleGt(lits: Seq[String]): String = tupleCmp(lits, "gt", "gt")
+    def tupleLe(lits: Seq[String]): String = tupleCmp(lits, "lt", "le")
     val nParts = total match {
       case Some(t) if t > 0 =>
         math.min(conf.parallelism.toLong,
@@ -877,15 +899,17 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
     val per = total.map(t => (t + nParts - 1) / nParts).getOrElse(conf.partitionRows)
 
     // boundary sweep: repeated keys-only `$top=per` chains, each continuing
-    // past the previous boundary; the last key of a full batch is a boundary
-    def sweep(afterLit: Option[String]): Seq[String] = {
+    // past the previous boundary tuple; the last key tuple of a full batch
+    // is a boundary
+    def sweep(afterLits: Option[Seq[String]]): Seq[Seq[String]] = {
       var u = ODataUrl.parse(meta.entitySetUrl)
       (filterExpr.toSeq ++ runtimeExpr.toSeq).foreach(e => u = u.mergeFilter(e))
-      afterLit.foreach(l => u = u.mergeFilter(s"$ord gt $l"))
-      u = u.withParam("$select", ord).withParam("$orderby", ord)
+      afterLits.foreach(l => u = u.mergeFilter(tupleGt(l)))
+      u = u.withParam("$select", keys.mkString(","))
+        .withParam("$orderby", keys.mkString(","))
         .withParam("$top", per.toString)
       if (v2) u = u.withParam("$format", "json")
-      val out = scala.collection.mutable.Buffer[String]()
+      val out = scala.collection.mutable.Buffer[Seq[String]]()
       var next: Option[String] = Some(u.render)
       while (next.isDefined && out.size < per) {
         val resp = HttpCore.shared.get(next.get, useCache = false, auth = conf.auth)
@@ -893,29 +917,32 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
           throw new RuntimeException(s"keyset sweep GET -> HTTP ${resp.status}")
         val page = ODataJson.extractPage(ODataJson.parse(resp.text))
         page.rows.foreach { n =>
-          Option(n.get(ord)).filterNot(_.isNull).flatMap(renderKey).foreach(out += _)
+          val tuple = keys.indices.map { i =>
+            Option(n.get(keys(i))).filterNot(_.isNull).flatMap(renderKey(i, _))
+          }
+          if (tuple.forall(_.isDefined)) out += tuple.map(_.get)
         }
         next = page.nextLink
       }
       out.take(math.min(per, Int.MaxValue.toLong).toInt).toSeq
     }
     try {
-      val boundaries = scala.collection.mutable.Buffer[String]()
-      var lastLit: Option[String] = None
+      val boundaries = scala.collection.mutable.Buffer[Seq[String]]()
+      var lastLits: Option[Seq[String]] = None
       var swept = 0L
       var exhausted = false
       while (!exhausted && boundaries.size < nParts - 1 && swept < conf.keysetSweepMax) {
-        val got = sweep(lastLit)
+        val got = sweep(lastLits)
         swept += got.size
         if (got.size < per) exhausted = true // tail fits in the final window
-        else { boundaries += got.last; lastLit = Some(got.last) }
+        else { boundaries += got.last; lastLits = Some(got.last) }
       }
       if (boundaries.isEmpty) return None // set fits one window: serial is right
       val windows: Seq[String] =
-        (s"$ord le ${boundaries.head}" +:
+        (tupleLe(boundaries.head) +:
           (1 until boundaries.size).map { i =>
-            s"$ord gt ${boundaries(i - 1)} and $ord le ${boundaries(i)}"
-          }) :+ s"$ord gt ${boundaries.last}"
+            s"${tupleGt(boundaries(i - 1))} and ${tupleLe(boundaries(i))}"
+          }) :+ tupleGt(boundaries.last)
       Some(windows.zipWithIndex.map { case (w, i) =>
         ODataInputPartition(buildUrl(None, None, None, Some(w)), i): InputPartition
       }.toArray)

@@ -129,6 +129,36 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
     } finally v4.skipStatus = 200
   }
 
+  test("parallel scan: composite-key keyset windows use row-value or-chains") {
+    v4.skipStatus = 501
+    try {
+      v4.requests.clear()
+      // partitionKey names a composite key; the server rejects $skip, so the
+      // planner must carve disjoint (Country, CustomerID) tuple windows
+      val df = read(v4, "parallelism" -> "4", "partitionRows" -> "5",
+        "partitionKey" -> "Country,CustomerID")
+      val ids = df.collect().map(_.getString(0)).toSeq
+      assert(ids.length == 20 && ids.distinct.length == 20,
+        s"composite keyset union wrong: $ids") // disjoint + complete windows
+      // boundary sweep selects + orders by BOTH key properties
+      val sweeps = v4.requests.filter(r =>
+        r.contains("$select=Country,CustomerID") &&
+          r.contains("$orderby=Country,CustomerID"))
+      assert(sweeps.nonEmpty, s"no composite boundary sweep in ${v4.requests}")
+      // window filters are row-value expansions:
+      //   Country gt 'X' or (Country eq 'X' and CustomerID gt 'Cnn')
+      val windows = v4.requests.filter(r =>
+        r.contains("/Customers?") && r.contains("$filter=") && !r.contains("$orderby"))
+      assert(windows.size >= 2, s"expected composite windows, got ${v4.requests}")
+      assert(windows.exists(r => r.contains(" or (Country eq ") &&
+        r.contains(" and CustomerID gt ")), s"no gt or-chain in $windows")
+      assert(windows.exists(r => r.contains(" or (Country eq ") &&
+        r.contains(" and CustomerID le ")), s"no le or-chain in $windows")
+      assert(!v4.requests.exists(r => r.contains("$skip=") && r.contains("$top=5")),
+        s"offset ranges used despite 501: ${v4.requests}")
+    } finally v4.skipStatus = 200
+  }
+
   test("parallel scan: pushed filter rides inside the keyset windows") {
     v4.skipStatus = 501
     try {
