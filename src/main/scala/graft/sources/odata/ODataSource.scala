@@ -67,6 +67,7 @@ final case class ODataConf(
     unwrap: Option[String] = None,
     filterPushdown: Boolean = true,
     applyPushdown: Boolean = true,
+    applyPartial: Boolean = true,
     insertBatchSize: Option[Int] = None,
     serviceRoot: Option[String] = None) {
   def auth: HttpAuth = HttpAuth(bearer, user, password)
@@ -97,6 +98,7 @@ object ODataConf {
       unwrap = o.get("unwrap"),
       filterPushdown = o.getOrElse("filterpushdown", "true").toBoolean,
       applyPushdown = o.getOrElse("applypushdown", "true").toBoolean,
+      applyPartial = o.getOrElse("applypartial", "true").toBoolean,
       insertBatchSize = o.get("insertbatchsize").map(_.toInt),
       serviceRoot = o.get("serviceroot").map(_.stripSuffix("/")))
   }
@@ -470,21 +472,53 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
     // $orderby names entity properties: in unwrap mode the sort columns are
     // wrapped-payload keys (Graph would 400 on them, same as $select), and
     // filterPushdown=false marks a projection-only service — let Spark sort.
-    // After a complete $apply pushdown the sort is over groups: stays in Spark.
-    if (conf.unwrap.isDefined || !conf.filterPushdown || applyAgg.isDefined) return false
-    val parts = orders.toSeq.map { so =>
-      so.expression() match {
-        case nr: NamedReference if nr.fieldNames().length == 1 =>
-          val dir = if (so.direction() == SortDirection.DESCENDING) " desc" else ""
-          Some(s"${nr.fieldNames().head}$dir")
-        case _ => None
+    if (conf.unwrap.isDefined || !conf.filterPushdown) return false
+    def translate(valid: String => Boolean): Option[String] = {
+      val parts = orders.toSeq.map { so =>
+        so.expression() match {
+          case nr: NamedReference if nr.fieldNames().length == 1 && valid(nr.fieldNames().head) =>
+            val dir = if (so.direction() == SortDirection.DESCENDING) " desc" else ""
+            Some(s"${nr.fieldNames().head}$dir")
+          case _ => None
+        }
       }
+      if (parts.forall(_.isDefined)) Some(parts.flatten.mkString(",")) else None
     }
-    if (parts.forall(_.isDefined)) {
-      orderBy = Some(parts.flatten.mkString(","))
-      limit = Some(topLimit)
-      true
-    } else false
+    applyAgg match {
+      case Some(a) if !a.partial =>
+        // TopN over a complete pushed aggregate: group columns and agg<i>
+        // aliases are both addressable in $orderby after $apply (OData
+        // aggregation spec); the server sorts + caps the GROUP rows. Spark
+        // hands sort keys over aggregates back as aggregate EXPRESSIONS
+        // (rewritten through its pushed-agg output map), so match them
+        // against the pushed specs to recover the agg<i> alias.
+        val groupNames = a.schema.fieldNames.dropRight(a.specs.length).toSet
+        val parts = orders.toSeq.map { so =>
+          val dir = if (so.direction() == SortDirection.DESCENDING) " desc" else ""
+          so.expression() match {
+            case nr: NamedReference if nr.fieldNames().length == 1 &&
+              groupNames.contains(nr.fieldNames().head) =>
+              Some(s"${nr.fieldNames().head}$dir")
+            case af: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc =>
+              aggSpecOf(af).flatMap { case (spec, _) =>
+                val i = a.specs.indexOf(spec)
+                if (i >= 0) Some(s"agg$i$dir") else None
+              }
+            case _ => None
+          }
+        }
+        if (parts.forall(_.isDefined)) {
+          applyAgg = Some(a.copy(orderBy = Some(parts.flatten.mkString(",")),
+            top = Some(topLimit)))
+          true
+        } else false
+      case Some(_) => false // partial windows each hold local groups: Spark sorts
+      case None =>
+        translate(_ => true) match {
+          case Some(o) => orderBy = Some(o); limit = Some(topLimit); true
+          case None => false
+        }
+    }
   }
   /** Server applies sort+top over the whole set: fully pushed. */
   override def isPartiallyPushed(): Boolean = false
@@ -505,16 +539,38 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
     * silently IGNORE `\$apply` hand back raw entities — the alias check
     * catches that); anything else keeps the aggregation in Spark. */
   override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    isBareCountStar(agg) || translateApply(agg).exists(probeApply)
+    isBareCountStar(agg) ||
+      (translateApply(agg).exists(probeApply) && !partialEligible(agg))
 
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (isBareCountStar(agg) && limit.isEmpty && offset.isEmpty) {
       countPushed = true
       true
     } else translateApply(agg) match {
-      case Some(a) if probeApply(a) => applyAgg = Some(a); true
+      case Some(a) if probeApply(a) =>
+        applyAgg = Some(a.copy(partial = partialEligible(agg))); true
       case _ => false
     }
+  }
+
+  /** Partial (per-keyset-window) aggregation beats ONE complete request chain
+    * when the set is large enough to carve multiple windows: each partition
+    * aggregates its window server-side and Spark's final aggregate merges
+    * (sum-of-sums, min-of-mins, counts re-summed — Spark rewrites the final
+    * functions itself when `supportCompletePushDown` is false). Only
+    * losslessly-mergeable functions qualify; avg / count-distinct stay on the
+    * complete single-request path. */
+  private def partialEligible(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    conf.applyPartial && conf.parallelism > 1 &&
+      agg.aggregateExpressions().forall {
+        case _: CountStar => true
+        case s: Sum => !s.isDistinct
+        case _: Min | _: Max => true
+        case _ => false // avg / count-distinct do not merge
+      } && KeysetWindows.keyOrder(conf, meta).isDefined &&
+      KeysetWindows.countRows(conf, meta, pushedFilterExpr.toSeq)
+        .exists(_ > conf.partitionRows) // else one window: complete is cheaper
   }
 
   private def isBareCountStar(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -537,53 +593,65 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
     if (conf.skip.exists(_ > 0) || conf.top.isDefined) return None
     if (isBareCountStar(agg)) return None // the /$count GET is cheaper
 
-    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] = e match {
-      case nr: NamedReference if nr.fieldNames().length == 1 =>
-        meta.sparkSchema.fields.find(_.name == nr.fieldNames().head)
-      case _ => None
-    }
     val groups = agg.groupByExpressions().toSeq.map(colOf)
     if (groups.exists(_.isEmpty)) return None
-    val aggs = agg.aggregateExpressions().toSeq.zipWithIndex.map { case (f, i) =>
-      val alias = s"agg$i"
-      f match {
-        case _: CountStar => Some((s"$$count as $alias", LongType: DataType))
-        case c: Count if c.isDistinct =>
-          colOf(c.column).map(cf => (s"${cf.name} with countdistinct as $alias", LongType: DataType))
-        case m: Min => colOf(m.column).collect {
-          case cf if minMaxable(cf.dataType) => (s"${cf.name} with min as $alias", cf.dataType)
-        }
-        case m: Max => colOf(m.column).collect {
-          case cf if minMaxable(cf.dataType) => (s"${cf.name} with max as $alias", cf.dataType)
-        }
-        case s: Sum if !s.isDistinct => colOf(s.column).flatMap(cf => cf.dataType match {
-          // match Spark's Sum result type so the positional mapping needs no cast
-          case ByteType | ShortType | IntegerType | LongType =>
-            Some((s"${cf.name} with sum as $alias", LongType: DataType))
-          case FloatType | DoubleType =>
-            Some((s"${cf.name} with sum as $alias", DoubleType: DataType))
-          case _ => None // decimal sums widen server-side unpredictably
-        })
-        case a: Avg if !a.isDistinct => colOf(a.column).collect {
-          case cf if cf.dataType.isInstanceOf[NumericType] &&
-            !cf.dataType.isInstanceOf[DecimalType] =>
-            (s"${cf.name} with average as $alias", DoubleType: DataType)
-        }
-        case _ => None
-      }
-    }
+    val aggs = agg.aggregateExpressions().toSeq.map(aggSpecOf)
     if (aggs.exists(_.isEmpty) || aggs.isEmpty) return None
-    val aggList = aggs.flatten.map(_._1).mkString(",")
+    val specs = aggs.flatten.map(_._1)
+    val aggList = specs.zipWithIndex.map { case (s, i) => s"$s as agg$i" }.mkString(",")
     val groupNames = groups.flatten.map(_.name)
     // $filter evaluates AFTER $apply per the OData spec, so pushed filters
     // must fold INTO the pipeline as a filter() stage to keep pre-agg scope
-    val pipeline = (pushedFilterExpr.map(f => s"filter($f)").toSeq :+
-      (if (groupNames.nonEmpty) s"groupby((${groupNames.mkString(",")}),aggregate($aggList))"
-       else s"aggregate($aggList)")).mkString("/")
+    val aggStage =
+      if (groupNames.nonEmpty) s"groupby((${groupNames.mkString(",")}),aggregate($aggList))"
+      else s"aggregate($aggList)"
     val schema = StructType(
       groups.flatten.map(f => f.copy(nullable = true)) ++
         aggs.flatten.zipWithIndex.map { case ((_, t), i) => StructField(s"agg$i", t) })
-    Some(ApplyAgg(pipeline, schema))
+    Some(ApplyAgg(pushedFilterExpr, aggStage, schema, specs = specs))
+  }
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[org.apache.spark.sql.types.StructField] = e match {
+    case nr: org.apache.spark.sql.connector.expressions.NamedReference
+      if nr.fieldNames().length == 1 =>
+      meta.sparkSchema.fields.find(_.name == nr.fieldNames().head)
+    case _ => None
+  }
+
+  /** One aggregate function → its alias-less `\$apply` spec ("Revenue with
+    * sum", "\$count") + result type. Shared by the pipeline builder and the
+    * TopN sort-key matcher (Spark hands sort orders over pushed aggregates
+    * back as aggregate expressions, not column references). */
+  private def aggSpecOf(f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+      : Option[(String, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.types._
+    f match {
+      case _: CountStar => Some(("$count", LongType: DataType))
+      case c: Count if c.isDistinct =>
+        colOf(c.column).map(cf => (s"${cf.name} with countdistinct", LongType: DataType))
+      case m: Min => colOf(m.column).collect {
+        case cf if minMaxable(cf.dataType) => (s"${cf.name} with min", cf.dataType)
+      }
+      case m: Max => colOf(m.column).collect {
+        case cf if minMaxable(cf.dataType) => (s"${cf.name} with max", cf.dataType)
+      }
+      case s: Sum if !s.isDistinct => colOf(s.column).flatMap(cf => cf.dataType match {
+        // match Spark's Sum result type so the positional mapping needs no cast
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some((s"${cf.name} with sum", LongType: DataType))
+        case FloatType | DoubleType =>
+          Some((s"${cf.name} with sum", DoubleType: DataType))
+        case _ => None // decimal sums widen server-side unpredictably
+      })
+      case a: Avg if !a.isDistinct => colOf(a.column).collect {
+        case cf if cf.dataType.isInstanceOf[NumericType] &&
+          !cf.dataType.isInstanceOf[DecimalType] =>
+          (s"${cf.name} with average", DoubleType: DataType)
+      }
+      case _ => None
+    }
   }
 
   private def minMaxable(t: org.apache.spark.sql.types.DataType): Boolean = {
@@ -632,10 +700,13 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
     if (applyAgg.isEmpty) requiredSchema = required
   }
 
-  // a limit pushed AFTER a complete aggregation would $top entity rows while
-  // Spark expects it to cap groups — keep those operators in Spark
-  override def pushLimit(l: Int): Boolean =
-    if (applyAgg.isDefined) false else { limit = Some(l); true }
+  // LIMIT over a complete pushed aggregation caps GROUP rows: $top evaluates
+  // after $apply, so it pushes; partial windows hold local groups -> Spark
+  override def pushLimit(l: Int): Boolean = applyAgg match {
+    case Some(a) if !a.partial => applyAgg = Some(a.copy(top = Some(l))); true
+    case Some(_) => false
+    case None => limit = Some(l); true
+  }
   override def pushOffset(o: Int): Boolean =
     if (applyAgg.isDefined) false else { offset = Some(o); true }
 
@@ -649,22 +720,57 @@ class ODataScanBuilder(conf: ODataConf, fullSchema: StructType)
     }
 }
 
-/** A fully-translated server-side aggregation: the `\$apply` pipeline string
-  * and the positional result schema (group columns, then `agg<i>` aliases). */
-final case class ApplyAgg(pipeline: String, schema: StructType)
+/** A fully-translated server-side aggregation: pushed-filter stage(s), the
+  * groupby/aggregate stage, and the positional result schema (group columns,
+  * then `agg<i>` aliases). `partial` = per-keyset-window execution with
+  * Spark's final aggregate merging the window results. */
+final case class ApplyAgg(rawFilter: Option[String], aggStage: String,
+                          schema: StructType, partial: Boolean = false,
+                          orderBy: Option[String] = None, top: Option[Int] = None,
+                          specs: Seq[String] = Seq.empty) {
+  /** Render the `\$apply` pipeline, optionally folding a key-window
+    * predicate in as a `filter()` stage (it must sit INSIDE the pipeline:
+    * `\$filter` evaluates after `\$apply` per the OData spec). */
+  def pipelineWith(window: Option[String]): String =
+    ((rawFilter.toSeq ++ window.toSeq).map(f => s"filter($f)") :+ aggStage)
+      .mkString("/")
+  def pipeline: String = pipelineWith(None)
+}
 
-/** Complete group-by aggregation answered by ONE `\$apply` request chain —
-  * rows transferred = number of groups, not entities. Single partition by
-  * construction: each partition would otherwise return the full group set. */
+/** Group-by aggregation answered server-side via `\$apply` request chains —
+  * rows transferred = number of groups, not entities. Complete mode is a
+  * single partition (each partition would otherwise return the full group
+  * set); partial mode carves keyset windows, aggregates each window
+  * server-side in parallel, and Spark's final aggregate merges. */
 class ODataApplyScan(conf: ODataConf, meta: ODataMeta, agg: ApplyAgg)
   extends Scan with Batch {
   override def readSchema(): StructType = agg.schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"odata apply ${meta.entitySetUrl} $$apply=${agg.pipeline}"
+    s"odata apply${if (agg.partial) " partial" else ""} ${meta.entitySetUrl} " +
+      s"$$apply=${agg.pipeline}"
   override def planInputPartitions(): Array[InputPartition] = {
-    var u = ODataUrl.parse(meta.entitySetUrl).withParam("$apply", agg.pipeline)
-    Array(ODataInputPartition(u.render, 0))
+    val windows: Option[Seq[String]] =
+      if (!agg.partial) None
+      else KeysetWindows.keyOrder(conf, meta).flatMap { ord =>
+        val total = KeysetWindows.countRows(conf, meta, agg.rawFilter.toSeq)
+        KeysetWindows.planWindows(conf, meta, ord, agg.rawFilter.toSeq, total)
+      }
+    windows match {
+      case Some(ws) => ws.zipWithIndex.map { case (w, i) =>
+        ODataInputPartition(ODataUrl.parse(meta.entitySetUrl)
+          .withParam("$apply", agg.pipelineWith(Some(w))).render, i): InputPartition
+      }.toArray
+      case None =>
+        // partial with no plannable windows degrades to one partition running
+        // the whole pipeline — merging a single complete result is identity
+        var u = ODataUrl.parse(meta.entitySetUrl).withParam("$apply", agg.pipeline)
+        // TopN over groups (complete mode only): $orderby/$top evaluate AFTER
+        // $apply over the group rows — exactly Spark's Sort+Limit semantics
+        agg.orderBy.foreach(o => u = u.withParam("$orderby", o))
+        agg.top.foreach(t => u = u.withParam("$top", t.toString))
+        Array(ODataInputPartition(u.render, 0))
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ODataReaderFactory(agg.schema, conf.pageSize, conf.bearer, conf.user,
@@ -794,12 +900,7 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
       // duplicate and drop rows. No key metadata (fixed-schema mode) -> the
       // ranges cannot be pinned -> serial scan, unless `partitionKey` names
       // one explicitly (fixed-schema Graph collections have string ids).
-      val keyOrder: Option[String] = conf.partitionKey.orElse {
-        if (conf.schemaDdl.isDefined) None
-        else meta.model.entitySets.find(_.name == meta.setName)
-          .flatMap(es => meta.model.entityTypes.get(es.entityTypeName.split('.').last))
-          .map(_.keys).filter(_.nonEmpty).map(_.mkString(","))
-      }
+      val keyOrder: Option[String] = KeysetWindows.keyOrder(conf, meta)
       val total = countRows()
       keyOrder match {
         case Some(ord) =>
@@ -845,21 +946,95 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
   }
 
   /** Keyset-window parallel scan for servers that reject `$skip`: partitions
-    * are disjoint key ranges (`$filter=key gt lo and key le hi`), boundaries
-    * taken from a `$top`-paged keys-only sweep in server key order. Windows
-    * are filter-disjoint and filter-complete, so no cross-request ordering
-    * guarantee is needed at read time — correctness rests only on the server
-    * applying the SAME key comparison in `$orderby` and `$filter`, which
-    * OData defines. Composite keys use the row-value expansion (OData has no
-    * tuple literals): `(a,b) > (a0,b0)` renders as
-    * `a gt a0 or (a eq a0 and b gt b0)`. String/integral key properties only;
-    * anything else (pushed OFFSET, key types without a safe literal
-    * round-trip) returns None -> serial scan. */
+    * are disjoint key ranges (see [[KeysetWindows]]); pushed OFFSET cannot be
+    * expressed as key windows -> serial scan. */
   private def planKeysetPartitions(ord: String, total: Option[Long]): Option[Array[InputPartition]] = {
+    if (conf.skip.getOrElse(0L) + offset.map(_.toLong).getOrElse(0L) > 0) return None
+    KeysetWindows.planWindows(conf, meta, ord,
+        filterExpr.toSeq ++ runtimeExpr.toSeq, total)
+      .map(_.zipWithIndex.map { case (w, i) =>
+        ODataInputPartition(buildUrl(None, None, None, Some(w)), i): InputPartition
+      }.toArray)
+  }
+
+  // runtime filter must shape the ranges too, or the $skip/$top windows
+  // would be computed over the unfiltered set the pages no longer serve
+  private def countRows(): Option[Long] =
+    KeysetWindows.countRows(conf, meta, filterExpr.toSeq ++ runtimeExpr.toSeq)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ODataReaderFactory(schema, conf.pageSize, conf.bearer, conf.user,
+      conf.password, conf.unwrap)
+
+  /** Scan progress metrics — the Spark rendering of the reference's
+    * `$count`-based progress fraction (`odata_read_functions.cpp:162-196`):
+    * pages/rows/bytes surface in the SQL UI per scan. */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new PagesFetchedMetric, new RowsFetchedMetric, new BytesFetchedMetric)
+}
+
+class PagesFetchedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "odataPagesFetched"
+  override def description(): String = "OData pages fetched"
+}
+class RowsFetchedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "odataRowsFetched"
+  override def description(): String = "OData rows fetched"
+}
+class BytesFetchedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "odataBytesFetched"
+  override def description(): String = "OData response bytes fetched"
+}
+
+final case class ODataTaskMetric(override val name: String, override val value: Long)
+  extends org.apache.spark.sql.connector.metric.CustomTaskMetric
+
+/** Shared keyset-window carving: disjoint, complete key-range `\$filter`
+  * predicates over an entity set. Used by the parallel row scan (servers
+  * that reject `\$skip`) and by the partial `\$apply` aggregation scan
+  * (per-window server-side aggregation merged by Spark). Boundaries come
+  * from a `\$top`-paged keys-only sweep in server key order; windows are
+  * filter-disjoint and filter-complete, so no cross-request ordering
+  * guarantee is needed at read time — correctness rests only on the server
+  * applying the SAME key comparison in `\$orderby` and `\$filter`, which
+  * OData defines. Composite keys use the row-value expansion (OData has no
+  * tuple literals): `(a,b) > (a0,b0)` renders as
+  * `a gt a0 or (a eq a0 and b gt b0)`. String/integral key properties only;
+  * anything else (key types without a safe literal round-trip) returns
+  * None -> caller stays serial. */
+private[odata] object KeysetWindows {
+
+  /** Key properties to order/partition by: the explicit `partitionKey`
+    * option, or the entity type's declared key (requires `$metadata`;
+    * fixed-schema reads have none). */
+  def keyOrder(conf: ODataConf, meta: ODataMeta): Option[String] =
+    conf.partitionKey.orElse {
+      if (conf.schemaDdl.isDefined) None
+      else meta.model.entitySets.find(_.name == meta.setName)
+        .flatMap(es => meta.model.entityTypes.get(es.entityTypeName.split('.').last))
+        .map(_.keys).filter(_.nonEmpty).map(_.mkString(","))
+    }
+
+  /** Filter-aware `/\$count` probe (None on any failure). */
+  def countRows(conf: ODataConf, meta: ODataMeta, filters: Seq[String]): Option[Long] = {
+    try {
+      val u0 = ODataUrl.parse(meta.entitySetUrl + "/$count")
+      val withFilter = filters.foldLeft(u0)((u, e) => u.mergeFilter(e))
+      val resp = HttpCore.shared.get(withFilter.render, auth = conf.auth)
+      if (resp.status == 200) Some(resp.text.trim.toLong) else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Carve up to `parallelism` disjoint window predicates sized by
+    * `partitionRows`. `filters` narrow the sweep (pushed + runtime filters
+    * must shape the windows, or they would cover the unfiltered key space).
+    * None when un-plannable (unsupported key type, one window, sweep
+    * failure) — the caller stays serial, which is always correct. */
+  def planWindows(conf: ODataConf, meta: ODataMeta, ord: String,
+                  filters: Seq[String], total: Option[Long]): Option[Seq[String]] = {
     import org.apache.spark.sql.types._
     val keys: Seq[String] = ord.split(',').map(_.trim).toSeq.filter(_.nonEmpty)
     if (keys.isEmpty) return None
-    if (conf.skip.getOrElse(0L) + offset.map(_.toLong).getOrElse(0L) > 0) return None
     val stringKey: Seq[Boolean] = keys.map { k =>
       val f = meta.sparkSchema.fields.find(_.name == k).getOrElse(return None)
       f.dataType match {
@@ -903,7 +1078,7 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
     // is a boundary
     def sweep(afterLits: Option[Seq[String]]): Seq[Seq[String]] = {
       var u = ODataUrl.parse(meta.entitySetUrl)
-      (filterExpr.toSeq ++ runtimeExpr.toSeq).foreach(e => u = u.mergeFilter(e))
+      filters.foreach(e => u = u.mergeFilter(e))
       afterLits.foreach(l => u = u.mergeFilter(tupleGt(l)))
       u = u.withParam("$select", keys.mkString(","))
         .withParam("$orderby", keys.mkString(","))
@@ -938,55 +1113,13 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
         else { boundaries += got.last; lastLits = Some(got.last) }
       }
       if (boundaries.isEmpty) return None // set fits one window: serial is right
-      val windows: Seq[String] =
-        (tupleLe(boundaries.head) +:
-          (1 until boundaries.size).map { i =>
-            s"${tupleGt(boundaries(i - 1))} and ${tupleLe(boundaries(i))}"
-          }) :+ tupleGt(boundaries.last)
-      Some(windows.zipWithIndex.map { case (w, i) =>
-        ODataInputPartition(buildUrl(None, None, None, Some(w)), i): InputPartition
-      }.toArray)
+      Some((tupleLe(boundaries.head) +:
+        (1 until boundaries.size).map { i =>
+          s"${tupleGt(boundaries(i - 1))} and ${tupleLe(boundaries(i))}"
+        }) :+ tupleGt(boundaries.last))
     } catch { case _: Exception => None } // sweep failure: correct, serial
   }
-
-  private def countRows(): Option[Long] = {
-    try {
-      val u0 = ODataUrl.parse(meta.entitySetUrl + "/$count")
-      // runtime filter must shape the ranges too, or the $skip/$top windows
-      // would be computed over the unfiltered set the pages no longer serve
-      val withFilter = (filterExpr.toSeq ++ runtimeExpr.toSeq)
-        .foldLeft(u0)((u, e) => u.mergeFilter(e))
-      val resp = HttpCore.shared.get(withFilter.render, auth = conf.auth)
-      if (resp.status == 200) Some(resp.text.trim.toLong) else None
-    } catch { case _: Exception => None }
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ODataReaderFactory(schema, conf.pageSize, conf.bearer, conf.user,
-      conf.password, conf.unwrap)
-
-  /** Scan progress metrics — the Spark rendering of the reference's
-    * `$count`-based progress fraction (`odata_read_functions.cpp:162-196`):
-    * pages/rows/bytes surface in the SQL UI per scan. */
-  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new PagesFetchedMetric, new RowsFetchedMetric, new BytesFetchedMetric)
 }
-
-class PagesFetchedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-  override def name(): String = "odataPagesFetched"
-  override def description(): String = "OData pages fetched"
-}
-class RowsFetchedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-  override def name(): String = "odataRowsFetched"
-  override def description(): String = "OData rows fetched"
-}
-class BytesFetchedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-  override def name(): String = "odataBytesFetched"
-  override def description(): String = "OData response bytes fetched"
-}
-
-final case class ODataTaskMetric(override val name: String, override val value: Long)
-  extends org.apache.spark.sql.connector.metric.CustomTaskMetric
 
 /** Fully-pushed COUNT(*): a single-partition scan whose one row is the
   * server's `/\$count` answer (filter-aware). */

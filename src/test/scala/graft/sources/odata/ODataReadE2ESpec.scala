@@ -223,6 +223,63 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
       r.contains("Revenue with countdistinct as agg2")), v4.requests.toString)
   }
 
+  test("partial $apply: per-keyset-window aggregation merged by Spark") {
+    v4.requests.clear()
+    // partitionRows=5 < 20 rows -> partial mode carves keyset windows; each
+    // partition runs groupby server-side and Spark's final agg merges them
+    val df = read(v4, "parallelism" -> "4", "partitionRows" -> "5")
+      .groupBy("Country").agg(sum("Revenue").as("rev"), count(lit(1)).as("cnt"))
+    val out = df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("Germany" -> ((70000L, 7L)), "France" -> ((77000L, 7L)),
+      "Mexico" -> ((63000L, 6L))), s"got $out")
+    // multiple $apply partitions, each with the key window folded in as a
+    // filter() stage INSIDE the pipeline (before the groupby)
+    val applies = v4.requests.filter(r => r.contains("$apply=filter(") &&
+      r.contains("/groupby((Country),aggregate(Revenue with sum as agg0,$count as agg1))"))
+    assert(applies.size >= 2, s"expected windowed $$apply partitions: ${v4.requests}")
+    assert(applies.exists(_.contains("CustomerID le ")), s"no window bound: $applies")
+    // entity rows never transferred: non-$apply requests are only the
+    // keys-only boundary sweeps and the /$count sizing probes
+    val plain = v4.requests.filter(r =>
+      r.contains("/Customers?") && !r.contains("$apply") && !r.contains("$count"))
+    assert(plain.forall(_.contains("$select=CustomerID")),
+      s"entity rows fetched for a partial agg: $plain")
+  }
+
+  test("partial $apply disabled keeps the complete single-request pushdown") {
+    v4.requests.clear()
+    val df = read(v4, "parallelism" -> "4", "partitionRows" -> "5",
+      "applyPartial" -> "false")
+      .groupBy("Country").agg(sum("Revenue").as("rev"))
+    val out = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("Germany" -> 70000L, "France" -> 77000L, "Mexico" -> 63000L))
+    val applies = v4.requests.filter(_.contains("$apply="))
+    // probe + the one complete data request; no filter() window stages
+    assert(applies.nonEmpty && applies.forall(!_.contains("$apply=filter(")),
+      s"windowed pipelines despite applyPartial=false: $applies")
+  }
+
+  test("TopN over a pushed aggregate pushes $orderby + $top after $apply") {
+    v4.requests.clear()
+    val df = read(v4).groupBy("Country").agg(sum("Revenue").as("rev"))
+      .orderBy(col("rev").desc).limit(2)
+    val out = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("France", 77000L), ("Germany", 70000L)), s"got $out")
+    assert(v4.requests.exists(r =>
+      r.contains("$apply=groupby((Country),aggregate(Revenue with sum as agg0))") &&
+        r.contains("$orderby=agg0 desc") && r.contains("$top=2")),
+      s"TopN not pushed after $$apply: ${v4.requests}")
+  }
+
+  test("LIMIT over a pushed aggregate caps group rows via $top") {
+    v4.requests.clear()
+    val df = read(v4).groupBy("Country").agg(sum("Revenue").as("rev")).limit(2)
+    assert(df.collect().length == 2)
+    assert(v4.requests.exists(r => r.contains("$apply=groupby((Country)") &&
+      r.contains("$top=2") && !r.contains("$orderby")),
+      s"limit not pushed over $$apply groups: ${v4.requests}")
+  }
+
   test("server rejecting $apply keeps the aggregation in Spark — still correct") {
     v4.applyStatus = 400
     try {

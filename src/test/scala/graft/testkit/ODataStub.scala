@@ -359,7 +359,7 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
     }
     if (q.contains("$apply")) {
       if (applyStatus != 200) respond(ex, applyStatus, "text/plain", "$apply not supported")
-      else serveApply(ex, q("$apply"), q.get("$top").map(_.toInt))
+      else serveApply(ex, q("$apply"), q.get("$top").map(_.toInt), q.get("$orderby"))
       return
     }
     var data = applyFilter(rows, q.get("$filter"))
@@ -413,8 +413,11 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
 
   /** Tiny `$apply` evaluator: `filter(...)` / `groupby((cols),aggregate(...))`
     * / bare `aggregate(...)` stages separated by '/'. Aggregate specs:
-    * `$count as X` and `Col with sum|min|max|average|countdistinct as X`. */
-  private def serveApply(ex: HttpExchange, apply: String, top: Option[Int]): Unit = {
+    * `$count as X` and `Col with sum|min|max|average|countdistinct as X`.
+    * `$orderby`/`$top` evaluate AFTER the pipeline, over the group rows
+    * (OData aggregation spec section on system query options). */
+  private def serveApply(ex: HttpExchange, apply: String, top: Option[Int],
+                         orderby: Option[String] = None): Unit = {
     var data = rows
     var groupCols: Seq[String] = Seq.empty
     var aggSpecs: Seq[(String, String, String)] = Seq.empty // (fn, col, alias)
@@ -450,34 +453,58 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
       if (groupCols.isEmpty) Seq((Seq.empty, data))
       else data.groupBy(r => groupCols.map(c => c -> r(c))).toSeq
         .sortBy(_._1.map(_._2.toString).mkString("|")).map { case (k, v) => (k, v) }
-    val items = groups.map { case (key, grp) =>
-      val aggJson = aggSpecs.map { case (fn, col, alias) =>
-        val rendered = fn match {
-          case "count" => grp.size.toString
-          case "countdistinct" => grp.map(_(col)).distinct.size.toString
+    // typed group rows first (so $orderby can compare), then JSON rendering
+    val outRows: Seq[Seq[(String, Any)]] = groups.map { case (key, grp) =>
+      val aggVals: Seq[(String, Any)] = aggSpecs.map { case (fn, col, alias) =>
+        val v: Any = fn match {
+          case "count" => grp.size.toLong
+          case "countdistinct" => grp.map(_(col)).distinct.size.toLong
           case "sum" =>
             val s = grp.map(r => num(r(col))).sum
-            if (s == s.floor) s.toLong.toString else s.toString
+            if (s == s.floor) s.toLong else s
           case "min" | "max" =>
             val vs = grp.map(_(col))
-            val picked =
-              if (vs.forall(_.isInstanceOf[Long])) { val l = vs.map(_.asInstanceOf[Long]); if (fn == "min") l.min else l.max }
-              else { val ss = vs.map(_.toString); if (fn == "min") ss.min else ss.max }
-            picked match { case l: Long => l.toString; case s => "\"" + s + "\"" }
-          case "average" => (grp.map(r => num(r(col))).sum / grp.size).toString
+            if (vs.forall(_.isInstanceOf[Long])) {
+              val l = vs.map(_.asInstanceOf[Long]); if (fn == "min") l.min else l.max
+            } else { val ss = vs.map(_.toString); if (fn == "min") ss.min else ss.max }
+          case "average" => grp.map(r => num(r(col))).sum / grp.size
         }
-        s""""$alias":$rendered"""
+        alias -> v
       }
-      val keyJson = key.map { case (c, v) =>
+      key ++ aggVals
+    }
+    val sorted = orderby match {
+      case None => outRows
+      case Some(ob) =>
+        val keys = ob.split(',').map(_.trim).map { part =>
+          val bits = part.split("\\s+")
+          (bits(0), bits.length > 1 && bits(1).equalsIgnoreCase("desc"))
+        }
+        val ord = new Ordering[Seq[(String, Any)]] {
+          def compare(a: Seq[(String, Any)], b: Seq[(String, Any)]): Int = {
+            val ma = a.toMap; val mb = b.toMap
+            keys.foreach { case (f, desc) =>
+              val c = (ma(f), mb(f)) match {
+                case (x: Long, y: Long) => x.compareTo(y)
+                case (x: Double, y: Double) => x.compareTo(y)
+                case (x, y) => x.toString.compareTo(y.toString)
+              }
+              if (c != 0) return if (desc) -c else c
+            }
+            0
+          }
+        }
+        outRows.sorted(ord)
+    }
+    val limited = top.map(sorted.take).getOrElse(sorted).map { row =>
+      row.map { case (c, v) =>
         v match {
           case s: String => s""""$c":"$s""""
           case l: Long => if (v2) s""""$c":"$l"""" else s""""$c":$l"""
           case other => s""""$c":$other"""
         }
-      }
-      (keyJson ++ aggJson).mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
     }
-    val limited = top.map(items.take).getOrElse(items)
     val body =
       if (v2) s"""{"d":{"results":${limited.mkString("[", ",", "]")}}}"""
       else s"""{"value":${limited.mkString("[", ",", "]")}}"""
