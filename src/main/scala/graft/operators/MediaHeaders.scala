@@ -35,9 +35,16 @@ import org.apache.spark.sql.functions._
   *    duration BE32 @m+24; v1: @m+28 / BE64 @m+32. duration_ms =
   *    floor(duration · 1000 / timescale). 64-bit box sizes (size==1) and
   *    size<8 kill the scan (corrupt → NULL, never garbage).
-  *  - MP3: ID3v2 tag (syncsafe size @7..10) skipped, then one MPEG1
-  *    Layer III frame header: bitrate index → kbps table, duration_ms =
-  *    floor(payload_bytes · 8 / kbps) — the standard CBR estimate.
+  *  - MP3: ID3v2 tag (syncsafe size @7..10) skipped, then one MPEG frame
+  *    header: version (MPEG1/2/2.5) x layer (I/II/III) select the bitrate
+  *    table, duration_ms = floor(payload_bytes · 8 / kbps) — the standard
+  *    CBR estimate. Reserved version/layer bits → NULL.
+  *  - AVI: "RIFF"+"AVI "; top-level chunk scan for LIST(hdrl), avih
+  *    subchunk inside → micro-sec-per-frame/total-frames (duration) and
+  *    width/height straight from the main header.
+  *  - OGG: "OggS" detected as fmt only — duration lives in the LAST page's
+  *    granule position, which a bounded head scan cannot reach; a tail scan
+  *    would need byte-wise search the expression kernel refuses to unroll.
   */
 object MediaHeaders {
 
@@ -66,6 +73,14 @@ object MediaHeaders {
       .when(be(b, off, 4) === idBe, -off)
       .otherwise(off + 8 + le(b, off + 4, 4) + pmod(le(b, off + 4, 4), lit(2L)))
 
+  /** One RIFF LIST-scan step matching a LIST chunk with form type `formBe`
+    * (a too-short form read compares NULL -> falls through to the skip). */
+  private def riffListStep(b: Column, off: Column, formBe: Long): Column =
+    when(off <= 0, off)
+      .when(be(b, off, 8).isNull, lit(0L))
+      .when(be(b, off, 4) === List4cc && be(b, off + 8, 4) === formBe, -off)
+      .otherwise(off + 8 + le(b, off + 4, 4) + pmod(le(b, off + 4, 4), lit(2L)))
+
   /** One ISO-BMFF box-walk step looking for box type `typeBe`
     * ([size BE32][type 4CC] headers; size 0/1/<8 = unwalkable → dead). */
   private def boxStep(b: Column, off: Column, typeBe: Long): Column =
@@ -89,6 +104,24 @@ object MediaHeaders {
 
   private val Moov = 0x6D6F6F76L // "moov"
   private val Mvhd = 0x6D766864L // "mvhd"
+  private val List4cc = 0x4C495354L // "LIST"
+  private val Hdrl = 0x6864726CL // "hdrl"
+  private val Avih = 0x61766968L // "avih"
+
+  // MPEG bitrate tables (kbps) by version x layer, index 1..14 (index 0 =
+  // free-format, 15 = bad — both refuse to NULL). MPEG2 and MPEG2.5 share
+  // tables, and Layer II/III merge in the v2 family (ISO/IEC 11172-3 /
+  // 13818-3 annex tables).
+  private[graft] val V1L1 = Seq(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private[graft] val V1L2 = Seq(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private[graft] val V1L3 = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private[graft] val V2L1 = Seq(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private[graft] val V2L23 = Seq(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  private def kbpsTable(idx: Column, ks: Seq[Int]): Column =
+    ks.zipWithIndex.tail.foldLeft(when(idx === 1, lit(ks.head.toLong))) {
+      case (acc, (k, i)) => acc.when(idx === (i + 1), lit(k.toLong))
+    }
 
   /** Parsed header struct (fmt, width, height, duration_ms) from a binary
     * content column. Unknown/truncated payloads → fmt 'unknown' / NULLs. */
@@ -98,6 +131,8 @@ object MediaHeaders {
     val isGif = be(b, lit(1L), 4) === 0x47494638L
     val isBmp = be(b, lit(1L), 2) === 0x424DL
     val isWav = be(b, lit(1L), 4) === 0x52494646L && be(b, lit(9L), 4) === 0x57415645L
+    val isAvi = be(b, lit(1L), 4) === 0x52494646L && be(b, lit(9L), 4) === 0x41564920L
+    val isOgg = be(b, lit(1L), 4) === 0x4F676753L // "OggS" capture pattern
     val isMp4 = be(b, lit(5L), 4) === 0x66747970L // "ftyp" after the size word
     // frame sync (FFE) or an ID3v2 container
     val isMp3 = be(b, lit(1L), 3) === 0x494433L ||
@@ -106,7 +141,8 @@ object MediaHeaders {
     // when() skips NULL conditions (truncated reads) exactly like false — a
     // payload too short for any signature lands on 'unknown'
     val fmt = when(isPng, "png").when(isJpeg, "jpeg").when(isGif, "gif")
-      .when(isBmp, "bmp").when(isWav, "wav").when(isMp4, "mp4")
+      .when(isBmp, "bmp").when(isWav, "wav").when(isAvi, "avi")
+      .when(isOgg, "ogg").when(isMp4, "mp4")
       .when(isMp3, "mp3").otherwise("unknown")
 
     // JPEG: bounded segment scan; -st = SOF marker offset when found, and
@@ -131,16 +167,28 @@ object MediaHeaders {
         when(st < 0 && be(b, -st + 8, 1).isNotNull, -st)
       }
     }
+    // AVI: top-level scan for LIST(hdrl), then avih subchunk inside; the
+    // avih body carries dwMicroSecPerFrame / dwTotalFrames / dwWidth /
+    // dwHeight (fields 1, 5, 9, 10 of the 14-DWORD main header)
+    val avihOff = bindOnce(chain(b, lit(13L), RiffScanSteps,
+      riffListStep(_, _, Hdrl))) { ls =>
+      bindOnce(chain(b, when(ls < 0, -ls + 12).otherwise(lit(0L)),
+        RiffScanSteps, riffStep(_, _, Avih))) { st =>
+        when(st < 0 && be(b, -st + 47, 1).isNotNull, -st) // body through height
+      }
+    }
     val width =
       when(isPng, be(b, lit(17L), 4))
         .when(isJpeg, be(b, jpegSof + 7, 2))
         .when(isGif, le(b, lit(7L), 2))
         .when(isBmp, le(b, lit(19L), 4))
+        .when(isAvi, le(b, avihOff + 40, 4))
     val height =
       when(isPng, be(b, lit(21L), 4))
         .when(isJpeg, be(b, jpegSof + 5, 2))
         .when(isGif, le(b, lit(9L), 2))
         .when(isBmp, le(b, lit(23L), 4))
+        .when(isAvi, le(b, avihOff + 44, 4))
     // WAV duration: data bytes over byte-rate (both from the chunk scan);
     // guard the zero byte-rate a corrupt fmt chunk would produce
     val wavMs = bindOnce(le(b, wavFmt + 16, 4)) { byteRate =>
@@ -158,27 +206,43 @@ object MediaHeaders {
         }
       }
     }
+    // AVI duration: dwTotalFrames x dwMicroSecPerFrame; the micro-per-frame
+    // sanity cap (10 s/frame) also keeps the long product within double
+    // precision for any real frame count
+    val aviMs = bindOnce(avihOff) { a =>
+      bindOnce(le(b, a + 8, 4)) { micro =>
+        when(isAvi && micro > 0 && micro <= 10000000L,
+          floor(le(b, a + 24, 4) * micro / 1000).cast("long"))
+      }
+    }
     // MP3: first audio frame sits after an optional ID3v2 tag (syncsafe
     // size); duration is the standard CBR estimate over the frame bytes.
-    // MPEG1 (version bits 11) Layer III (layer bits 01) only.
+    // Full version/layer coverage: MPEG1/2/2.5 x Layer I/II/III bitrate
+    // tables; reserved version (01) or layer (00) bits refuse -> NULL.
     val mp3Ms = bindOnce(
       when(be(b, lit(1L), 3) === 0x494433L,
         lit(11L) + be(b, lit(7L), 1) * 2097152L + be(b, lit(8L), 1) * 16384L +
           be(b, lit(9L), 1) * 128L + be(b, lit(10L), 1))
         .otherwise(lit(1L))) { off =>
       bindOnce(when(be(b, off, 1) === 0xFFL &&
-        be(b, off + 1, 1).bitwiseAND(0xE0) === 0xE0L &&
-        floor(be(b, off + 1, 1) / 8).cast("long").bitwiseAND(3L) === 3L &&
-        floor(be(b, off + 1, 1) / 2).cast("long").bitwiseAND(3L) === 1L, off)) { fo =>
-        bindOnce(floor(be(b, fo + 2, 1) / 16).cast("long")) { idx =>
-          // MPEG1 Layer III bitrate table; 0 (free) and 15 (bad) → NULL
-          bindOnce(when(idx === 1, 32L).when(idx === 2, 40L).when(idx === 3, 48L)
-            .when(idx === 4, 56L).when(idx === 5, 64L).when(idx === 6, 80L)
-            .when(idx === 7, 96L).when(idx === 8, 112L).when(idx === 9, 128L)
-            .when(idx === 10, 160L).when(idx === 11, 192L).when(idx === 12, 224L)
-            .when(idx === 13, 256L).when(idx === 14, 320L)) { kbps =>
-            when(isMp3 && kbps.isNotNull,
-              floor((length(b).cast("long") - fo + 1) * 8 / kbps).cast("long"))
+        be(b, off + 1, 1).bitwiseAND(0xE0) === 0xE0L, off)) { fo =>
+        bindOnce(floor(be(b, fo + 1, 1) / 8).cast("long").bitwiseAND(3L)) { ver =>
+          bindOnce(floor(be(b, fo + 1, 1) / 2).cast("long").bitwiseAND(3L)) { layer =>
+            bindOnce(floor(be(b, fo + 2, 1) / 16).cast("long")) { idx =>
+              // ver: 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1; layer:
+              // 0=reserved, 1=III, 2=II, 3=I — reserved rows yield NULL kbps
+              bindOnce(
+                when(ver === 3,
+                  when(layer === 3, kbpsTable(idx, V1L1))
+                    .when(layer === 2, kbpsTable(idx, V1L2))
+                    .when(layer === 1, kbpsTable(idx, V1L3)))
+                  .when(ver === 2 || ver === 0,
+                    when(layer === 3, kbpsTable(idx, V2L1))
+                      .when(layer === 2 || layer === 1, kbpsTable(idx, V2L23)))) { kbps =>
+                when(isMp3 && kbps.isNotNull,
+                  floor((length(b).cast("long") - fo + 1) * 8 / kbps).cast("long"))
+              }
+            }
           }
         }
       }
@@ -188,7 +252,7 @@ object MediaHeaders {
       fmt.as("fmt"),
       width.cast("int").as("width"),
       height.cast("int").as("height"),
-      coalesce(wavMs, mp4Ms, mp3Ms).as("duration_ms"))
+      coalesce(wavMs, aviMs, mp4Ms, mp3Ms).as("duration_ms"))
   }
 
   /** Deterministic on-disk-format fixtures (hex) used by the p41 gate query
@@ -267,13 +331,50 @@ object MediaHeaders {
         "FFFB9000" + "00" * 796),
       // 6: truncated mp4 (ftyp only) -> mp4, NULL duration
       6 -> ftyp,
-      // 7: mp3 frame with reserved version bits (FFE2: MPEG2.5) -> mp3,
-      //    NULL duration (bitrate table refuses, no garbage math)
+      // 7: MPEG2.5 Layer III (FFE2), idx 1 -> 8 kbps; 64 bytes -> 64 ms
       7 -> ("FFE21000" + "00" * 60),
       // 8: mp4 with corrupt box chain inside moov (child size 0) -> mp4,
       //    NULL duration (walk dies)
       8 -> (ftyp + box("moov", "00000000" + "75647461" + "00" * 8)),
       // 9: not a media file -> unknown
-      9 -> "6E6F7468696E6720746F207365652068657265")
+      9 -> "6E6F7468696E6720746F207365652068657265",
+      // 10: MPEG2 Layer III (FFF3), idx 9 -> 80 kbps; 1200 bytes -> 120 ms
+      10 -> ("FFF39000" + "00" * 1196),
+      // 11: MPEG1 Layer II (FFFD), idx 8 -> 128 kbps; 1600 bytes -> 100 ms
+      11 -> ("FFFD8000" + "00" * 1596),
+      // 12: MPEG1 Layer I (FFFF), idx 4 -> 128 kbps; 3200 bytes -> 200 ms
+      12 -> ("FFFF4000" + "00" * 3196),
+      // 13: reserved VERSION bits (FFEB: ver 01) -> mp3, NULL duration
+      13 -> ("FFEB9000" + "00" * 60),
+      // 14: reserved LAYER bits (FFF1: layer 00) -> mp3, NULL duration
+      14 -> ("FFF19000" + "00" * 60),
+      // 15: AVI 640x480, 300 frames @ 33333 us/frame -> 9999 ms
+      15 -> aviHex(33333L, 300L, 640L, 480L, junk = false),
+      // 16: AVI with an odd-sized JUNK chunk before LIST(hdrl): the scan
+      //     must skip it WITH the even-padding byte
+      16 -> aviHex(33333L, 300L, 640L, 480L, junk = true),
+      // 17: OGG page header -> fmt only (duration needs the last page)
+      17 -> ("4F676753" + "0002" + "00" * 20),
+      // 18: truncated AVI (RIFF+form only) -> avi, NULLs
+      18 -> ("52494646" + "00000000" + "41564920"))
+  }
+
+  private def le32(v: Long): String =
+    (0 until 4).map(i => f"${(v >> (8 * i)) & 0xFF}%02X").mkString
+  private def fourcc(s: String): String =
+    s.getBytes("ASCII").map(c => f"$c%02X").mkString
+  private def riffChunk(id: String, bodyHex: String): String =
+    fourcc(id) + le32(bodyHex.length / 2) + bodyHex +
+      (if ((bodyHex.length / 2) % 2 == 1) "00" else "") // even padding
+
+  /** Minimal real-layout AVI: RIFF("AVI ") + optional JUNK + LIST(hdrl)
+    * holding a full 56-byte avih main header. */
+  private def aviHex(micro: Long, frames: Long, w: Long, h: Long, junk: Boolean): String = {
+    val avihBody = le32(micro) + le32(0) * 3 + le32(frames) +
+      le32(0) + le32(1) + le32(0) + le32(w) + le32(h) + le32(0) * 4
+    val hdrl = fourcc("LIST") + le32(4 + 8 + avihBody.length / 2) + fourcc("hdrl") +
+      riffChunk("avih", avihBody)
+    val pre = if (junk) riffChunk("JUNK", "00" * 5) else ""
+    fourcc("RIFF") + le32(0) + fourcc("AVI ") + pre + hdrl
   }
 }

@@ -177,13 +177,33 @@ private[queries] object QuerySql {
            WHEN ${hxBeG(off, 4)} < 8 THEN 0
            ELSE $off + ${hxBeG(off, 4)} END"""
 
+  /** RIFF LIST-scan step matching LIST + form 4CC (a short form substring
+    * simply fails the compare and the scan skips on, like BinRead's NULL). */
+  private def riffListStepSql(off: String, formHex: String): String = s"""
+      CASE WHEN $off <= 0 THEN $off
+           WHEN length(h) < (($off)+7)*2 THEN 0
+           WHEN substring(h, ($off)*2-1, 8) = '4C495354'
+                AND substring(h, (($off)+8)*2-1, 8) = '$formHex' THEN -($off)
+           ELSE $off + 8 + ${hxLe(s"($off)+4", 4)} + (${hxLe(s"($off)+4", 4)} % 2) END"""
+
+  private def kbpsCaseSql(idx: String, ks: Seq[Int]): String =
+    s"CASE ($idx) " + ks.zipWithIndex.map { case (k, i) => s"WHEN ${i + 1} THEN $k" }
+      .mkString(" ") + " END"
+
   /** The full p45 oracle. NOTE: the fixture set contains no image formats,
-    * so width/height are literal NULLs here; add image branches if image
+    * so only AVI contributes width/height here; add image branches if image
     * fixtures ever join `avFixtures`. */
   def avHeadersSql(fixtures: Seq[(Int, String)]): String = {
+    import graft.operators.MediaHeaders.{V1L1, V1L2, V1L3, V2L1, V2L23}
     val values = fixtures.map { case (id, hx) => s"($id, '$hx')" }.mkString(", ")
     val mvhdSteps = (1 to 6).map { i =>
       s"mv$i AS (SELECT media_id, h, ${boxStepSql("6D766864")("off")} AS off FROM mv${i - 1})"
+    }.mkString(",\n        ")
+    val listSteps = (1 to 4).map { i =>
+      s"lh$i AS (SELECT media_id, h, ${riffListStepSql("off", "6864726C")} AS off FROM lh${i - 1})"
+    }.mkString(",\n        ")
+    val avihSteps = (1 to 4).map { i =>
+      s"av$i AS (SELECT media_id, h, ${riffStepSql("off", "61766968")} AS off FROM av${i - 1})"
     }.mkString(",\n        ")
     s"""
         WITH fx(media_id, hx) AS (VALUES $values),
@@ -199,6 +219,15 @@ private[queries] object QuerySql {
         $mvhdSteps,
         mvf AS (SELECT media_id, CASE WHEN off < 0 AND length(h) >= (-off+8)*2
                  THEN -off END AS m FROM mv6),
+        lh0 AS (SELECT media_id, h, CAST(13 AS BIGINT) AS off FROM b),
+        $listSteps,
+        lhf AS (SELECT media_id, CASE WHEN off < 0 THEN -off END AS lh FROM lh4),
+        av0 AS (SELECT b.media_id, h,
+            CASE WHEN lh IS NOT NULL THEN lh + 12 ELSE 0 END AS off
+          FROM b JOIN lhf USING (media_id)),
+        $avihSteps,
+        avf AS (SELECT media_id, CASE WHEN off < 0 AND length(h) >= (-off+47)*2
+                 THEN -off END AS av FROM av4),
         fr AS (SELECT media_id, h,
             CASE WHEN length(h) >= 20 AND substring(h, 1, 6) = '494433'
                  THEN 11 + ${hxBeG("7", 1)} * 2097152 + ${hxBeG("8", 1)} * 16384
@@ -207,26 +236,37 @@ private[queries] object QuerySql {
         frv AS (SELECT media_id, h,
             CASE WHEN ${hxBeG("fo0", 1)} = 255
                   AND ${hxBeG("fo0+1", 1)} >= 224
-                  AND (${hxBeG("fo0+1", 1)} // 8) % 4 = 3
-                  AND (${hxBeG("fo0+1", 1)} // 2) % 4 = 1
                  THEN fo0 END AS fo FROM fr),
         kb AS (SELECT media_id, fo,
-            CASE (${hxBeG("fo+2", 1)} // 16)
-              WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
-              WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
-              WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
-              WHEN 13 THEN 256 WHEN 14 THEN 320 END AS kbps FROM frv),
+            CASE WHEN (${hxBeG("fo+1", 1)} // 8) % 4 = 3 THEN
+              CASE WHEN (${hxBeG("fo+1", 1)} // 2) % 4 = 3
+                     THEN ${kbpsCaseSql(s"${hxBeG("fo+2", 1)} // 16", V1L1)}
+                   WHEN (${hxBeG("fo+1", 1)} // 2) % 4 = 2
+                     THEN ${kbpsCaseSql(s"${hxBeG("fo+2", 1)} // 16", V1L2)}
+                   WHEN (${hxBeG("fo+1", 1)} // 2) % 4 = 1
+                     THEN ${kbpsCaseSql(s"${hxBeG("fo+2", 1)} // 16", V1L3)} END
+             WHEN (${hxBeG("fo+1", 1)} // 8) % 4 IN (0, 2) THEN
+              CASE WHEN (${hxBeG("fo+1", 1)} // 2) % 4 = 3
+                     THEN ${kbpsCaseSql(s"${hxBeG("fo+2", 1)} // 16", V2L1)}
+                   WHEN (${hxBeG("fo+1", 1)} // 2) % 4 IN (1, 2)
+                     THEN ${kbpsCaseSql(s"${hxBeG("fo+2", 1)} // 16", V2L23)} END
+             END AS kbps FROM frv),
         m4 AS (SELECT media_id, h, m, ${hxBeG("m+8", 1)} AS ver FROM mvf JOIN b USING (media_id)),
         m4f AS (SELECT media_id, m,
             CASE WHEN ver = 1 THEN ${hxBeG("m+28", 4)} ELSE ${hxBeG("m+20", 4)} END AS ts,
             CASE WHEN ver = 1 THEN ${hxBeG("m+32", 8)} ELSE ${hxBeG("m+24", 4)} END AS dur
           FROM m4),
-        d AS (SELECT b.media_id, h,
+        d AS (SELECT b.media_id, h, av,
             (length(h) >= 16 AND substring(h, 9, 8) = '66747970') AS is_mp4,
             ((length(h) >= 6 AND substring(h, 1, 6) = '494433') OR
              (${hxBeG("1", 1)} = 255 AND ${hxBeG("2", 1)} >= 224)) AS is_mp3,
+            (h LIKE '52494646%' AND length(h) >= 24
+              AND substring(h, 17, 8) = '41564920') AS is_avi,
+            CASE WHEN av IS NOT NULL THEN ${hxLe("av+8", 4)} END AS micro,
+            CASE WHEN av IS NOT NULL THEN ${hxLe("av+24", 4)} END AS frames,
             ts, dur, fo, kbps
-          FROM b JOIN m4f USING (media_id) JOIN kb USING (media_id))
+          FROM b JOIN m4f USING (media_id) JOIN kb USING (media_id)
+                 JOIN avf USING (media_id))
         SELECT media_id,
           CASE WHEN h LIKE '89504E470D0A1A0A%' THEN 'png'
                WHEN h LIKE 'FFD8%' THEN 'jpeg'
@@ -234,12 +274,18 @@ private[queries] object QuerySql {
                WHEN h LIKE '424D%' THEN 'bmp'
                WHEN h LIKE '52494646%' AND length(h) >= 24
                     AND substring(h, 17, 8) = '57415645' THEN 'wav'
+               WHEN is_avi THEN 'avi'
+               WHEN h LIKE '4F676753%' THEN 'ogg'
                WHEN is_mp4 THEN 'mp4'
                WHEN is_mp3 THEN 'mp3'
                ELSE 'unknown' END AS fmt,
-          CAST(NULL AS INTEGER) AS width,
-          CAST(NULL AS INTEGER) AS height,
-          CASE WHEN is_mp4 AND ts > 0
+          CAST(CASE WHEN is_avi AND av IS NOT NULL
+                 THEN ${hxLe("av+40", 4)} END AS INTEGER) AS width,
+          CAST(CASE WHEN is_avi AND av IS NOT NULL
+                 THEN ${hxLe("av+44", 4)} END AS INTEGER) AS height,
+          CASE WHEN is_avi AND micro > 0 AND micro <= 10000000
+                 THEN CAST(floor(frames * micro / 1000) AS BIGINT)
+               WHEN is_mp4 AND ts > 0
                  THEN CAST(floor(dur * 1000 / ts) AS BIGINT)
                WHEN is_mp3 AND kbps IS NOT NULL
                  THEN CAST(floor((length(h) // 2 - fo + 1) * 8 / kbps) AS BIGINT)

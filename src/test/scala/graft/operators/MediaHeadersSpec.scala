@@ -69,8 +69,26 @@ class MediaHeadersSpec extends SparkSpecBase {
   test("MP3: CBR duration; ID3v2 tag skipped; reserved version bits refuse") {
     assert(parsedAv(4) == (("mp3", None, None, Some(100L)))) // 1600 B @ 128 kbps
     assert(parsedAv(5) == (("mp3", None, None, Some(50L))))  // 800 B behind ID3
-    assert(parsedAv(7) == (("mp3", None, None, None)))       // MPEG2.5 header
     assert(parsedAv(9) == (("unknown", None, None, None)))
+  }
+
+  test("MP3: MPEG2/2.5 and Layer I/II bitrate tables; reserved bits refuse") {
+    assert(parsedAv(7) == (("mp3", None, None, Some(64L))))   // MPEG2.5 L3 @ 8 kbps
+    assert(parsedAv(10) == (("mp3", None, None, Some(120L)))) // MPEG2 L3 @ 80 kbps
+    assert(parsedAv(11) == (("mp3", None, None, Some(100L)))) // MPEG1 L2 @ 128 kbps
+    assert(parsedAv(12) == (("mp3", None, None, Some(200L)))) // MPEG1 L1 @ 128 kbps
+    assert(parsedAv(13) == (("mp3", None, None, None)))       // reserved version
+    assert(parsedAv(14) == (("mp3", None, None, None)))       // reserved layer
+  }
+
+  test("AVI: avih dims + frame-count duration; JUNK skipped; truncated -> NULLs") {
+    assert(parsedAv(15) == (("avi", Some(640), Some(480), Some(9999L))))
+    assert(parsedAv(16) == (("avi", Some(640), Some(480), Some(9999L))))
+    assert(parsedAv(18) == (("avi", None, None, None)))
+  }
+
+  test("OGG: detected as fmt only (duration lives in the last page)") {
+    assert(parsedAv(17) == (("ogg", None, None, None)))
   }
 
   test("parse is map-only scalar work: binary kernel, no shuffle, no UDF") {
