@@ -58,8 +58,11 @@ object Quantize {
     * `Similarity.ivfPqBuildIndex(trainIters = ...)`). */
   def pqCodebooksTrained(corpus: org.apache.spark.sql.DataFrame, idCol: String,
                          vecCol: String, m: Int, k: Int,
-                         iters: Int): Seq[Seq[Seq[Double]]] = {
-    var cbs = pqCodebooks(corpus, idCol, vecCol, m, k)
+                         iters: Int,
+                         init: Option[Seq[Seq[Seq[Double]]]] = None): Seq[Seq[Seq[Double]]] = {
+    // init warm-starts Lloyd from caller-supplied books (the alternating-OPQ
+    // half-step) instead of the hash-seeded picks
+    var cbs = init.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, k))
     if (iters <= 0) return cbs
     val sub = cbs.head.head.length
     val v = corpus.select(col(vecCol).cast("array<double>").as("v")).cache()
@@ -155,6 +158,139 @@ object Quantize {
       bucketDims(bi) = bucketDims(bi) :+ ei
     }
     (0 until m).flatMap(bi => bucketDims(bi).map(ei => eigVecs(ei).toSeq))
+  }
+
+  /** Non-parametric OPQ (Ge et al., CVPR 2013, the alternating variant):
+    * start from the parametric rotation and alternate (1) PQ codebook
+    * training in the rotated geometry with (2) an orthogonal-Procrustes
+    * re-solve of R against the codebook reconstructions. Both half-steps
+    * minimize the same `‖R·x − decode(encode(R·x))‖²` objective, so the
+    * distortion is non-increasing round over round (asserted in
+    * `TrainedCodebooksSpec`). Returns (R, trained codebooks) — the books
+    * are consistent with the FINAL R, so callers use both as a pair.
+    *
+    * 100 TB shape: the cross-covariance is a per-partition D×D double
+    * accumulation reduced to the driver (the [[opqRotation]] covariance
+    * pattern); everything driver-side is D×D bounded metadata. */
+  def opqRotationRefined(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                         vecCol: String, m: Int, k: Int, rounds: Int,
+                         trainIters: Int): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    import org.apache.spark.sql.functions.col
+    var r = opqRotation(corpus, vecCol, m)
+    val d = r.length
+    val sub = d / m
+    var cbs: Seq[Seq[Seq[Double]]] = Seq.empty
+    val rows = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("x")).cache()
+    try {
+      for (round <- 0 until math.max(1, rounds)) {
+        if (round > 0) {
+          // cross-covariance C = Σ x·ŷᵀ with ŷ = decode(encode(R·x));
+          // encode is the expression kernel, decode a closure-side lookup
+          val cbArr = cbs.map(_.map(_.toArray).toArray).toArray
+          val enc = rows.select(col("x"), pqEncode(rotate(col("x"), r), cbs).as("codes"))
+          val c = enc.rdd.mapPartitions { it =>
+            val acc = Array.ofDim[Double](d * d)
+            val yhat = Array.ofDim[Double](d)
+            it.foreach { row =>
+              val x = row.getSeq[Double](0)
+              val codes = row.getSeq[Int](1)
+              var mi = 0
+              while (mi < m) {
+                val e = cbArr(mi)(codes(mi))
+                var j = 0
+                while (j < sub) { yhat(mi * sub + j) = e(j); j += 1 }
+                mi += 1
+              }
+              var i = 0
+              while (i < d) {
+                val xi = x(i)
+                var j = 0
+                while (j < d) { acc(i * d + j) += xi * yhat(j); j += 1 }
+                i += 1
+              }
+            }
+            Iterator(acc)
+          }.reduce { (a, b) =>
+            var i = 0
+            while (i < d * d) { a(i) += b(i); i += 1 }
+            a
+          }
+          r = procrustes(c, d)
+        }
+        // round 0 trains from the hash seeds (= the parametric path);
+        // later rounds warm-start from the previous books so both
+        // half-steps descend ONE objective — no reseeding regressions
+        val rotated = rows.select(col("id"), rotate(col("x"), r).as("rv"))
+        cbs = pqCodebooksTrained(rotated, "id", "rv", m, k, trainIters,
+          init = if (round == 0) None else Some(cbs))
+      }
+      (r, cbs)
+    } finally { rows.unpersist(); () }
+  }
+
+  /** Orthogonal Procrustes: the rotation maximizing `tr(R·C)` for the
+    * cross-covariance C = Σ x·ŷᵀ, i.e. R = V·Uᵀ from the SVD C = U·S·Vᵀ.
+    * The SVD derives from Jacobi on CᵀC (giving V and S²) with
+    * u_i = C·v_i/σ_i; a near-zero singular value keeps u_i = v_i (a
+    * rank-deficient direction — any rotation of it is equally optimal,
+    * though R is then only approximately orthogonal there). */
+  private[operators] def procrustes(cFlat: Array[Double], d: Int): Seq[Seq[Double]] = {
+    val ctc = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0
+      var l = 0
+      while (l < d) { s += cFlat(l * d + i) * cFlat(l * d + j); l += 1 }
+      s
+    }
+    val (evals, evecs) = jacobiEigen(ctc) // evecs(i) = eigenvector i (row)
+    val scale = math.sqrt(evals.map(math.abs).max.max(1e-300))
+    val us = Array.tabulate(d) { i =>
+      val sigma = math.sqrt(math.max(evals(i), 0.0))
+      val cv = Array.tabulate(d) { a =>
+        var s = 0.0
+        var l = 0
+        while (l < d) { s += cFlat(a * d + l) * evecs(i)(l); l += 1 }
+        s
+      }
+      // normalize by ‖C·v‖ (not the eigenvalue-derived σ): the Jacobi
+      // eigenvalue error would otherwise leak into u's norm
+      val nrm = math.sqrt(cv.map(x => x * x).sum)
+      if (sigma > 1e-9 * scale && nrm > 0) cv.map(_ / nrm) else evecs(i).clone()
+    }
+    // modified Gram–Schmidt over the u's: Jacobi precision on
+    // near-degenerate spectra (e.g. many equal noise dims) leaves them only
+    // ~1e-5 orthogonal — re-orthonormalize so R is a rotation to machine
+    // precision (V is exactly orthogonal: it IS the Jacobi rotation product)
+    locally {
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < i) {
+          var dp = 0.0
+          var l = 0
+          while (l < d) { dp += us(i)(l) * us(j)(l); l += 1 }
+          l = 0
+          while (l < d) { us(i)(l) -= dp * us(j)(l); l += 1 }
+          j += 1
+        }
+        var n = 0.0
+        var l = 0
+        while (l < d) { n += us(i)(l) * us(i)(l); l += 1 }
+        val inv = 1.0 / math.sqrt(math.max(n, 1e-300))
+        l = 0
+        while (l < d) { us(i)(l) *= inv; l += 1 }
+        i += 1
+      }
+    }
+    // R = V·Uᵀ = Σ_i v_i·u_iᵀ
+    (0 until d).map { a =>
+      (0 until d).map { b =>
+        var s = 0.0
+        var i = 0
+        while (i < d) { s += evecs(i)(a) * us(i)(b); i += 1 }
+        s
+      }
+    }
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix — returns

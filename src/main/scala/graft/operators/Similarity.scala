@@ -512,7 +512,8 @@ object Similarity {
                       m: Int = 8, k: Int = 16, trainIters: Int = 0,
                       centroidsFrom: Option[String] = None,
                       residual: Boolean = true,
-                      opq: Boolean = false): Unit = {
+                      opq: Boolean = false,
+                      opqRounds: Int = 0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = centroidsFrom match {
@@ -562,11 +563,19 @@ object Similarity {
     // rotation is PCA-derived from the (residual) training distribution and
     // persisted so queries rotate identically. Orthogonality preserves L2,
     // so ADC distances in rotated space equal the unrotated ones.
+    // opqRounds > 1 alternates codebook training with a Procrustes re-solve
+    // of R (non-parametric OPQ) — the refined books pair with the final R.
+    val refined: Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] =
+      if (effOpq && centroidsFrom.isEmpty && opqRounds > 0)
+        Some(graft.operators.Quantize.opqRotationRefined(
+          preRot, corpusId, "rv0", m, k, opqRounds, trainIters))
+      else None
     val rotation: Seq[Seq[Double]] =
       if (!effOpq) Seq.empty
       else centroidsFrom match {
         case Some(src) => loadRotation(spark, src)
-        case None => graft.operators.Quantize.opqRotation(preRot, "rv0", m)
+        case None => refined.map(_._1)
+          .getOrElse(graft.operators.Quantize.opqRotation(preRot, "rv0", m))
       }
     if (effOpq) {
       rotation.zipWithIndex.map { case (row, i) => (i, row) }.toDF("i", "r")
@@ -579,10 +588,11 @@ object Similarity {
       .drop("rv0")
     val cbs = centroidsFrom match {
       case Some(src) => loadCodebooks(spark, src)
-      case None =>
+      case None => refined.map(_._2).getOrElse {
         if (trainIters > 0)
           graft.operators.Quantize.pqCodebooksTrained(assigned, corpusId, "rv", m, k, trainIters)
         else graft.operators.Quantize.pqCodebooks(assigned, corpusId, "rv", m, k)
+      }
     }
     cbs.zipWithIndex.flatMap { case (entries, mi) =>
       entries.zipWithIndex.map { case (c, ki) => (mi, ki, c) }

@@ -186,10 +186,10 @@ class TrainedCodebooksSpec extends SparkSpecBase {
     val pTruth = Similarity
       .knnBruteForce(planted, "vec_id", pq, "vec_id", "embedding", 10).cache()
 
-    def tierRecall(path: String, useOpq: Boolean): Double = {
+    def tierRecall(path: String, useOpq: Boolean, rounds: Int = 0): Double = {
       Similarity.ivfPqBuildIndex(planted, "vec_id", "embedding", path,
         nCentroids = 32, m = 8, k = 16, trainIters = 5, residual = true,
-        opq = useOpq)
+        opq = useOpq, opqRounds = rounds)
       val res = Similarity.ivfPqQueryIndex(spark, path, pq, "vec_id",
         "embedding", k = 10, nProbe = 8, rerank = 10)
       val hits = res.select("q_id", "id")
@@ -202,6 +202,20 @@ class TrainedCodebooksSpec extends SparkSpecBase {
     assert(rOpq > rRes,
       f"OPQ must beat residual-only on anisotropic data: $rRes%.3f vs $rOpq%.3f")
     assert(Similarity.loadPqMeta(spark, s"$base/opq") == ((3, true, true)))
+
+    // alternating (non-parametric) refinement: codebook training and
+    // Procrustes re-solves share one objective, so recall must hold the
+    // parametric level; the re-solved R must remain a true rotation
+    val rAlt = tierRecall(s"$base/alt", useOpq = true, rounds = 3)
+    info(f"anisotropic corpus, ADC-tier recall@10: parametric=$rOpq%.3f alternating(3)=$rAlt%.3f")
+    assert(rAlt >= rOpq,
+      f"alternating OPQ must hold the parametric level: $rOpq%.3f vs $rAlt%.3f")
+    val rot = Similarity.loadRotation(spark, s"$base/alt")
+    for (a <- rot.indices; b <- a until rot.length) {
+      val dp = rot(a).zip(rot(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dp - (if (a == b) 1.0 else 0.0)) < 1e-5,
+        s"refined R not orthonormal at ($a,$b): $dp")
+    }
     // reuse path: centroidsFrom inherits rotation + flags
     Similarity.ivfPqBuildIndex(planted, "vec_id", "embedding", s"$base/reuse",
       centroidsFrom = Some(s"$base/opq"))
