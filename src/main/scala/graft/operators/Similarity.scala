@@ -603,15 +603,87 @@ object Similarity {
       .drop("rv")
       .withColumnRenamed(corpusId, "id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    // per-cell row counts (bounded: nCentroids longs) — the adaptive-probe
+    // query path sizes its probe list with these; counted from the written
+    // files' id column so the encode pass is not recomputed
+    spark.read.parquet(s"$path/cells").groupBy("cell").count()
+      .repartition(1).write.mode("overwrite").parquet(s"$path/cellstats")
     Seq((3, effResidual, effOpq)).toDF("version", "residual", "opq")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Probe list (q_id, qv, qn, cell) for an IVF(PQ) query: fixed top-nProbe
+    * cells, or — with a candidate budget — cells in descending similarity
+    * while the candidates BEFORE each are under budget (first cell always
+    * probes; the prefix property bounds total candidates by budget + the
+    * last cell's size). */
+  private def probeList(q: DataFrame, centroids: Seq[Seq[Double]], nProbe: Int,
+                        candidateBudget: Option[Long], maxProbe: Int,
+                        cellCounts: => Seq[Long]): DataFrame =
+    candidateBudget match {
+      case None =>
+        q.select(col("q_id"), col("qv"), col("qn"),
+            explode(slice(reverse(array_sort(cellSimsFor(centroids)(col("qv")))),
+              1, nProbe)).as("pr"))
+          .select(col("q_id"), col("qv"), col("qn"), col("pr.cid").as("cell"))
+      case Some(budget) =>
+        val counts = typedLit(cellCounts)
+        val wP = Window.partitionBy("q_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        q.select(col("q_id"), col("qv"), col("qn"),
+            posexplode(slice(reverse(array_sort(cellSimsFor(centroids)(col("qv")))),
+              1, math.max(1, maxProbe))))
+          .select(col("q_id"), col("qv"), col("qn"), col("pos"),
+            col("col").getField("cid").as("cell"))
+          .withColumn("cum", sum(element_at(counts, col("cell") + 1)).over(wP))
+          .filter(col("pos") === 0 || coalesce(col("cum"), lit(0L)) < budget)
+          .drop("pos", "cum")
+    }
+
+  /** The (q_id, cell) probe list a query with these parameters would scan —
+    * the adaptive-budget observability hook (how many cells does each query
+    * actually probe?). */
+  def ivfPqProbes(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, queryId: String, vecCol: String,
+                  nProbe: Int = 4, candidateBudget: Option[Long] = None,
+                  maxProbe: Int = 16): DataFrame = {
+    val centroids = loadCentroids(spark, path)
+    val q = withNorm(queries, queryId, vecCol)
+      .select(col(queryId).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    probeList(q, centroids, nProbe, candidateBudget, maxProbe,
+      loadCellCounts(spark, path, centroids.length))
+      .select("q_id", "cell")
+  }
+
+  /** Per-cell row counts, positionally indexed by cell id. Falls back to a
+    * counting scan for pre-cellstats indexes. */
+  def loadCellCounts(spark: org.apache.spark.sql.SparkSession, path: String,
+                     nCells: Int): Seq[Long] = {
+    val rows = try {
+      spark.read.parquet(s"$path/cellstats").collect()
+    } catch {
+      case _: Exception =>
+        spark.read.parquet(s"$path/cells").groupBy("cell").count().collect()
+    }
+    val m = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until nCells).map(c => m.getOrElse(c, 0L))
+  }
+
   /** Query an IVFPQ index: probe cells → ADC over codes → exact rerank of
-    * the per-query `rerank` pool. Output: (q_id, id, sim, rnk). */
+    * the per-query `rerank` pool. Output: (q_id, id, sim, rnk).
+    *
+    * `candidateBudget` switches to ADAPTIVE probing: each query probes cells
+    * in descending similarity until the cumulative candidate count reaches
+    * the budget (capped at `maxProbe` cells, minimum one). A fixed nProbe
+    * over skewed cells makes dense-cell queries scan far more candidates
+    * than sparse-cell queries for the same recall; the budget equalizes
+    * per-query work — sparse-cluster queries probe MORE cells, dense ones
+    * fewer. Cell sizes come from the bounded `cellstats` metadata. */
   def ivfPqQueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       queries: DataFrame, queryId: String, vecCol: String,
-                      k: Int, nProbe: Int = 4, rerank: Int = 64): DataFrame = {
+                      k: Int, nProbe: Int = 4, rerank: Int = 64,
+                      candidateBudget: Option[Long] = None,
+                      maxProbe: Int = 16): DataFrame = {
     val centroids = loadCentroids(spark, path)
     val cbs = loadCodebooks(spark, path)
     val (_, residual, opq) = loadPqMeta(spark, path)
@@ -625,10 +697,8 @@ object Similarity {
 
     val q = withNorm(queries, queryId, vecCol)
       .select(col(queryId).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val probes = q.select(col("q_id"), col("qv"), col("qn"),
-        explode(slice(reverse(array_sort(cellSimsFor(centroids)(col("qv")))),
-          1, nProbe)).as("pr"))
-      .select(col("q_id"), col("qv"), col("qn"), col("pr.cid").as("cell"))
+    val probes = probeList(q, centroids, nProbe, candidateBudget, maxProbe,
+      loadCellCounts(spark, path, centroids.length)) // by-name: fixed mode never loads
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq // bounded by nCentroids
 

@@ -74,6 +74,70 @@ class IvfIndexSpec extends SparkSpecBase {
       s"expected a codes-only scan without vectors:\n${codeScans.mkString("\n")}")
   }
 
+  test("adaptive nProbe: probe count follows cell density under a candidate budget") {
+    import spark.implicits._
+    // skewed corpus: one huge cluster (1500 vectors) + 15 sparse clusters
+    // (~33 each) on the unit sphere — the geometry fixed nProbe mishandles
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(16)(unit(Array.fill(64)(rnd.nextGaussian())))
+    val skewed = (0 until 2000).map { i =>
+      val c = centers(if (i < 1500) 0 else 1 + i % 15)
+      (i.toLong, unit(c.zip(Array.fill(64)(rnd.nextGaussian()))
+        .map { case (x, e) => x + 0.08 * e }).map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding").cache()
+    val path = Files.createTempDirectory("ivfpq-adapt").toString
+    Similarity.ivfPqBuildIndex(skewed, "vec_id", "embedding", path,
+      nCentroids = 16, m = 8, k = 16, trainIters = 3)
+
+    // cellstats: bounded metadata, sums to the corpus, k-means splits the
+    // huge cluster but real skew survives (measured ~9x max/min)
+    val counts = Similarity.loadCellCounts(spark, path, 16)
+    assert(counts.sum == 2000 && counts.max >= 4 * counts.min.max(1L),
+      s"cellstats wrong or skew collapsed: $counts")
+
+    // one member of the densest cell + one of the sparsest, same budget =
+    // the max cell size: the dense query's own cell exhausts it alone
+    val cells = spark.read.parquet(s"$path/cells").select("id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val maxCell = counts.indexOf(counts.max)
+    val minCell = counts.indexOf(counts.min)
+    val denseId = cells.find(_._2 == maxCell).get._1
+    val sparseId = cells.find(_._2 == minCell).get._1
+    val budget = counts.max
+    def queryOf(id: Long) = skewed.filter(col("vec_id") === id)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    def probedCells(qs: org.apache.spark.sql.DataFrame): Int =
+      Similarity.ivfPqProbes(spark, path, qs, "q_id", "embedding",
+        candidateBudget = Some(budget)).count().toInt
+    val dCells = probedCells(queryOf(denseId))
+    val sCells = probedCells(queryOf(sparseId))
+    info(s"probed cells under budget $budget: dense-cell query=$dCells sparse=$sCells")
+    // the dense query's first cell already blows the budget -> few cells;
+    // the sparse query accumulates many small cells before hitting it
+    assert(dCells <= 2, s"dense query over-probed: $dCells cells")
+    assert(sCells > dCells, s"sparse query should probe more cells: $sCells vs $dCells")
+
+    // adaptive with a generous budget recalls at least as well as nProbe=1
+    // (it probes a superset of cells for every query)
+    val qs = skewed.orderBy("vec_id").limit(20)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val truth = Similarity.knnBruteForce(skewed, "vec_id", qs, "q_id",
+      "embedding", 10).cache()
+    def recall(res: org.apache.spark.sql.DataFrame): Double =
+      res.select("q_id", "id").join(truth.select("q_id", "id"),
+        Seq("q_id", "id"), "left_semi").count().toDouble / truth.count()
+    val rFixed = recall(Similarity.ivfPqQueryIndex(spark, path, qs, "q_id",
+      "embedding", k = 10, nProbe = 1, rerank = 32))
+    val rAdaptive = recall(Similarity.ivfPqQueryIndex(spark, path, qs, "q_id",
+      "embedding", k = 10, rerank = 32, candidateBudget = Some(budget + 100)))
+    info(f"skewed corpus recall@10: nProbe=1 fixed=$rFixed%.3f adaptive=$rAdaptive%.3f")
+    assert(rAdaptive >= rFixed,
+      f"adaptive must not lose to single-probe: $rFixed%.3f vs $rAdaptive%.3f")
+  }
+
   test("index queries prune to the probed cell partitions") {
     val path = Files.createTempDirectory("ivf-idx2").toString
     Similarity.ivfBuildIndex(corpus, "vec_id", "embedding", path, nCentroids = 16)
