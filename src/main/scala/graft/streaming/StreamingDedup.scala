@@ -51,6 +51,25 @@ object StreamingDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming curation pipeline — the streaming twin of the batch cleaning
+    * composition (the p17/p46 shape): encoding-artifact gate
+    * ([[graft.operators.TextOps.encodingArtifacts]] `looks_clean`) +
+    * quality-score threshold, then first-seen exact dedup within the
+    * watermark. Both gates are map-only scalar projections — rows that fail
+    * them never reach the stateful operator, so the ONLY state is the
+    * bounded dedup fingerprint store (smaller than plain dedupExactStream:
+    * dirty/low-quality rows don't take a state slot). Adds `q` (quality)
+    * and `fp` columns. */
+  def cleanStream(docs: DataFrame, tsCol: String, textCol: String,
+                  watermark: String, minQuality: Double = 0.3): DataFrame = {
+    import graft.operators.TextOps
+    val gated = docs
+      .filter(TextOps.encodingArtifacts(col(textCol)).getField("looks_clean"))
+      .withColumn("q", TextOps.qualityScore(col(textCol)))
+      .filter(col("q") >= minQuality)
+    dedupExactStream(gated, tsCol, textCol, watermark)
+  }
+
   /** Streaming NEAR-duplicate dedup — the streaming twin of
     * `Dedup.dedupNear`, at candidate level: a document is kept iff NONE of
     * its MinHash-LSH band keys was claimed by an earlier document within the

@@ -50,6 +50,58 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(keptFps.length == docs.size)
   }
 
+  test("streaming curation: encoding + quality gates before dedup, batch parity") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => Doc(r.getLong(0),
+        new Timestamp(1700000000000L + r.getLong(0) * 1000L), r.getString(1)))
+      .toSeq
+    // plant the three failure classes the gates exist for: mojibake text,
+    // a replacement-char casualty, and an exact duplicate of a clean doc
+    val moji = docs.head.copy(doc_id = 900001L,
+      ts = new Timestamp(docs.head.ts.getTime + 1000L),
+      text = docs.head.text + " " + graft.operators.TextOps.MojibakeSeqs.mkString(" "))
+    val repl = docs.head.copy(doc_id = 900002L,
+      ts = new Timestamp(docs.head.ts.getTime + 2000L),
+      text = docs.head.text + "��")
+    val dup = docs(1).copy(doc_id = 900003L,
+      ts = new Timestamp(docs(1).ts.getTime + 3000L))
+    val all = docs ++ Seq(moji, repl, dup)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamingDedup.cleanStream(mem.toDF(), "ts", "text", "10 minutes")
+      .writeStream.format("memory").queryName("clean_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val (b1, b2) = all.splitAt(all.size / 2)
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("clean_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(900001L) && !kept.contains(900002L),
+      "encoding-artifact rows must not survive the gate")
+    assert(!kept.contains(900003L), "exact duplicate must dedup away")
+
+    // batch parity: same gates + exact dedup over the same rows (tuples:
+    // the inner-class Doc encoder can't instantiate outside the stream)
+    val batchDf = all.map(d => (d.doc_id, d.ts, d.text))
+      .toDF("doc_id", "ts", "text")
+    val batchKept = graft.operators.Dedup.dedupExact(
+        batchDf.filter(graft.operators.TextOps.encodingArtifacts(col("text"))
+          .getField("looks_clean"))
+          .filter(graft.operators.TextOps.qualityScore(col("text")) >= 0.3),
+        "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == batchKept,
+      s"stream/batch divergence: onlyStream=${(kept -- batchKept).take(5)} " +
+        s"onlyBatch=${(batchKept -- kept).take(5)}")
+  }
+
   test("streaming URL dedup: surface variants of one canonical URL collapse to first arrival") {
     import spark.implicits._
     val base = 1700000000000L
