@@ -104,6 +104,8 @@ object MediaHeaders {
 
   private val Moov = 0x6D6F6F76L // "moov"
   private val Mvhd = 0x6D766864L // "mvhd"
+  private val Trak = 0x7472616BL // "trak"
+  private val Tkhd = 0x746B6864L // "tkhd"
   private val List4cc = 0x4C495354L // "LIST"
   private val Hdrl = 0x6864726CL // "hdrl"
   private val Avih = 0x61766968L // "avih"
@@ -167,6 +169,33 @@ object MediaHeaders {
         when(st < 0 && be(b, -st + 8, 1).isNotNull, -st)
       }
     }
+    // MP4 video dims: moov → FIRST trak → tkhd; width/height are 16.16
+    // fixed point at tkhd body offset 76/80 (v0) or 88/92 (v1). Audio
+    // tracks carry zeros there — gated to NULL below. (Only the first trak
+    // is inspected: a nested per-trak scan would square the tree; real
+    // muxers put the video track first.)
+    val tkhdOff = bindOnce(chain(b, lit(1L), BoxScanSteps,
+      boxStep(_, _, Moov))) { moovSt =>
+      bindOnce(chain(b, when(moovSt < 0, -moovSt + 8).otherwise(lit(0L)),
+        BoxScanSteps, boxStep(_, _, Trak))) { trakSt =>
+        bindOnce(chain(b, when(trakSt < 0, -trakSt + 8).otherwise(lit(0L)),
+          BoxScanSteps, boxStep(_, _, Tkhd))) { st =>
+          when(st < 0 && be(b, -st + 8, 1).isNotNull, -st)
+        }
+      }
+    }
+    val mp4W = bindOnce(tkhdOff) { t =>
+      bindOnce(when(be(b, t + 8, 1) === 1, be(b, t + 96, 4))
+        .otherwise(be(b, t + 84, 4))) { fx =>
+        when(isMp4 && fx > 0, floor(fx / 65536).cast("long"))
+      }
+    }
+    val mp4H = bindOnce(tkhdOff) { t =>
+      bindOnce(when(be(b, t + 8, 1) === 1, be(b, t + 100, 4))
+        .otherwise(be(b, t + 88, 4))) { fx =>
+        when(isMp4 && fx > 0, floor(fx / 65536).cast("long"))
+      }
+    }
     // AVI: top-level scan for LIST(hdrl), then avih subchunk inside; the
     // avih body carries dwMicroSecPerFrame / dwTotalFrames / dwWidth /
     // dwHeight (fields 1, 5, 9, 10 of the 14-DWORD main header)
@@ -183,12 +212,14 @@ object MediaHeaders {
         .when(isGif, le(b, lit(7L), 2))
         .when(isBmp, le(b, lit(19L), 4))
         .when(isAvi, le(b, avihOff + 40, 4))
+        .when(isMp4, mp4W)
     val height =
       when(isPng, be(b, lit(21L), 4))
         .when(isJpeg, be(b, jpegSof + 5, 2))
         .when(isGif, le(b, lit(9L), 2))
         .when(isBmp, le(b, lit(23L), 4))
         .when(isAvi, le(b, avihOff + 44, 4))
+        .when(isMp4, mp4H)
     // WAV duration: data bytes over byte-rate (both from the chunk scan);
     // guard the zero byte-rate a corrupt fmt chunk would produce
     val wavMs = bindOnce(le(b, wavFmt + 16, 4)) { byteRate =>
@@ -310,6 +341,22 @@ object MediaHeaders {
   private def box(tpe: String, bodyHex: String): String =
     f"${8 + bodyHex.length / 2}%08X" + tpe.getBytes("ASCII").map(b => f"$b%02X").mkString + bodyHex
 
+  /** tkhd box (hex), full v0 (84-byte) / v1 (96-byte) body layout; width
+    * and height are 16.16 fixed point in the last two DWORDs. */
+  private def tkhdHex(version: Int, w: Long, h: Long): String = {
+    def be32(v: Long) = f"$v%08X"
+    def be64(v: Long) = f"$v%016X"
+    val times =
+      if (version == 0) "00" + "000000" + be32(0) + be32(0) + be32(1) + be32(0) + be32(0)
+      else "01" + "000000" + be64(0) + be64(0) + be32(1) + be32(0) + be64(0)
+    val body = times + be32(0) * 2 /* reserved */ +
+      "0000" + "0000" + "0000" + "0000" /* layer/alt/volume/reserved */ +
+      ("00010000" + "00000000" * 2 + "00000000" + "00010000" + "00000000" +
+        "00000000" + "00000000" + "40000000") /* identity matrix */ +
+      be32(w << 16) + be32(h << 16)
+    box("tkhd", body) // a complete child box; caller wraps it in box("trak", ...)
+  }
+
   /** MP4/MP3 fixtures for the p45 gate query: real container layouts plus
     * truncated/corrupt cases. */
   val avFixtures: Seq[(Int, String)] = {
@@ -356,7 +403,15 @@ object MediaHeaders {
       // 17: OGG page header -> fmt only (duration needs the last page)
       17 -> ("4F676753" + "0002" + "00" * 20),
       // 18: truncated AVI (RIFF+form only) -> avi, NULLs
-      18 -> ("52494646" + "00000000" + "41564920"))
+      18 -> ("52494646" + "00000000" + "41564920"),
+      // 19: mp4 with a VIDEO trak (tkhd v0, 1920x1080 as 16.16 fixed
+      //     point) after mvhd: dims + duration both parse
+      19 -> (ftyp + box("moov", mvhdHex(0, 600L, 3000L) +
+        box("trak", tkhdHex(0, 1920L, 1080L)))),
+      // 20: mp4 whose first trak is AUDIO (tkhd dims zero) -> duration
+      //     parses, dims NULL (zeros gate to NULL, never 0x0)
+      20 -> (ftyp + box("moov", mvhdHex(1, 90000L, 450000L) +
+        box("trak", tkhdHex(1, 0L, 0L)))))
   }
 
   private def le32(v: Long): String =

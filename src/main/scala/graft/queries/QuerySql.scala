@@ -219,6 +219,27 @@ private[queries] object QuerySql {
         $mvhdSteps,
         mvf AS (SELECT media_id, CASE WHEN off < 0 AND length(h) >= (-off+8)*2
                  THEN -off END AS m FROM mv6),
+        tk0 AS (SELECT b.media_id, h,
+            CASE WHEN moov IS NOT NULL THEN moov + 8 ELSE 0 END AS off
+          FROM b JOIN moovf USING (media_id)),
+        ${(1 to 6).map { i =>
+      s"tk$i AS (SELECT media_id, h, ${boxStepSql("7472616B")("off")} AS off FROM tk${i - 1})"
+    }.mkString(",\n        ")},
+        tkf AS (SELECT media_id, CASE WHEN off < 0 THEN -off END AS trak FROM tk6),
+        th0 AS (SELECT b.media_id, h,
+            CASE WHEN trak IS NOT NULL THEN trak + 8 ELSE 0 END AS off
+          FROM b JOIN tkf USING (media_id)),
+        ${(1 to 6).map { i =>
+      s"th$i AS (SELECT media_id, h, ${boxStepSql("746B6864")("off")} AS off FROM th${i - 1})"
+    }.mkString(",\n        ")},
+        thf AS (SELECT media_id, CASE WHEN off < 0 AND length(h) >= (-off+8)*2
+                 THEN -off END AS t FROM th6),
+        tdim AS (SELECT thf.media_id,
+            CASE WHEN ${hxBeG("t+8", 1)} = 1 THEN ${hxBeG("t+96", 4)}
+                 ELSE ${hxBeG("t+84", 4)} END AS wfx,
+            CASE WHEN ${hxBeG("t+8", 1)} = 1 THEN ${hxBeG("t+100", 4)}
+                 ELSE ${hxBeG("t+88", 4)} END AS hfx
+          FROM thf JOIN b USING (media_id)),
         lh0 AS (SELECT media_id, h, CAST(13 AS BIGINT) AS off FROM b),
         $listSteps,
         lhf AS (SELECT media_id, CASE WHEN off < 0 THEN -off END AS lh FROM lh4),
@@ -264,9 +285,9 @@ private[queries] object QuerySql {
               AND substring(h, 17, 8) = '41564920') AS is_avi,
             CASE WHEN av IS NOT NULL THEN ${hxLe("av+8", 4)} END AS micro,
             CASE WHEN av IS NOT NULL THEN ${hxLe("av+24", 4)} END AS frames,
-            ts, dur, fo, kbps
+            ts, dur, fo, kbps, wfx, hfx
           FROM b JOIN m4f USING (media_id) JOIN kb USING (media_id)
-                 JOIN avf USING (media_id))
+                 JOIN avf USING (media_id) JOIN tdim USING (media_id))
         SELECT media_id,
           CASE WHEN h LIKE '89504E470D0A1A0A%' THEN 'png'
                WHEN h LIKE 'FFD8%' THEN 'jpeg'
@@ -280,9 +301,13 @@ private[queries] object QuerySql {
                WHEN is_mp3 THEN 'mp3'
                ELSE 'unknown' END AS fmt,
           CAST(CASE WHEN is_avi AND av IS NOT NULL
-                 THEN ${hxLe("av+40", 4)} END AS INTEGER) AS width,
+                 THEN ${hxLe("av+40", 4)}
+               WHEN is_mp4 AND wfx > 0 THEN wfx // 65536
+               END AS INTEGER) AS width,
           CAST(CASE WHEN is_avi AND av IS NOT NULL
-                 THEN ${hxLe("av+44", 4)} END AS INTEGER) AS height,
+                 THEN ${hxLe("av+44", 4)}
+               WHEN is_mp4 AND hfx > 0 THEN hfx // 65536
+               END AS INTEGER) AS height,
           CASE WHEN is_avi AND micro > 0 AND micro <= 10000000
                  THEN CAST(floor(frames * micro / 1000) AS BIGINT)
                WHEN is_mp4 AND ts > 0

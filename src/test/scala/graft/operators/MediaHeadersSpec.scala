@@ -91,6 +91,11 @@ class MediaHeadersSpec extends SparkSpecBase {
     assert(parsedAv(17) == (("ogg", None, None, None)))
   }
 
+  test("MP4 video dims from the first trak's tkhd; audio-track zeros gate to NULL") {
+    assert(parsedAv(19) == (("mp4", Some(1920), Some(1080), Some(5000L))))
+    assert(parsedAv(20) == (("mp4", None, None, Some(5000L))))
+  }
+
   test("parse is map-only scalar work: binary kernel, no shuffle, no UDF") {
     val df = MediaHeaders.fixtures.toDF("media_id", "hx")
       .withColumn("content", unhex(col("hx")))
