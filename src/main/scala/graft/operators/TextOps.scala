@@ -503,4 +503,74 @@ object TextOps {
         i => array_min(slice(kgrams, i + 1, lit(w)))))))
       .otherwise(array_sort(array_distinct(kgrams)))
   }
+
+  /** Corpus-trained bigram language-model scoring — the self-perplexity
+    * quality filter of the CCNet family of recipes (Wenzek et al., LREC'20
+    * score documents under a KenLM n-gram model; training the n-gram model
+    * on the corpus itself gives the same signal with no external artifact):
+    * documents whose word transitions are improbable under the corpus LM
+    * are gibberish/OCR noise; implausibly probable ones are boilerplate.
+    *
+    * Add-one (Laplace) smoothing over the corpus vocabulary V — the
+    * standard n-gram LM estimate P(w2|w1) = (c(w1,w2)+1)/(c(w1,·)+V) —
+    * is what makes rare transitions actually score low: unsmoothed, a
+    * singleton bigram has c12/c1 = 1/1 and gibberish would score as
+    * perfectly predictable.
+    *
+    * Determinism contract (the DuckDB oracle hash-gates this): the
+    * smoothed probability is kept as the FLOOR-scaled integer
+    * `(c12+1) * scale div (c1+V)` — integer multiply and integer division
+    * are exact in every engine — and the per-document score is the exact
+    * BIGINT sum of those, so there is no float fold order anywhere. The
+    * reported `lm_score` (mean scaled transition probability) is one
+    * correctly-rounded double division at the end.
+    *
+    * Shape at 100 TB (the LM trains on the same pass that scores): explode
+    * bigrams → groupBy(w1,w2) [partial-agg shuffle; the Zipf head pre-sums
+    * map-side] → groupBy(w1) context counts [same] → ONE (w1,w2) shuffle
+    * join of the doc-bigram stream against the LM — hot bigrams ("of the")
+    * are AQE-splittable because the LM side is one row per bigram — →
+    * per-doc partial-agg sum. Nothing is collected, broadcast, or bounded
+    * by vocabulary size. */
+  def lmBigramScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String,
+                    scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, lit, sum}
+    val docs = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+    val bigrams = docs.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 1).as("w1"),
+          slice(col("tk"), lit(2), size(col("tk")) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // corpus vocabulary |V| for the smoothing denominator — exact distinct
+    // (two partial-agg shuffles), a single row broadcast like p44's N.
+    val vocabN = docs.select(explode(col("tk")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("n12")).as("n1"))
+    // true integer division (`div`): `(n12+1) * scale` can exceed 2^53 on
+    // a Zipf-head bigram at corpus scale, where a double-divide-then-cast
+    // would round differently than DuckDB's exact `//`.
+    val lm = c12.join(c1, "w1").crossJoin(broadcast(vocabN))
+      .select(col("w1"), col("w2"),
+        expr(s"(n12 + 1L) * ${scale}L div (n1 + v)").as("p"))
+    val perDoc = bigrams.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("score_sum"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("score_sum"),
+        (col("score_sum").cast("double") / col("n_bigrams").cast("double"))
+          .as("lm_score"),
+        // integer-armed band filter: mean scaled transition probability in
+        // [1%, 60%] of `scale` — below is gibberish (smoothed singleton
+        // transitions), above is boilerplate (a doc repeating one phrase
+        // drives P(w2|w1) → 1).
+        (coalesce(col("n_bigrams"), lit(0L)) > 0 &&
+          col("score_sum") * 100L >= col("n_bigrams") * lit(scale) &&
+          col("score_sum") * 10L <= col("n_bigrams") * lit(scale) * 6L)
+          .as("keep"))
+  }
 }

@@ -438,6 +438,57 @@ object TextQueries {
             col("ea.looks_clean").as("looks_clean"))
           .orderBy("doc_id")
       },
-      Some(EncodingArtifactsSql))
+      Some(EncodingArtifactsSql)),
+
+    // ---- p47: corpus-trained bigram-LM scoring — the CCNet-style
+    // perplexity quality filter, self-trained (no external model
+    // artifact), add-one smoothed over the corpus vocabulary. Outliers
+    // PLANTED per doc_id mod identically in both engines (p46 pattern):
+    // per-doc-unique gibberish should score below the band, a repeated
+    // boilerplate phrase above it. Smoothed P(w2|w1) is a FLOOR-scaled
+    // integer (`(c12+1)*1e6 div (c1+V)` — exact in both engines), the
+    // per-doc score an exact BIGINT sum; the only double is one final
+    // correctly-rounded division. Keep band integer-armed. ----------------
+    QueryDef("p47_lm_score",
+      (s, d) => {
+        val gib = concat_ws(" ",
+          (0 until 12).map(i => concat(lit("g"), col("doc_id"), lit("x" + i))): _*)
+        val planted = T.documents(s, d).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 0, gib)
+            .when(pmod(col("doc_id"), lit(13)) === 1,
+              lit("click here to continue " * 50))
+            .otherwise(col("text")).as("text"))
+        TextOps.lmBigramScore(planted, "doc_id", "text").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH planted AS (SELECT doc_id, CASE
+            WHEN doc_id % 13 = 0 THEN concat_ws(' ',
+              'g'||doc_id||'x0','g'||doc_id||'x1','g'||doc_id||'x2',
+              'g'||doc_id||'x3','g'||doc_id||'x4','g'||doc_id||'x5',
+              'g'||doc_id||'x6','g'||doc_id||'x7','g'||doc_id||'x8',
+              'g'||doc_id||'x9','g'||doc_id||'x10','g'||doc_id||'x11')
+            WHEN doc_id % 13 = 1 THEN repeat('click here to continue ', 50)
+            ELSE text END AS text
+          FROM documents),
+        t AS (SELECT doc_id, $ToksSql AS tk FROM planted),
+        v AS (SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(tk) AS w FROM t)),
+        b AS (SELECT doc_id,
+            unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+          FROM t),
+        c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM b GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY 1),
+        lm AS (SELECT w1, w2, ((n12 + 1) * 1000000) // (n1 + v) AS p
+          FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+        d AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+            CAST(SUM(lm.p) AS BIGINT) AS score_sum
+          FROM b JOIN lm USING (w1, w2) GROUP BY 1)
+        SELECT planted.doc_id,
+          COALESCE(n_bigrams, 0) AS n_bigrams, score_sum,
+          CAST(score_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS lm_score,
+          (COALESCE(n_bigrams, 0) > 0
+           AND score_sum * 100 >= n_bigrams * 1000000
+           AND score_sum * 10 <= n_bigrams * 6000000) AS keep
+        FROM planted LEFT JOIN d USING (doc_id) ORDER BY doc_id"""))
   )
 }

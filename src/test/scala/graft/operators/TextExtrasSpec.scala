@@ -207,4 +207,42 @@ class TextExtrasSpec extends SparkSpecBase {
     assert(out(4L) == ((0L, 5L, 0L, false))) // 200*5 > 8 chars
     assert(out(5L) == ((0L, 0L, 0L, true)))  // \t \n \r excluded from the class
   }
+
+  test("bigram LM score: hand-computed smoothed probabilities") {
+    // vocab V = {a,b,c,z1,z2} = 5; c(a,b)=3 c(b,a)=1 c(b,c)=1 c(z1,z2)=1;
+    // contexts a=3 b=2 z1=1. Smoothed p = (c12+1)*1e6 div (c1+5):
+    //   p(a,b)=4e6 div 8=500000, p(b,a)=p(b,c)=2e6 div 7=285714,
+    //   p(z1,z2)=2e6 div 6=333333.
+    val df = Seq(
+      (1L, "a b a b"),   // (a,b)+(b,a)+(a,b) = 1285714, n=3
+      (2L, "a b c"),     // 785714, n=2
+      (3L, "z1 z2")      // 333333, n=1
+    ).toDF("id", "text")
+    val out = TextOps.lmBigramScore(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((3L, 1285714L, 1285714.0 / 3, true)))
+    assert(out(2L) == ((2L, 785714L, 392857.0, true)))
+    assert(out(3L) == ((1L, 333333L, 333333.0, true)))
+  }
+
+  test("bigram LM score: gibberish below the band, boilerplate above it") {
+    // The band is corpus-relative: add-one smoothing only penalizes
+    // singleton transitions when V is large next to their context counts,
+    // and boilerplate only stands out when its phrase mass dominates V —
+    // so the corpus needs a realistic vocab/doc ratio (200 docs sharing a
+    // sentence, each contributing 2 unique tokens → V ≈ 430).
+    val normals = (1L to 200L).map { i =>
+      (i, "the cat sat on the mat and the dog ran to the cat door again " +
+        s"today u${i}a u${i}b")
+    }
+    val gib = (201L, (1 to 12).map(j => s"g201x$j").mkString(" "))
+    val boiler = (202L, "click here to continue " * 2000)
+    val df = (normals :+ gib :+ boiler).toDF("id", "text")
+    val out = TextOps.lmBigramScore(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    (1L to 200L).foreach(i => assert(out(i)._2, s"normal doc $i should keep"))
+    assert(!out(201L)._2 && !out(202L)._2)
+    assert(out(201L)._1 < out(1L)._1 && out(1L)._1 < out(202L)._1)
+  }
 }
