@@ -573,4 +573,74 @@ object TextOps {
           col("score_sum") * 10L <= col("n_bigrams") * lit(scale) * 6L)
           .as("keep"))
   }
+
+  /** DSIR-style importance weights (Xie et al., NeurIPS'23 "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its HASHED bigram features are, where the
+    * target is a designated subset of the corpus itself (a language, a
+    * curated source). The published recipe estimates bag-of-hashed-ngram
+    * distributions p_target and p_raw and weights docs by the importance
+    * ratio; resampling by that weight shifts the corpus toward the target
+    * domain without a trained classifier.
+    *
+    * Divergence from the paper, for engine determinism: the per-document
+    * statistic is the arithmetic mean of per-feature probability ratios,
+    * not the paper's log-product (geometric) form — logs are
+    * transcendental and engine-dependent in the last ulp, while this form
+    * is all integer multiply/divide (exact everywhere) plus one final
+    * correctly-rounded double division. Both forms rank a doc higher the
+    * more mass its features have under the target; E[ratio] under p_raw is
+    * exactly 1, so `scale` is a natural select threshold.
+    *
+    * Overflow bound (documented, not checked): per-feature math peaks at
+    * `(r_total + buckets) * scale` — with scale=1e6 that caps the corpus
+    * at ~9e12 bigram tokens (≈ 50 TB of English text); pass a smaller
+    * `scale` beyond that.
+    *
+    * Shape at 100 TB: explode bigrams → hash to a FIXED feature space
+    * (buckets, default 1024) → ONE partial-agg shuffle counts target and
+    * raw occurrences together (`sum(when(target,1))` rides the same
+    * aggregate as `count`) → the feature table is at most `buckets` rows,
+    * broadcast back onto the doc-feature stream → per-doc partial-agg sum.
+    * The fixed feature space is what makes this cheaper than [[lmBigramScore]]:
+    * no vocabulary-sized join anywhere. */
+  def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, targetCol: Column, buckets: Int = 1024,
+                  scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
+    val docs = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"),
+      targetCol.as("is_target"))
+    val feats = docs.select(col("doc_id"), col("is_target"),
+        explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 1).as("w1"),
+          slice(col("tk"), lit(2), size(col("tk")) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(conv(substring(md5(concat_ws(" ", col("bg.w1"), col("bg.w2"))),
+          1, 15), 16, 10).cast("long"), lit(buckets.toLong)).as("f"))
+    val counts = feats.groupBy("f").agg(
+      count(lit(1)).as("r_f"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t_f"))
+    val totals = counts.agg(sum(col("r_f")).as("r_tot"), sum(col("t_f")).as("t_tot"))
+    // smoothed ratio p_t(f)/p_r(f) = ((t_f+1)/(t_tot+B)) / ((r_f+1)/(r_tot+B)),
+    // floor-staged: a = (t_f+1)*scale div (r_f+1)  (≤ scale since target ⊆ raw),
+    // then a * (r_tot+B) div (t_tot+B).
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("f"),
+        expr(s"((t_f + 1L) * ${scale}L div (r_f + 1L)) * (r_tot + ${buckets}L)" +
+          s" div (t_tot + ${buckets}L)").as("ratio"))
+    val perDoc = feats.join(broadcast(ratios), "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("ratio")).as("w_sum"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("w_sum"),
+        (col("w_sum").cast("double") / col("n_feats").cast("double"))
+          .as("dsir_weight"),
+        // integer-armed: mean ratio ≥ 1 (= scale) ⇒ more target-like than
+        // the raw average ⇒ selected by the resampling pass.
+        (coalesce(col("n_feats"), lit(0L)) > 0 &&
+          col("w_sum") >= col("n_feats") * lit(scale)).as("selected"))
+  }
 }

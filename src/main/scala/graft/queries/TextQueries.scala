@@ -489,6 +489,39 @@ object TextQueries {
           (COALESCE(n_bigrams, 0) > 0
            AND score_sum * 100 >= n_bigrams * 1000000
            AND score_sum * 10 <= n_bigrams * 6000000) AS keep
-        FROM planted LEFT JOIN d USING (doc_id) ORDER BY doc_id"""))
+        FROM planted LEFT JOIN d USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- p48: DSIR importance weights — target-domain resampling scores
+    // (target = the English slice of the corpus) over HASHED bigram
+    // features (md5→bucket, the cross-engine hash idiom of p05's LSH).
+    // Arithmetic-mean ratio variant for integer exactness; see
+    // TextOps.dsirWeights for the divergence note. ------------------------
+    QueryDef("p48_dsir_weights",
+      (s, d) => TextOps.dsirWeights(T.documents(s, d), "doc_id", "text",
+        col("lang") === "en").orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang = 'en' AS is_target, $ToksSql AS tk
+          FROM documents),
+        feats AS (SELECT doc_id, is_target,
+            ('0x' || substring(md5(w1 || ' ' || w2), 1, 15))::BIGINT % 1024 AS f
+          FROM (SELECT doc_id, is_target,
+              unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+            FROM t)),
+        counts AS (SELECT f, COUNT(*) AS r_f,
+            CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_f
+          FROM feats GROUP BY 1),
+        tot AS (SELECT CAST(SUM(r_f) AS BIGINT) AS r_tot,
+            CAST(SUM(t_f) AS BIGINT) AS t_tot FROM counts),
+        ratios AS (SELECT f,
+            ((t_f + 1) * 1000000 // (r_f + 1)) * (r_tot + 1024)
+              // (t_tot + 1024) AS ratio
+          FROM counts CROSS JOIN tot),
+        d AS (SELECT feats.doc_id, COUNT(*) AS n_feats,
+            CAST(SUM(ratio) AS BIGINT) AS w_sum
+          FROM feats JOIN ratios USING (f) GROUP BY 1)
+        SELECT documents.doc_id, COALESCE(n_feats, 0) AS n_feats, w_sum,
+          CAST(w_sum AS DOUBLE) / CAST(n_feats AS DOUBLE) AS dsir_weight,
+          (COALESCE(n_feats, 0) > 0 AND w_sum >= n_feats * 1000000) AS selected
+        FROM documents LEFT JOIN d USING (doc_id) ORDER BY doc_id"""))
   )
 }

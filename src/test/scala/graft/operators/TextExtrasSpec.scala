@@ -245,4 +245,20 @@ class TextExtrasSpec extends SparkSpecBase {
     assert(!out(201L)._2 && !out(202L)._2)
     assert(out(201L)._1 < out(1L)._1 && out(1L)._1 < out(202L)._1)
   }
+
+  test("DSIR weights: disjoint-vocab target docs selected, others not") {
+    // Two sub-corpora with disjoint vocabularies; target = ids 1-10. Target
+    // features have t_f = r_f → ratio ≈ (r_tot+B)/(t_tot+B) ≈ 2×scale;
+    // non-target features have t_f = 0 → ratio ≈ scale/(r_f+1) ≪ scale.
+    val target = (1L to 10L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog number ${i % 2}"))
+    val other = (11L to 20L).map(i =>
+      (i, s"der schnelle braune fuchs springt ueber den faulen hund nr ${i % 2}"))
+    val df = (target ++ other).toDF("id", "text")
+    val out = TextOps.dsirWeights(df, "id", "text", $"id" <= 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    (1L to 10L).foreach(i => assert(out(i)._2, s"target doc $i"))
+    (11L to 20L).foreach(i => assert(!out(i)._2, s"non-target doc $i"))
+    assert(out(1L)._1 > 3 * out(11L)._1)
+  }
 }
