@@ -59,6 +59,8 @@ final case class ODataConf(
     pagination: String = "auto", // auto | offset | keyset
     partitionKey: Option[String] = None,
     keysetSweepMax: Long = 2000000L,
+    keysetOrder: String = "asc", // asc | desc (sweep + window direction)
+    keysetCountRefine: Boolean = true,
     bulkDeleteThreshold: Long = 10000L,
     bearer: Option[String] = None,
     user: Option[String] = None,
@@ -90,6 +92,8 @@ object ODataConf {
       pagination = o.getOrElse("pagination", "auto").toLowerCase,
       partitionKey = o.get("partitionkey"),
       keysetSweepMax = o.getOrElse("keysetsweepmax", "2000000").toLong,
+      keysetOrder = o.getOrElse("keysetorder", "asc").toLowerCase,
+      keysetCountRefine = o.getOrElse("keysetcountrefine", "true").toBoolean,
       bulkDeleteThreshold = o.getOrElse("bulkdeletethreshold", "10000").toLong,
       bearer = o.get("bearertoken"),
       user = o.get("user"),
@@ -1015,12 +1019,14 @@ private[odata] object KeysetWindows {
         .map(_.keys).filter(_.nonEmpty).map(_.mkString(","))
     }
 
-  /** Filter-aware `/\$count` probe (None on any failure). */
+  /** Filter-aware `/\$count` probe (None on any failure). Never served from
+    * the response cache: partition planning sized by a TTL-stale count
+    * mis-carves windows on a set that changed underneath it. */
   def countRows(conf: ODataConf, meta: ODataMeta, filters: Seq[String]): Option[Long] = {
     try {
       val u0 = ODataUrl.parse(meta.entitySetUrl + "/$count")
       val withFilter = filters.foldLeft(u0)((u, e) => u.mergeFilter(e))
-      val resp = HttpCore.shared.get(withFilter.render, auth = conf.auth)
+      val resp = HttpCore.shared.get(withFilter.render, useCache = false, auth = conf.auth)
       if (resp.status == 200) Some(resp.text.trim.toLong) else None
     } catch { case _: Exception => None }
   }
@@ -1029,7 +1035,22 @@ private[odata] object KeysetWindows {
     * `partitionRows`. `filters` narrow the sweep (pushed + runtime filters
     * must shape the windows, or they would cover the unfiltered key space).
     * None when un-plannable (unsupported key type, one window, sweep
-    * failure) — the caller stays serial, which is always correct. */
+    * failure) — the caller stays serial, which is always correct.
+    *
+    * `keysetOrder=desc` sweeps (and windows) in descending key order — for
+    * time-keyed sets where the newest rows matter most, a capped sweep then
+    * carves the RECENT end precisely instead of the oldest.
+    *
+    * Huge-set tail re-split: the sweep is O(swept keys) and capped by
+    * `keysetSweepMax`; beyond the cap the leftover tail used to become ONE
+    * unbounded window (the 100 TB skew shape). For a single integral key in
+    * asc order the tail is now re-carved NUMERICALLY: min is the last swept
+    * boundary, max comes from one `\$orderby key desc&\$top=1` probe, and
+    * the range splits uniformly — then (keysetCountRefine, default on) each
+    * candidate sub-window gets a filtered `/\$count`, empty ones are
+    * dropped and any window holding > 2× its share is split again,
+    * proportionally, one bounded round. O(parallelism) cheap requests
+    * instead of an O(N) sweep keeps arbitrarily large sets parallel. */
   def planWindows(conf: ODataConf, meta: ODataMeta, ord: String,
                   filters: Seq[String], total: Option[Long]): Option[Seq[String]] = {
     import org.apache.spark.sql.types._
@@ -1064,6 +1085,13 @@ private[odata] object KeysetWindows {
     }
     def tupleGt(lits: Seq[String]): String = tupleCmp(lits, "gt", "gt")
     def tupleLe(lits: Seq[String]): String = tupleCmp(lits, "lt", "le")
+    def tupleLt(lits: Seq[String]): String = tupleCmp(lits, "lt", "lt")
+    def tupleGe(lits: Seq[String]): String = tupleCmp(lits, "gt", "ge")
+    val desc = conf.keysetOrder == "desc"
+    // continuation / window comparators in sweep direction: "past" moves
+    // with the sweep, "upTo" closes a window at a boundary (inclusive)
+    def past(lits: Seq[String]): String = if (desc) tupleLt(lits) else tupleGt(lits)
+    def upTo(lits: Seq[String]): String = if (desc) tupleGe(lits) else tupleLe(lits)
     val nParts = total match {
       case Some(t) if t > 0 =>
         math.min(conf.parallelism.toLong,
@@ -1079,9 +1107,10 @@ private[odata] object KeysetWindows {
     def sweep(afterLits: Option[Seq[String]]): Seq[Seq[String]] = {
       var u = ODataUrl.parse(meta.entitySetUrl)
       filters.foreach(e => u = u.mergeFilter(e))
-      afterLits.foreach(l => u = u.mergeFilter(tupleGt(l)))
+      afterLits.foreach(l => u = u.mergeFilter(past(l)))
       u = u.withParam("$select", keys.mkString(","))
-        .withParam("$orderby", keys.mkString(","))
+        .withParam("$orderby",
+          if (desc) keys.map(_ + " desc").mkString(",") else keys.mkString(","))
         .withParam("$top", per.toString)
       if (v2) u = u.withParam("$format", "json")
       val out = scala.collection.mutable.Buffer[Seq[String]]()
@@ -1113,11 +1142,69 @@ private[odata] object KeysetWindows {
         else { boundaries += got.last; lastLits = Some(got.last) }
       }
       if (boundaries.isEmpty) return None // set fits one window: serial is right
-      Some((tupleLe(boundaries.head) +:
+      val head = upTo(boundaries.head) +:
         (1 until boundaries.size).map { i =>
-          s"${tupleGt(boundaries(i - 1))} and ${tupleLe(boundaries(i))}"
-        }) :+ tupleGt(boundaries.last))
+          s"${past(boundaries(i - 1))} and ${upTo(boundaries(i))}"
+        }
+      // sweep capped with tail un-carved → numeric re-split of the tail
+      // (asc single integral key only); otherwise the tail stays one window
+      val tailParts: Seq[String] =
+        if (!exhausted && swept >= conf.keysetSweepMax && !desc &&
+            keys.size == 1 && !stringKey.head)
+          numericTailWindows(conf, meta, keys.head, boundaries.last.head,
+            filters, nParts - boundaries.size, per)
+            .getOrElse(Seq(past(boundaries.last)))
+        else Seq(past(boundaries.last))
+      Some(head ++ tailParts)
     } catch { case _: Exception => None } // sweep failure: correct, serial
+  }
+
+  /** Uniform numeric carve of `(lo, max]` into ~`nTail` windows, with one
+    * `/\$count`-probed refinement round: empty candidates drop, any window
+    * holding more than 2× `per` rows re-splits proportionally (each split
+    * bounded at 16 pieces). Counts unavailable → the uniform carve stands:
+    * disjointness/completeness never depend on the refinement. */
+  private def numericTailWindows(conf: ODataConf, meta: ODataMeta, key: String,
+                                 loLit: String, filters: Seq[String],
+                                 nTail: Int, per: Long): Option[Seq[String]] = {
+    val lo = try loLit.toLong catch { case _: Exception => return None }
+    // one keys-only desc probe for the max key; servers that reject desc
+    // ordering (400) leave the tail as one window
+    val hi = try {
+      var u = ODataUrl.parse(meta.entitySetUrl)
+      filters.foreach(e => u = u.mergeFilter(e))
+      u = u.withParam("$select", key).withParam("$orderby", s"$key desc")
+        .withParam("$top", "1")
+      if (meta.version == 2) u = u.withParam("$format", "json")
+      val resp = HttpCore.shared.get(u.render, useCache = false, auth = conf.auth)
+      if (resp.status != 200) return None
+      val rows = ODataJson.extractPage(ODataJson.parse(resp.text)).rows
+      if (rows.isEmpty) return None
+      rows.head.get(key).asText.toLong
+    } catch { case _: Exception => return None }
+    if (hi <= lo || nTail <= 1) return None
+    def carve(l: Long, h: Long, n: Int): Seq[(Long, Long)] = {
+      val nn = math.min(n.toLong, h - l).toInt
+      val cuts = (1 until nn).map(i => l + (h - l) * i / nn).distinct
+        .filter(c => c > l && c < h)
+      ((l +: cuts) :+ h).sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val base = carve(lo, hi, nTail)
+    val refined: Seq[(Long, Long)] =
+      if (!conf.keysetCountRefine) base
+      else base.flatMap { case (l, h) =>
+        countRows(conf, meta, filters :+ s"$key gt $l and $key le $h") match {
+          case Some(0L) => Seq.empty // empty stretch: no request at read time
+          case Some(c) if c > 2 * per && h - l > 1 =>
+            carve(l, h, math.min(16L, (c + per - 1) / per).toInt)
+          case _ => Seq((l, h))
+        }
+      }
+    val wins = if (refined.nonEmpty) refined else base
+    Some(wins.map { case (l, h) =>
+      if (h == hi) s"$key gt $l" // open end: rows beyond the max probe
+      else s"$key gt $l and $key le $h"
+    })
   }
 }
 

@@ -159,6 +159,93 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
     } finally v4.skipStatus = 200
   }
 
+  test("parallel scan: keysetOrder=desc sweeps and windows in descending key order") {
+    v4.skipStatus = 501
+    try {
+      v4.requests.clear()
+      val df = read(v4, "parallelism" -> "4", "partitionRows" -> "5",
+        "keysetOrder" -> "desc")
+      val ids = df.collect().map(_.getString(0)).toSeq
+      assert(ids.length == 20 && ids.distinct.length == 20,
+        s"desc keyset union wrong: $ids")
+      // sweep pages order by the key DESC
+      val sweeps = v4.requests.filter(r =>
+        r.contains("$select=CustomerID") && r.contains("$orderby=CustomerID desc"))
+      assert(sweeps.nonEmpty, s"no desc boundary sweep in ${v4.requests}")
+      // windows flip: first = ge highest boundary, middles lt+ge, tail = lt
+      val windows = v4.requests.filter(r =>
+        r.contains("/Customers?") && r.contains("$filter=") &&
+          !r.contains("$orderby") && (r.contains(" ge ") || r.contains(" lt ")))
+      assert(windows.exists(_.contains("CustomerID ge 'C15'")), s"got $windows")
+      assert(windows.exists(r => r.contains("CustomerID lt 'C15'") &&
+        r.contains("CustomerID ge 'C10'")), s"got $windows")
+      assert(windows.exists(_.contains("CustomerID lt 'C05'")), s"got $windows")
+    } finally v4.skipStatus = 200
+  }
+
+  test("capped sweep re-splits the tail numerically (integral key)") {
+    v4.skipStatus = 501
+    try {
+      v4.requests.clear()
+      // per=5; keysetSweepMax=5 stops the sweep after ONE batch (boundary
+      // Revenue=5000) with 15 of 20 rows un-carved -> numeric tail over
+      // (5000, 20000] in 3 uniform windows of 5000
+      val df = read(v4, "parallelism" -> "4", "partitionRows" -> "5",
+        "partitionKey" -> "Revenue", "keysetSweepMax" -> "5")
+      val ids = df.collect().map(_.getString(0)).toSeq
+      assert(ids.length == 20 && ids.distinct.length == 20,
+        s"numeric tail union wrong: $ids")
+      // max probe: keys-only desc top=1
+      assert(v4.requests.exists(r => r.contains("$orderby=Revenue desc") &&
+        r.contains("$top=1")), s"no max probe in ${v4.requests}")
+      val windows = v4.requests.filter(r =>
+        r.contains("/Customers?") && r.contains("$filter=") && !r.contains("$orderby"))
+      assert(windows.exists(_.contains("Revenue le 5000")), s"got $windows")
+      assert(windows.exists(r => r.contains("Revenue gt 5000") &&
+        r.contains("Revenue le 10000")), s"got $windows")
+      assert(windows.exists(r => r.contains("Revenue gt 10000") &&
+        r.contains("Revenue le 15000")), s"got $windows")
+      assert(windows.exists(r => r.contains("Revenue gt 15000") &&
+        !r.contains(" le ")), s"open tail missing: $windows")
+    } finally v4.skipStatus = 200
+  }
+
+  test("numeric tail refinement: empty stretches dropped, dense windows re-split") {
+    v4.skipStatus = 501
+    val saved = v4.rows
+    try {
+      // 5 sparse low keys (the swept batch) + 35 keys clustered near 1e6:
+      // the uniform tail carve is mostly empty stretches plus one dense
+      // window holding all 35 rows
+      v4.rows = (0 until 5).map(i => Map[String, Any](
+        "CustomerID" -> s"L$i", "CompanyName" -> s"Low $i",
+        "Country" -> "Germany", "Revenue" -> (10L * (i + 1)),
+        "Founded" -> 946684800000L)) ++
+        (0 until 35).map(i => Map[String, Any](
+          "CustomerID" -> s"H${"%02d".format(i)}", "CompanyName" -> s"High $i",
+          "Country" -> "France", "Revenue" -> (1000000L + i),
+          "Founded" -> 946684800000L))
+      v4.requests.clear()
+      val df = read(v4, "parallelism" -> "8", "partitionRows" -> "5",
+        "partitionKey" -> "Revenue", "keysetSweepMax" -> "5")
+      val ids = df.collect().map(_.getString(0)).toSeq
+      assert(ids.length == 40 && ids.distinct.length == 40,
+        s"refined tail union wrong: $ids")
+      // count probes refined the carve
+      assert(v4.requests.count(_.contains("/Customers/$count?")) >= 3,
+        s"no refinement count probes in ${v4.requests}")
+      val windows = v4.requests.filter(r =>
+          r.contains("/Customers?") && r.contains("$filter=") && !r.contains("$orderby"))
+        .map(_.replaceAll("[&?]__page=\\d+", "")).distinct // fold page walks
+      // empty uniform stretches are dropped at planning: head window + the
+      // dense re-split only (uniform-without-refinement would be 13+)
+      assert(windows.size <= 9, s"empty stretches fetched: $windows")
+      // the dense cluster was split into multiple sub-windows
+      val dense = windows.filter(_.contains("Revenue gt 9"))
+      assert(dense.size >= 3, s"dense cluster not re-split: $windows")
+    } finally { v4.rows = saved; v4.skipStatus = 200 }
+  }
+
   test("parallel scan: pushed filter rides inside the keyset windows") {
     v4.skipStatus = 501
     try {
