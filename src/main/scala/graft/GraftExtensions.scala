@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BinRead, BloomContains, BloomSketchAgg, MatVec, MinHashSketchAgg, SimHashAgg, VecDot, VecLshKeys, VecNorm, WordShingles}
+import graft.functions.{BinRead, BinRfind, BloomContains, BloomSketchAgg, MatVec, MinHashSketchAgg, SimHashAgg, VecDot, VecLshKeys, VecNorm, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -82,6 +82,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           BinRead(children(0), children(1), intLit(name)(children(2)), le)))
     }
+    ext.injectFunction((
+      FunctionIdentifier("bin_rfind"),
+      new ExpressionInfo(classOf[BinRfind].getName, "bin_rfind"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val lit = intLit("bin_rfind") _
+        val pat = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toLong
+          case other => throw new IllegalArgumentException(
+            s"bin_rfind expects a literal pattern, got $other")
+        }
+        BinRfind(children(0), pat, lit(children(2)), lit(children(3)))
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_lsh_keys"),
       new ExpressionInfo(classOf[VecLshKeys].getName, "vec_lsh_keys"),

@@ -81,3 +81,71 @@ case class BinRead(bin: Expression, off: Expression, nBytes: Int, littleEndian: 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BinRead =
     copy(bin = newLeft, off = newRight)
 }
+
+/** `bin_rfind(bin, pattern, patLen, maxScan)` — 1-based offset of the LAST
+  * occurrence of the big-endian `patLen`-byte `pattern` within the final
+  * `maxScan` bytes of a binary column; NULL when absent.
+  *
+  * The bounded BACKWARD scan that unlocks container formats keeping their
+  * clock at the END of the stream (OGG's duration lives in the last page's
+  * granule position; an OGG page is ≤ 65307 bytes, so a 66 KB window always
+  * holds the final page header). O(maxScan) worst case per row, bounded by
+  * construction, map-only, inside whole-stage codegen — the forward
+  * step-chain scans of [[graft.operators.MediaHeaders]] stay the right tool
+  * for head-anchored structures; this kernel exists because no bounded
+  * UNROLLED chain can walk variable-size pages backwards. */
+case class BinRfind(bin: Expression, pattern: Long, patLen: Int, maxScan: Int)
+  extends UnaryExpression {
+
+  override def child: Expression = bin
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bin_rfind"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (bin.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"bin_rfind expects a binary column, got ${bin.dataType}")
+    else if (patLen < 1 || patLen > 8)
+      TypeCheckResult.TypeCheckFailure(s"bin_rfind pattern width must be 1..8 bytes, got $patLen")
+    else if (maxScan < patLen)
+      TypeCheckResult.TypeCheckFailure(s"bin_rfind maxScan must be >= pattern width")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(b: Any): Any = {
+    val bytes = b.asInstanceOf[Array[Byte]]
+    val from = math.max(0, bytes.length - maxScan)
+    var i = bytes.length - patLen
+    while (i >= from) {
+      var v = 0L
+      var j = 0
+      while (j < patLen) { v = (v << 8) | (bytes(i + j) & 0xffL); j += 1 }
+      if (v == pattern) return (i + 1).toLong
+      i -= 1
+    }
+    null
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val from = ctx.freshName("from")
+      val found = ctx.freshName("found")
+      s"""
+         |int $from = $b.length - $maxScan; if ($from < 0) $from = 0;
+         |boolean $found = false;
+         |for (int $i = $b.length - $patLen; $i >= $from && !$found; $i--) {
+         |  long $v = 0L;
+         |  for (int $j = 0; $j < $patLen; $j++) {
+         |    $v = ($v << 8) | (($b[$i + $j]) & 0xffL);
+         |  }
+         |  if ($v == ${pattern}L) { ${ev.value} = (long) ($i + 1); $found = true; }
+         |}
+         |if (!$found) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BinRfind =
+    copy(bin = newChild)
+}

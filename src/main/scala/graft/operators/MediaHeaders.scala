@@ -42,9 +42,15 @@ import org.apache.spark.sql.functions._
   *  - AVI: "RIFF"+"AVI "; top-level chunk scan for LIST(hdrl), avih
   *    subchunk inside → micro-sec-per-frame/total-frames (duration) and
   *    width/height straight from the main header.
-  *  - OGG: "OggS" detected as fmt only — duration lives in the LAST page's
-  *    granule position, which a bounded head scan cannot reach; a tail scan
-  *    would need byte-wise search the expression kernel refuses to unroll.
+  *  - OGG: the duration clock lives at the END of the stream — the last
+  *    page's granule position — so the head-anchored step chains can't
+  *    reach it. The bounded BACKWARD `bin_rfind` kernel locates the final
+  *    "OggS" inside a 66 KB tail window (an OGG page caps at 65307 bytes,
+  *    so the window always holds the last page header); granule units come
+  *    from the FIRST page's codec id header (Vorbis: its rate field;
+  *    Opus: always 48 kHz). Granule is read as 7 bytes + a high-byte
+  *    guard, so the -1 "no packet ends here" sentinel nulls out instead of
+  *    going negative.
   */
 object MediaHeaders {
 
@@ -246,6 +252,19 @@ object MediaHeaders {
           floor(le(b, a + 24, 4) * micro / 1000).cast("long"))
       }
     }
+    // OGG: granule-per-second from the first page's codec id packet
+    // (packet starts after the 27-byte page header + segment table), last
+    // page located backwards with bin_rfind; see the format note above
+    val oggMs = bindOnce(lit(28L) + be(b, lit(27L), 1)) { pk =>
+      bindOnce(
+        when(be(b, pk, 7) === 0x01766F72626973L, le(b, pk + 12, 4)) // "\x01vorbis"
+          .when(be(b, pk, 8) === 0x4F70757348656164L, lit(48000L))) { rate => // "OpusHead"
+        bindOnce(call_function("bin_rfind", b, lit(0x4F676753L), lit(4), lit(66000))) { lp =>
+          when(isOgg && rate > 0 && le(b, lp + 13, 1) === 0,
+            floor(le(b, lp + 6, 7) * 1000 / rate).cast("long"))
+        }
+      }
+    }
     // MP3: first audio frame sits after an optional ID3v2 tag (syncsafe
     // size); duration is the standard CBR estimate over the frame bytes.
     // Full version/layer coverage: MPEG1/2/2.5 x Layer I/II/III bitrate
@@ -283,7 +302,7 @@ object MediaHeaders {
       fmt.as("fmt"),
       width.cast("int").as("width"),
       height.cast("int").as("height"),
-      coalesce(wavMs, aviMs, mp4Ms, mp3Ms).as("duration_ms"))
+      coalesce(wavMs, aviMs, mp4Ms, oggMs, mp3Ms).as("duration_ms"))
   }
 
   /** Deterministic on-disk-format fixtures (hex) used by the p41 gate query
@@ -411,11 +430,43 @@ object MediaHeaders {
       // 20: mp4 whose first trak is AUDIO (tkhd dims zero) -> duration
       //     parses, dims NULL (zeros gate to NULL, never 0x0)
       20 -> (ftyp + box("moov", mvhdHex(1, 90000L, 450000L) +
-        box("trak", tkhdHex(1, 0L, 0L)))))
+        box("trak", tkhdHex(1, 0L, 0L)))),
+      // 21: OGG Vorbis, 2 pages: id header declares 44100 Hz, the EOS
+      //     page's granule 441000 samples -> 10000 ms (tail-scan parse)
+      21 -> (oggPage(0x02, 0L, vorbisIdHex(44100L)) +
+        oggPage(0x04, 441000L, "00" * 10)),
+      // 22: OGG Opus (granule always 48 kHz): EOS granule 96000 -> 2000 ms
+      22 -> (oggPage(0x02, 0L, OpusHeadHex) +
+        oggPage(0x04, 96000L, "00" * 10)),
+      // 23: single OGG page with granule -1 ("no packet ends here"):
+      //     the high-byte guard refuses -> ogg, NULL duration
+      23 -> oggPage(0x02, -1L, vorbisIdHex(44100L)))
   }
 
   private def le32(v: Long): String =
     (0 until 4).map(i => f"${(v >> (8 * i)) & 0xFF}%02X").mkString
+  private def le16(v: Long): String =
+    (0 until 2).map(i => f"${(v >> (8 * i)) & 0xFF}%02X").mkString
+  private def le64(v: Long): String =
+    (0 until 8).map(i => f"${(v >> (8 * i)) & 0xFF}%02X").mkString
+
+  /** One OGG page (hex): version 0, header-type flags, LE64 granule, fixed
+    * serial/sequence, zero CRC (these parsers never verify CRCs), single
+    * segment holding the whole payload (≤ 255 bytes). */
+  private def oggPage(htype: Int, granule: Long, payloadHex: String): String =
+    "4F676753" + "00" + f"$htype%02X" + le64(granule) + le32(1L) + le32(0L) +
+      le32(0L) + "01" + f"${payloadHex.length / 2}%02X" + payloadHex
+
+  /** Vorbis identification header packet (hex): \x01"vorbis", version 0,
+    * 2 channels, the given rate, zero bitrates, blocksizes, framing bit. */
+  private def vorbisIdHex(rate: Long): String =
+    "01" + "766F72626973" + le32(0L) + "02" + le32(rate) +
+      le32(0L) * 3 + "B8" + "01"
+
+  /** OpusHead packet (hex): version 1, 2 channels, preskip 312, input rate
+    * 48000 (informational — granule units are ALWAYS 48 kHz for Opus). */
+  private def OpusHeadHex: String =
+    "4F70757348656164" + "01" + "02" + le16(312L) + le32(48000L) + le16(0L) + "00"
   private def fourcc(s: String): String =
     s.getBytes("ASCII").map(c => f"$c%02X").mkString
   private def riffChunk(id: String, bodyHex: String): String =

@@ -277,6 +277,18 @@ private[queries] object QuerySql {
             CASE WHEN ver = 1 THEN ${hxBeG("m+28", 4)} ELSE ${hxBeG("m+20", 4)} END AS ts,
             CASE WHEN ver = 1 THEN ${hxBeG("m+32", 8)} ELSE ${hxBeG("m+24", 4)} END AS dur
           FROM m4),
+        og0 AS (SELECT media_id, h,
+            list_max(list_filter(range(greatest(1, length(h)//2 - 65999),
+                greatest(1, length(h)//2 - 2)),
+              p -> substring(h, 2*p - 1, 8) = '4F676753')) AS lp,
+            28 + ${hxBeG("27", 1)} AS pk FROM b),
+        ogx AS (SELECT media_id,
+            CASE WHEN substring(h, pk*2-1, 14) = '01766F72626973'
+                   THEN ${hxLe("pk+12", 4)}
+                 WHEN substring(h, pk*2-1, 16) = '4F70757348656164'
+                   THEN 48000 END AS ograte,
+            ${hxLe("lp+6", 7)} AS og7, ${hxBeG("lp+13", 1)} AS oghi
+          FROM og0),
         d AS (SELECT b.media_id, h, av,
             (length(h) >= 16 AND substring(h, 9, 8) = '66747970') AS is_mp4,
             ((length(h) >= 6 AND substring(h, 1, 6) = '494433') OR
@@ -285,9 +297,10 @@ private[queries] object QuerySql {
               AND substring(h, 17, 8) = '41564920') AS is_avi,
             CASE WHEN av IS NOT NULL THEN ${hxLe("av+8", 4)} END AS micro,
             CASE WHEN av IS NOT NULL THEN ${hxLe("av+24", 4)} END AS frames,
-            ts, dur, fo, kbps, wfx, hfx
+            ts, dur, fo, kbps, wfx, hfx, ograte, og7, oghi
           FROM b JOIN m4f USING (media_id) JOIN kb USING (media_id)
-                 JOIN avf USING (media_id) JOIN tdim USING (media_id))
+                 JOIN avf USING (media_id) JOIN tdim USING (media_id)
+                 JOIN ogx USING (media_id))
         SELECT media_id,
           CASE WHEN h LIKE '89504E470D0A1A0A%' THEN 'png'
                WHEN h LIKE 'FFD8%' THEN 'jpeg'
@@ -312,6 +325,8 @@ private[queries] object QuerySql {
                  THEN CAST(floor(frames * micro / 1000) AS BIGINT)
                WHEN is_mp4 AND ts > 0
                  THEN CAST(floor(dur * 1000 / ts) AS BIGINT)
+               WHEN h LIKE '4F676753%' AND ograte > 0 AND oghi = 0
+                 THEN CAST(floor(og7 * 1000 / ograte) AS BIGINT)
                WHEN is_mp3 AND kbps IS NOT NULL
                  THEN CAST(floor((length(h) // 2 - fo + 1) * 8 / kbps) AS BIGINT)
                END AS duration_ms

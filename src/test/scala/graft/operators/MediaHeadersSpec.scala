@@ -87,13 +87,36 @@ class MediaHeadersSpec extends SparkSpecBase {
     assert(parsedAv(18) == (("avi", None, None, None)))
   }
 
-  test("OGG: detected as fmt only (duration lives in the last page)") {
+  test("OGG: truncated head page stays NULL (no codec id packet to read)") {
     assert(parsedAv(17) == (("ogg", None, None, None)))
+  }
+
+  test("OGG: last-page granule via the backward tail scan; Vorbis/Opus rates") {
+    assert(parsedAv(21) == (("ogg", None, None, Some(10000L)))) // 441000 @ 44.1 kHz
+    assert(parsedAv(22) == (("ogg", None, None, Some(2000L))))  // 96000 @ 48 kHz fixed
+    assert(parsedAv(23) == (("ogg", None, None, None)))         // granule -1 sentinel
   }
 
   test("MP4 video dims from the first trak's tkhd; audio-track zeros gate to NULL") {
     assert(parsedAv(19) == (("mp4", Some(1920), Some(1080), Some(5000L))))
     assert(parsedAv(20) == (("mp4", None, None, Some(5000L))))
+  }
+
+  test("bin_rfind: LAST occurrence, window bound honored, absent -> NULL") {
+    val df = Seq(
+      (1, "00" + "4F676753" + "00" * 3 + "4F676753" + "00" * 2), // two hits
+      (2, "00" * 6),                                             // absent
+      (3, "4F676753" + "00" * 20)                                // outside a 8-byte window
+    ).toDF("id", "hx").withColumn("b", unhex(col("hx")))
+    val out = df.select(col("id"),
+        call_function("bin_rfind", col("b"), lit(0x4F676753L), lit(4), lit(66000)).as("all"),
+        call_function("bin_rfind", col("b"), lit(0x4F676753L), lit(4), lit(8)).as("tail8"))
+      .collect().map(r => r.getInt(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(out(1) == ((Some(9L), Some(9L))))  // second (last) hit, 1-based
+    assert(out(2) == ((None, None)))
+    assert(out(3) == ((Some(1L), None)))      // 8-byte tail window misses it
   }
 
   test("parse is map-only scalar work: binary kernel, no shuffle, no UDF") {
