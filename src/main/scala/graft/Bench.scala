@@ -138,8 +138,12 @@ object Bench {
     // first — a partial warmup list left the 40+ unwarmed queries paying
     // 100-400 ms of first-run compilation each inside their measured time.
     // Measured numbers below are the steady state.
+    // SPARK_GRAFT_ONLY=p15_ann_ivf,p30_pq_codes → bench just those
+    // (builder-side iteration; the driver leaves it unset and runs all)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     var warmupFlushes = 0
-    SparkEntry.queries.foreach { case (_, f) =>
+    selected.foreach { case (_, f) =>
       try f(spark, sfDir).count() catch { case _: Throwable => }
       if (enforceCacheBudget()) warmupFlushes += 1
     }
@@ -154,7 +158,7 @@ object Bench {
     // (already best-of-2), and the per-query spread between the passes flags
     // noisy measurements explicitly instead of leaving a judge to guess
     // which numbers are machine noise.
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = selected.toSeq.sortBy(_._1)
     val flushBefore = Seq.newBuilder[String]
     var pendingFlush = false
     def timedPass(): Seq[(String, Double)] = names.map { case (name, fn) =>
@@ -188,7 +192,10 @@ object Bench {
     // identical machine conditions (the whole point: a loaded machine slows
     // both engines, so the ratio survives load even when totals don't)
     val pairOn = sys.env.getOrElse("SPARK_GRAFT_PAIR", "1") != "0"
-    val duck = if (pairOn) duckdbPair(sfDir, SparkEntry.oracleSql) else None
+    val duck = if (pairOn)
+      duckdbPair(sfDir, SparkEntry.oracleSql
+        .filter { case (n, _) => only.forall(_.contains(n)) })
+    else None
     val duckTotal = duck.map(m => r3(m.values.sum))
     val ratio = duckTotal.filter(_ > 0).map(d => r3(sparkTotal / d))
 

@@ -384,30 +384,50 @@ object Quantize {
                 codebooks: Seq[Seq[Seq[Double]]], k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = codebooks.length
-    val sub = codebooks.head.head.length
+    val nCodes = codebooks.head.length
+    // LUTs materialize ON THE BROADCAST QUERY ROW (m·nCodes doubles each),
+    // so per-candidate scoring is m array lookups, not m·nCodes·sub flops
     val q = broadcast(queries.select(col(queryId).as("q_id"),
-      col(vecCol).cast("array<double>").as("qv")))
+        pqLutFlat(col(vecCol).cast("array<double>"), codebooks).as("lutf")))
     val joined = encoded.select(col(idCol).as("id"), col(codesCol).as("codes"))
       .crossJoin(q)
-    val dist = bindOnce(col("qv")) { qv =>
-      bindOnce(col("codes")) { codes =>
-        (0 until m).map { mi =>
-          val lut = array(codebooks(mi).map { cb =>
-            cb.zipWithIndex.map { case (cj, j) =>
-              val dd = element_at(qv, mi * sub + j + 1) - lit(cj)
-              dd * dd
-            }.foldLeft(lit(0.0))(_ + _)
-          }: _*)
-          element_at(lut, element_at(codes, mi + 1) + 1)
-        }.foldLeft(lit(0.0))(_ + _)
-      }
-    }
     val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("id"))
-    joined.withColumn("adist", dist)
+    joined.withColumn("adist",
+        pqAdcFromLut(col("lutf"), col("codes"), m, nCodes))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("id"), col("adist"), col("rnk"))
   }
+
+  /** Flattened ADC lookup table for one query (sub)vector: the m·nCodes
+    * squared distances laid out [subspace 0 entries][subspace 1 entries]…,
+    * computed ONCE per (query[, cell]) row — the probe/broadcast side —
+    * instead of per candidate. Entry math and fold order are identical to
+    * the previous inline form, so ADC rankings are bit-identical; only the
+    * evaluation count changes (the SIMD-style LUT factoring of PQ ADC,
+    * Jégou et al., TPAMI'11 §IV). */
+  def pqLutFlat(qvIn: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = bindOnce(qvIn) { qv =>
+    val sub = codebooks.head.head.length
+    array(codebooks.zipWithIndex.flatMap { case (cbs, mi) =>
+      cbs.map { cb =>
+        cb.zipWithIndex.map { case (cj, j) =>
+          val dd = element_at(qv, mi * sub + j + 1) - lit(cj)
+          dd * dd
+        }.foldLeft(lit(0.0))(_ + _)
+      }
+    }: _*)
+  }
+
+  /** Σ_m lut[m·nCodes + code_m] — the per-candidate ADC score over a
+    * [[pqLutFlat]] table: m element_at lookups inside codegen. */
+  def pqAdcFromLut(lutIn: Column, codesIn: Column, m: Int, nCodes: Int): Column =
+    bindOnce(lutIn) { lut =>
+      bindOnce(codesIn) { codes =>
+        (0 until m).map { mi =>
+          element_at(lut, lit(mi * nCodes) + element_at(codes, mi + 1) + 1)
+        }.foldLeft(lit(0.0))(_ + _)
+      }
+    }
 
   /** (scale DOUBLE, q ARRAY<INT>, err DOUBLE) struct: quantization scale,
     * int8 codes, and the L2 reconstruction error — one pass over the row.

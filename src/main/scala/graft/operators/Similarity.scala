@@ -711,29 +711,23 @@ object Similarity {
     // before the LUT lookup (IVFADC, cosine-adapted)
     // OPQ indexes rotate the (shifted) query into code space first —
     // orthogonal R preserves the L2 the ADC LUTs approximate
-    val adist = graft.operators.bindOnce({
+    // The flattened LUT materializes on the PROBE rows — it depends only on
+    // (q_id, cell), so it is computed once per probe, not per candidate;
+    // candidates then pay m array lookups each (Quantize.pqAdcFromLut)
+    val probesLut = probes.withColumn("lutf",
+      graft.operators.Quantize.pqLutFlat({
         val shifted =
           if (residual)
             zip_with(transform(col("qv"), _ / col("qn")),
               element_at(shiftLit, col("cell") + 1), _ - _)
           else col("qv").cast("array<double>")
         if (opq) graft.operators.Quantize.rotate(shifted, rotation) else shifted
-      }) { qv =>
-      graft.operators.bindOnce(col("codes")) { codes =>
-        (0 until m).map { mi =>
-          val lut = array(cbs(mi).map { cb =>
-            cb.zipWithIndex.map { case (cj, j) =>
-              val dd = element_at(qv, mi * sub + j + 1) - lit(cj)
-              dd * dd
-            }.foldLeft(lit(0.0))(_ + _)
-          }: _*)
-          element_at(lut, element_at(codes, mi + 1) + 1)
-        }.foldLeft(lit(0.0))(_ + _)
-      }
-    }
+      }, cbs))
     val wA = Window.partitionBy("q_id").orderBy(col("adist").asc, col("id"))
-    val pool = codesScan.join(probes, "cell")
-      .withColumn("adist", adist)
+    val pool = codesScan.join(probesLut, "cell")
+      .withColumn("adist",
+        graft.operators.Quantize.pqAdcFromLut(col("lutf"), col("codes"),
+          m, cbs.head.length))
       .withColumn("arnk", row_number().over(wA))
       .filter(col("arnk") <= rerank)
       .select("q_id", "id") // narrow: ids only re-join vectors
