@@ -251,6 +251,36 @@ object Similarity {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-balanced corpus sampling — the topic-rebalancing pass of the
+    * SemDeDup / SSL-prototypes curation recipes (Abbas et al. 2023; Sorscher
+    * et al. 2022 select per-cluster rather than uniformly: a web crawl is
+    * dominated by a few giant near-duplicate modes, and a uniform sample
+    * inherits the imbalance — capping every semantic cell flattens it).
+    *
+    * Cells come from the portable hash-seeded centroid derivation shared
+    * with IVF/SemDeDup (`centroidsFor` — any engine re-derives the same
+    * seeds); within each cell membership is a DETERMINISTIC md5-ordered
+    * head of `perCell` rows, so the "random" sample is reproducible and
+    * oracle-checkable. Map-only assignment (nCentroids dot products per
+    * row against centroid literals) + ONE per-cell top-k window shuffle —
+    * at 100 TB the only data movement is the (id, cell) pairs through the
+    * rank window.
+    * Output: (idCol, cell, rk) for the selected rows, rk 1..perCell. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+                            nCentroids: Int, perCell: Long,
+                            trainIters: Int = 0): DataFrame = {
+    val centroids = centroidsFor(df, idCol, vecCol, nCentroids, trainIters)
+    val cells = withNorm(df, idCol, vecCol)
+      .select(col(idCol).as("id"),
+        cellAssign(col("v"), centroids).cast("int").as("cell"))
+    val w = Window.partitionBy("cell").orderBy(
+      conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long"),
+      col("id"))
+    cells.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perCell)
+      .select(col("id").as(idCol), col("cell"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs WITHOUT a natural blocking key:
     * LSH bucket collisions (any of `tables` bands) propose candidates, which
     * are deduped while still narrow — (id_a, id_b) only — and then verified

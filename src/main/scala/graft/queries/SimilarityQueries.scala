@@ -228,6 +228,38 @@ object SimilarityQueries {
             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, ki) AS rnk
           FROM sub QUALIFY rnk = 1)
         SELECT vec_id, string_agg(ki, ',' ORDER BY m) AS codes_csv
-        FROM best GROUP BY vec_id ORDER BY vec_id"""))
+        FROM best GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ---- p49: cluster-balanced corpus sampling — per-semantic-cell caps
+    // flatten the dominant modes a uniform sample inherits (SemDeDup /
+    // SSL-prototypes selection shape). Cells from p38's portable
+    // hash-seeded centroids; the within-cell "random" order is md5 over
+    // the id, so the sample is deterministic and oracle-checkable. -------
+    QueryDef("p49_cluster_sample",
+      (s, d) => Similarity.clusterBalancedSample(T.embeddings(s, d),
+        "vec_id", "embedding", nCentroids = 16, perCell = 20L)
+        .orderBy("vec_id"),
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        seed AS (SELECT vec_id, v, nrm,
+            ROW_NUMBER() OVER (ORDER BY
+              ('0x' || substring(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 9973,
+              vec_id) - 1 AS cid
+          FROM n QUALIFY cid < 16),
+        cent AS (SELECT cid,
+            CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x/nrm) END AS cv
+          FROM seed),
+        asim AS (SELECT n.vec_id, cent.cid, ${dotSql("n.v", "cent.cv")} AS sim
+          FROM n CROSS JOIN cent),
+        assign AS (SELECT vec_id, CAST(cid AS INTEGER) AS cell FROM asim
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) = 1),
+        r AS (SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+              ('0x' || substring(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT,
+              vec_id) AS rk
+          FROM assign)
+        SELECT vec_id, cell, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 20 ORDER BY vec_id"""))
   )
 }

@@ -52,4 +52,43 @@ class SemDedupSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
   }
+
+  test("cluster-balanced sample caps the dominant mode, keeps sparse cells whole") {
+    // a 30-clone mode plus singletons: a uniform 1/3 sample would be ~77%
+    // mode; the per-cell cap bounds the mode's contribution at perCell.
+    // Sparse ids (983, 88, 455, 699) hash FIRST in the md5 seed order, so
+    // the 4 centroids are the 4 distinct sparse vectors — an all-clone
+    // seed draw would collapse every vector into one tied cell and turn
+    // the sampler into a global cap (correct but not what this asserts).
+    val mode = Seq(101L, 102L, 103L, 104L, 105L, 107L, 109L, 110L, 111L,
+      112L, 113L, 114L, 115L, 120L, 121L, 122L, 124L, 125L, 126L, 127L,
+      129L, 130L, 131L, 132L, 133L, 134L, 135L, 136L, 138L, 139L)
+      .map(i => (i, Array(1.0, 0.0, 0.0, 0.0)))
+    val rest = Seq(
+      (983L, Array(0.0, 1.0, 0.0, 0.0)), (88L, Array(0.0, 0.0, 1.0, 0.0)),
+      (455L, Array(0.0, 0.0, 0.0, 1.0)), (699L, Array(0.0, 1.0, 1.0, 0.0)))
+    val df = (mode ++ rest).toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalancedSample(df, "vec_id", "embedding",
+        nCentroids = 4, perCell = 5L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val ids = out.map(_._1).toSet
+    assert(ids.subsetOf((mode ++ rest).map(_._1).toSet))
+    // every cell contributes at most perCell, with rk dense 1..n
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // the clone mode co-cells (orthogonal-to-everything vectors tie at sim
+    // 0 and take the highest cid — 699's own cell), so the mode competes
+    // only against 699 under that cell's cap: at most 5 of its 30 members
+    // survive, while the sparse vectors in mode-free cells all survive
+    val modeIds = mode.map(_._1).toSet
+    assert(ids.count(modeIds) <= 5)
+    assert(Set(983L, 88L, 455L).subsetOf(ids), s"sample: ${out.sortBy(_._1).toSeq}")
+    // determinism: same inputs -> same sample
+    val again = Similarity.clusterBalancedSample(df, "vec_id", "embedding",
+        nCentroids = 4, perCell = 5L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == out.toSet)
+  }
 }
