@@ -161,16 +161,32 @@ object Bench {
     val names = selected.toSeq.sortBy(_._1)
     val flushBefore = Seq.newBuilder[String]
     var pendingFlush = false
-    def timedPass(): Seq[(String, Double)] = names.map { case (name, fn) =>
+    // Executed-plan fingerprint per (query, pass): AQE can re-plan between
+    // the two passes (different runtime stats → different join strategy /
+    // partition coalescing), which makes pass-to-pass spread look like
+    // machine noise when it is actually a plan change. Digits and expr ids
+    // are normalized out so only STRUCTURAL changes fingerprint-differ.
+    def planPrint(df: org.apache.spark.sql.DataFrame): String =
+      try df.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+", "#x").replaceAll("\\d+", "N")
+      catch { case _: Throwable => "" }
+    def timedPass(): Seq[(String, Double, String)] = names.map { case (name, fn) =>
       if (pendingFlush) { flushBefore += name; pendingFlush = false }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val fp = try { val df = fn(spark, sfDir); df.count(); planPrint(df) }
+        catch { case _: Throwable => "" }
       val dt = (System.nanoTime() - t0) / 1e9
       pendingFlush = enforceCacheBudget()
-      name -> dt
+      (name, dt, fp)
     }
-    val run1 = timedPass().toMap
-    val run2 = timedPass().toMap
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val run1 = pass1.map(t => t._1 -> t._2).toMap
+    val run2 = pass2.map(t => t._1 -> t._2).toMap
+    val fp1 = pass1.map(t => t._1 -> t._3).toMap
+    val fp2 = pass2.map(t => t._1 -> t._3).toMap
+    val planChanged = names.map(_._1)
+      .filter(n => fp1(n).nonEmpty && fp2(n).nonEmpty && fp1(n) != fp2(n))
     val results = names.map { case (name, _) =>
       name -> math.min(run1(name), run2(name))
     }
@@ -208,7 +224,9 @@ object Bench {
       s""""warmup_flushes":$warmupFlushes,"flushes":${flushed.length},""" +
       s""""flush_before":${flushed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
-      s""""cpus":$cpus,"runs":2,"noisy":$noisyJson,"spark_total":$sparkTotal,""" +
+      s""""cpus":$cpus,"runs":2,"noisy":$noisyJson,""" +
+      s""""plan_changed":${planChanged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""spark_total":$sparkTotal,""" +
       s""""duckdb_total":${duckTotal.map(_.toString).getOrElse("null")},""" +
       s""""ratio":${ratio.map(_.toString).getOrElse("null")},"value":$sparkTotal}"""
 
