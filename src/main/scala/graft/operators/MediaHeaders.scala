@@ -212,6 +212,15 @@ object MediaHeaders {
         when(st < 0 && be(b, -st + 47, 1).isNotNull, -st) // body through height
       }
     }
+    // OGG Theora video: picture dims are BE24 at id-packet offsets 14/17
+    // (\x80"theora" VMAJ VMIN VREV FMBW16 FMBH16 PICW24 PICH24). Duration
+    // stays NULL — Theora granules encode keyframe state, not a clock.
+    val oggW = bindOnce(lit(28L) + be(b, lit(27L), 1)) { pk =>
+      when(isOgg && be(b, pk, 7) === 0x807468656F7261L, be(b, pk + 14, 3))
+    }
+    val oggH = bindOnce(lit(28L) + be(b, lit(27L), 1)) { pk =>
+      when(isOgg && be(b, pk, 7) === 0x807468656F7261L, be(b, pk + 17, 3))
+    }
     val width =
       when(isPng, be(b, lit(17L), 4))
         .when(isJpeg, be(b, jpegSof + 7, 2))
@@ -219,6 +228,7 @@ object MediaHeaders {
         .when(isBmp, le(b, lit(19L), 4))
         .when(isAvi, le(b, avihOff + 40, 4))
         .when(isMp4, mp4W)
+        .when(isOgg, oggW)
     val height =
       when(isPng, be(b, lit(21L), 4))
         .when(isJpeg, be(b, jpegSof + 5, 2))
@@ -226,6 +236,7 @@ object MediaHeaders {
         .when(isBmp, le(b, lit(23L), 4))
         .when(isAvi, le(b, avihOff + 44, 4))
         .when(isMp4, mp4H)
+        .when(isOgg, oggH)
     // WAV duration: data bytes over byte-rate (both from the chunk scan);
     // guard the zero byte-rate a corrupt fmt chunk would produce
     val wavMs = bindOnce(le(b, wavFmt + 16, 4)) { byteRate =>
@@ -440,7 +451,10 @@ object MediaHeaders {
         oggPage(0x04, 96000L, "00" * 10)),
       // 23: single OGG page with granule -1 ("no packet ends here"):
       //     the high-byte guard refuses -> ogg, NULL duration
-      23 -> oggPage(0x02, -1L, vorbisIdHex(44100L)))
+      23 -> oggPage(0x02, -1L, vorbisIdHex(44100L)),
+      // 24: OGG Theora video 1280x720 — picture dims from the BOS id
+      //     packet; duration NULL (Theora granules are not a clock)
+      24 -> oggPage(0x02, 0L, TheoraIdHex))
   }
 
   private def le32(v: Long): String =
@@ -467,6 +481,15 @@ object MediaHeaders {
     * 48000 (informational — granule units are ALWAYS 48 kHz for Opus). */
   private def OpusHeadHex: String =
     "4F70757348656164" + "01" + "02" + le16(312L) + le32(48000L) + le16(0L) + "00"
+
+  /** Theora identification header (hex) through the picture dims:
+    * \x80"theora", version 3.2.1, 80x45 macroblocks, 1280x720 picture. */
+  private def TheoraIdHex: String = {
+    def be16(v: Long) = f"$v%04X"
+    def be24(v: Long) = f"$v%06X"
+    "80" + "7468656F7261" + "03" + "02" + "01" +
+      be16(80L) + be16(45L) + be24(1280L) + be24(720L)
+  }
   private def fourcc(s: String): String =
     s.getBytes("ASCII").map(c => f"$c%02X").mkString
   private def riffChunk(id: String, bodyHex: String): String =

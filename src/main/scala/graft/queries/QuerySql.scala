@@ -287,7 +287,11 @@ private[queries] object QuerySql {
                    THEN ${hxLe("pk+12", 4)}
                  WHEN substring(h, pk*2-1, 16) = '4F70757348656164'
                    THEN 48000 END AS ograte,
-            ${hxLe("lp+6", 7)} AS og7, ${hxBeG("lp+13", 1)} AS oghi
+            ${hxLe("lp+6", 7)} AS og7, ${hxBeG("lp+13", 1)} AS oghi,
+            CASE WHEN substring(h, pk*2-1, 14) = '807468656F7261'
+                   THEN ${hxBeG("pk+14", 3)} END AS ogw,
+            CASE WHEN substring(h, pk*2-1, 14) = '807468656F7261'
+                   THEN ${hxBeG("pk+17", 3)} END AS ogh
           FROM og0),
         d AS (SELECT b.media_id, h, av,
             (length(h) >= 16 AND substring(h, 9, 8) = '66747970') AS is_mp4,
@@ -297,7 +301,7 @@ private[queries] object QuerySql {
               AND substring(h, 17, 8) = '41564920') AS is_avi,
             CASE WHEN av IS NOT NULL THEN ${hxLe("av+8", 4)} END AS micro,
             CASE WHEN av IS NOT NULL THEN ${hxLe("av+24", 4)} END AS frames,
-            ts, dur, fo, kbps, wfx, hfx, ograte, og7, oghi
+            ts, dur, fo, kbps, wfx, hfx, ograte, og7, oghi, ogw, ogh
           FROM b JOIN m4f USING (media_id) JOIN kb USING (media_id)
                  JOIN avf USING (media_id) JOIN tdim USING (media_id)
                  JOIN ogx USING (media_id))
@@ -316,10 +320,12 @@ private[queries] object QuerySql {
           CAST(CASE WHEN is_avi AND av IS NOT NULL
                  THEN ${hxLe("av+40", 4)}
                WHEN is_mp4 AND wfx > 0 THEN wfx // 65536
+               WHEN h LIKE '4F676753%' THEN ogw
                END AS INTEGER) AS width,
           CAST(CASE WHEN is_avi AND av IS NOT NULL
                  THEN ${hxLe("av+44", 4)}
                WHEN is_mp4 AND hfx > 0 THEN hfx // 65536
+               WHEN h LIKE '4F676753%' THEN ogh
                END AS INTEGER) AS height,
           CASE WHEN is_avi AND micro > 0 AND micro <= 10000000
                  THEN CAST(floor(frames * micro / 1000) AS BIGINT)

@@ -97,6 +97,10 @@ class MediaHeadersSpec extends SparkSpecBase {
     assert(parsedAv(23) == (("ogg", None, None, None)))         // granule -1 sentinel
   }
 
+  test("OGG Theora: picture dims from the BOS id packet; no fake duration") {
+    assert(parsedAv(24) == (("ogg", Some(1280), Some(720), None)))
+  }
+
   test("MP4 video dims from the first trak's tkhd; audio-track zeros gate to NULL") {
     assert(parsedAv(19) == (("mp4", Some(1920), Some(1080), Some(5000L))))
     assert(parsedAv(20) == (("mp4", None, None, Some(5000L))))
