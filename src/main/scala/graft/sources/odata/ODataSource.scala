@@ -1147,33 +1147,46 @@ private[odata] object KeysetWindows {
           s"${past(boundaries(i - 1))} and ${upTo(boundaries(i))}"
         }
       // sweep capped with tail un-carved → numeric re-split of the tail
-      // (asc single integral key only); otherwise the tail stays one window
+      // (integral FIRST key, asc or desc, any key arity); otherwise the
+      // tail stays one window
       val tailParts: Seq[String] =
-        if (!exhausted && swept >= conf.keysetSweepMax && !desc &&
-            keys.size == 1 && !stringKey.head)
-          numericTailWindows(conf, meta, keys.head, boundaries.last.head,
-            filters, nParts - boundaries.size, per)
+        if (!exhausted && swept >= conf.keysetSweepMax && !stringKey.head)
+          numericTailWindows(conf, meta, keys, boundaries.last,
+            past(boundaries.last), filters, nParts - boundaries.size, per, desc)
             .getOrElse(Seq(past(boundaries.last)))
         else Seq(past(boundaries.last))
       Some(head ++ tailParts)
     } catch { case _: Exception => None } // sweep failure: correct, serial
   }
 
-  /** Uniform numeric carve of `(lo, max]` into ~`nTail` windows, with one
-    * `/\$count`-probed refinement round: empty candidates drop, any window
-    * holding more than 2× `per` rows re-splits proportionally (each split
-    * bounded at 16 pieces). Counts unavailable → the uniform carve stands:
-    * disjointness/completeness never depend on the refinement. */
-  private def numericTailWindows(conf: ODataConf, meta: ODataMeta, key: String,
-                                 loLit: String, filters: Seq[String],
-                                 nTail: Int, per: Long): Option[Seq[String]] = {
-    val lo = try loLit.toLong catch { case _: Exception => return None }
-    // one keys-only desc probe for the max key; servers that reject desc
-    // ordering (400) leave the tail as one window
-    val hi = try {
+  /** Numeric re-carve of the un-swept tail `{t : t beyond boundary}` by the
+    * FIRST key: a uniform integer-range carve plus one `/\$count`-probed
+    * refinement round (empty candidates drop, any window holding more than
+    * 2× `per` rows re-splits proportionally, each split bounded at 16
+    * pieces). Counts unavailable → the uniform carve stands; disjointness/
+    * completeness never depend on the refinement.
+    *
+    * Composite keys: the boundary's own first-key value can hold tail rows
+    * (`(k1,k2) > (b1,x)` with k1 = b1), so a tuple-comparison window
+    * `pastB and k1 le b1` (asc; `ge` desc) covers that sliver and the
+    * numeric ranges carve strictly beyond b1. Desc order carves DOWNWARD
+    * from the boundary toward a min-probe, with the bottom window left
+    * open. */
+  private def numericTailWindows(conf: ODataConf, meta: ODataMeta,
+                                 keys: Seq[String], boundary: Seq[String],
+                                 pastB: String, filters: Seq[String],
+                                 nTail: Int, per: Long,
+                                 desc: Boolean): Option[Seq[String]] = {
+    val key = keys.head
+    val b1 = try boundary.head.toLong catch { case _: Exception => return None }
+    // one keys-only probe for the extreme of the first key in sweep
+    // direction (max for asc, min for desc); servers that reject the
+    // needed ordering leave the tail as one window
+    val ext = try {
       var u = ODataUrl.parse(meta.entitySetUrl)
       filters.foreach(e => u = u.mergeFilter(e))
-      u = u.withParam("$select", key).withParam("$orderby", s"$key desc")
+      u = u.withParam("$select", key)
+        .withParam("$orderby", if (desc) key else s"$key desc")
         .withParam("$top", "1")
       if (meta.version == 2) u = u.withParam("$format", "json")
       val resp = HttpCore.shared.get(u.render, useCache = false, auth = conf.auth)
@@ -1182,9 +1195,12 @@ private[odata] object KeysetWindows {
       if (rows.isEmpty) return None
       rows.head.get(key).asText.toLong
     } catch { case _: Exception => return None }
+    // carve domain as (lo, hi] half-open ranges regardless of direction:
+    // asc tail = k1 in (b1, max]; desc tail = k1 in [min, b1) = (min-1, b1-1]
+    val (lo, hi) = if (desc) (ext - 1, b1 - 1) else (b1, ext)
     if (hi <= lo || nTail <= 1) return None
     def carve(l: Long, h: Long, n: Int): Seq[(Long, Long)] = {
-      val nn = math.min(n.toLong, h - l).toInt
+      val nn = math.max(1L, math.min(n.toLong, h - l)).toInt
       val cuts = (1 until nn).map(i => l + (h - l) * i / nn).distinct
         .filter(c => c > l && c < h)
       ((l +: cuts) :+ h).sliding(2).map(p => (p(0), p(1))).toSeq
@@ -1201,10 +1217,17 @@ private[odata] object KeysetWindows {
         }
       }
     val wins = if (refined.nonEmpty) refined else base
-    Some(wins.map { case (l, h) =>
-      if (h == hi) s"$key gt $l" // open end: rows beyond the max probe
+    val ranges = wins.map { case (l, h) =>
+      if (!desc && h == hi) s"$key gt $l" // open top: rows beyond the probe
+      else if (desc && l == lo) s"$key le $h" // open bottom, same reason
       else s"$key gt $l and $key le $h"
-    })
+    }
+    // composite boundary sliver: tail rows sharing the boundary's first key
+    val sliver =
+      if (keys.size > 1)
+        Seq(s"$pastB and $key ${if (desc) "ge" else "le"} ${boundary.head}")
+      else Seq.empty
+    Some(sliver ++ ranges)
   }
 }
 

@@ -210,6 +210,54 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
     } finally v4.skipStatus = 200
   }
 
+  test("capped DESC sweep carves the tail numerically toward a min probe") {
+    v4.skipStatus = 501
+    try {
+      v4.requests.clear()
+      // desc sweep batch: Revenue 20000..16000 -> boundary 16000; tail =
+      // {Revenue < 16000} carved (999,5999],(5999,10999],(10999,15999]
+      // with the bottom window left open
+      val df = read(v4, "parallelism" -> "4", "partitionRows" -> "5",
+        "partitionKey" -> "Revenue", "keysetSweepMax" -> "5",
+        "keysetOrder" -> "desc")
+      val ids = df.collect().map(_.getString(0)).toSeq
+      assert(ids.length == 20 && ids.distinct.length == 20,
+        s"desc numeric tail union wrong: $ids")
+      // min probe: keys-only ASC top=1 (plus the desc sweep itself)
+      assert(v4.requests.exists(r => r.contains("$orderby=Revenue&") ||
+        r.endsWith("$orderby=Revenue")), s"no min probe in ${v4.requests}")
+      val windows = v4.requests.filter(r =>
+        r.contains("/Customers?") && r.contains("$filter=") && !r.contains("$orderby"))
+      assert(windows.exists(_.contains("Revenue ge 16000")), s"got $windows")
+      assert(windows.exists(r => r.contains("Revenue gt 10999") &&
+        r.contains("Revenue le 15999")), s"got $windows")
+      assert(windows.exists(r => r.contains("Revenue le 5999") &&
+        !r.contains(" gt ")), s"open bottom missing: $windows")
+    } finally v4.skipStatus = 200
+  }
+
+  test("composite-key numeric tail adds the boundary-sliver tuple window") {
+    v4.skipStatus = 501
+    try {
+      v4.requests.clear()
+      val df = read(v4, "parallelism" -> "4", "partitionRows" -> "5",
+        "partitionKey" -> "Revenue,CustomerID", "keysetSweepMax" -> "5")
+      val ids = df.collect().map(_.getString(0)).toSeq
+      assert(ids.length == 20 && ids.distinct.length == 20,
+        s"composite numeric tail union wrong: $ids")
+      val windows = v4.requests.filter(r =>
+        r.contains("/Customers?") && r.contains("$filter=") && !r.contains("$orderby"))
+      // tail rows sharing the boundary's first key ride a tuple-comparison
+      // sliver window; the numeric ranges carve strictly beyond it
+      assert(windows.exists(r => r.contains(" or (Revenue eq 5000") &&
+        r.contains("Revenue le 5000")), s"no boundary sliver in $windows")
+      assert(windows.exists(r => r.contains("Revenue gt 5000") &&
+        r.contains("Revenue le 10000")), s"got $windows")
+      assert(windows.exists(r => r.contains("Revenue gt 15000") &&
+        !r.contains(" le ")), s"open tail missing: $windows")
+    } finally v4.skipStatus = 200
+  }
+
   test("numeric tail refinement: empty stretches dropped, dense windows re-split") {
     v4.skipStatus = 501
     val saved = v4.rows
