@@ -485,21 +485,25 @@ object Similarity {
     }
   }
 
-  /** IVFPQ index format (version, residual, opq). Version 1 (no `meta` dir)
-    * encoded raw vectors; version 2 added the mean-shift residual flag
-    * (v/‖v‖ − mean(cell), per-cell means under `shifts/`); version 3 adds
-    * the OPQ flag (codes computed on `mat_vec(R, residual)` with the
-    * rotation rows under `rotation/`). Readers default missing meta to
-    * (1, raw, no-rotation) and a 2-column v2 meta to opq=false, so v1/v2
+  /** IVFPQ index format (version, residual, opq, local). Version 1 (no
+    * `meta` dir) encoded raw vectors; version 2 added the mean-shift
+    * residual flag (v/‖v‖ − mean(cell), per-cell means under `shifts/`);
+    * version 3 added the OPQ flag (codes computed on `mat_vec(R, residual)`
+    * with the rotation rows under `rotation/`); version 4 adds the LOPQ
+    * flag (`local`: one rotation PER CELL under `rotations/`, keyed by
+    * cid). Readers default missing meta to (1, raw, no-rotation), a
+    * 2-column v2 meta to opq=false, and a 3-column v3 meta to local=false,
+    * so v1/v2/v3
     * indexes keep querying correctly. */
   def loadPqMeta(spark: org.apache.spark.sql.SparkSession,
-                 path: String): (Int, Boolean, Boolean) =
+                 path: String): (Int, Boolean, Boolean, Boolean) =
     try {
       val df = spark.read.parquet(s"$path/meta")
       val r = df.head()
       val opq = if (df.columns.contains("opq")) r.getAs[Boolean]("opq") else false
-      (r.getInt(0), r.getBoolean(1), opq)
-    } catch { case _: Exception => (1, false, false) }
+      val local = if (df.columns.contains("local")) r.getAs[Boolean]("local") else false
+      (r.getInt(0), r.getBoolean(1), opq, local)
+    } catch { case _: Exception => (1, false, false, false) }
 
   /** Read a v3 index's OPQ rotation rows (bounded: D × D doubles). */
   def loadRotation(spark: org.apache.spark.sql.SparkSession,
@@ -507,6 +511,20 @@ object Similarity {
     spark.read.parquet(s"$path/rotation").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1).map(_._2).toSeq
+
+  /** Read a v4 index's PER-CELL rotations (bounded: nCells × D × D doubles,
+    * densely indexed by cell id; cells without a stored rotation — too few
+    * members to estimate a covariance — get identity). */
+  def loadLocalRotations(spark: org.apache.spark.sql.SparkSession, path: String,
+                         nCells: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    val byCell = spark.read.parquet(s"$path/rotations").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).map { case (c, rows) =>
+        c -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+    val eye = Seq.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    (0 until nCells).map(c => byCell.getOrElse(c, eye))
+  }
 
   /** Read a residual index's per-cell mean shifts, densely indexed by cell
     * id (bounded: nCentroids × dim). Cells with no members get the zero
@@ -543,7 +561,10 @@ object Similarity {
                       centroidsFrom: Option[String] = None,
                       residual: Boolean = true,
                       opq: Boolean = false,
-                      opqRounds: Int = 0): Unit = {
+                      opqRounds: Int = 0,
+                      localRot: Boolean = false): Unit = {
+    require(!(opq && localRot),
+      "opq and localRot are alternative rotation modes — pick one")
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = centroidsFrom match {
@@ -556,6 +577,8 @@ object Similarity {
       .map(src => loadPqMeta(spark, src)._2).getOrElse(residual)
     val effOpq = centroidsFrom
       .map(src => loadPqMeta(spark, src)._3).getOrElse(opq)
+    val effLocal = centroidsFrom
+      .map(src => loadPqMeta(spark, src)._4).getOrElse(localRot)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "c")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
     // cell assignment FIRST: residual codebooks must train on r = v̂ − s(cell)
@@ -611,9 +634,42 @@ object Similarity {
       rotation.zipWithIndex.map { case (row, i) => (i, row) }.toDF("i", "r")
         .repartition(1).write.mode("overwrite").parquet(s"$path/rotation")
     }
+    // LOPQ (Kalantidis & Avrithis, CVPR'14): a rotation PER CELL, each
+    // PCA-balanced on that cell's own (residual) distribution — clusters
+    // whose variance lives in different bases each get their own R where
+    // one global rotation must compromise. nCells covariance jobs over the
+    // persisted pre-rotation frame at BUILD time; queries pay one
+    // mat_vec per probe row (the rotation table is bounded metadata:
+    // nCells × D × D doubles).
+    val localRots: Seq[Seq[Seq[Double]]] =
+      if (!effLocal) Seq.empty
+      else centroidsFrom match {
+        case Some(src) =>
+          loadLocalRotations(spark, src, centroids.length, centroids.head.length)
+        case None =>
+          val pinned = preRot.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val d = centroids.head.length
+          val eye = Seq.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+          val rots = (0 until centroids.length).map { c =>
+            val cellDf = pinned.filter(col("cell") === c)
+            if (cellDf.take(2).length < 2) eye // too few rows for a covariance
+            else graft.operators.Quantize.opqRotation(cellDf, "rv0", m)
+          }
+          rots
+      }
+    if (effLocal) {
+      localRots.zipWithIndex.flatMap { case (rot, c) =>
+        rot.zipWithIndex.map { case (row, i) => (c, i, row) }
+      }.toDF("cid", "i", "r")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/rotations")
+    }
     val assigned = preRot
       .withColumn("rv",
-        if (effOpq) graft.operators.Quantize.rotate(col("rv0"), rotation)
+        if (effLocal)
+          call_function("mat_vec",
+            element_at(typedLit(localRots), col("cell") + 1),
+            col("rv0").cast("array<double>"))
+        else if (effOpq) graft.operators.Quantize.rotate(col("rv0"), rotation)
         else col("rv0"))
       .drop("rv0")
     val cbs = centroidsFrom match {
@@ -638,7 +694,8 @@ object Similarity {
     // files' id column so the encode pass is not recomputed
     spark.read.parquet(s"$path/cells").groupBy("cell").count()
       .repartition(1).write.mode("overwrite").parquet(s"$path/cellstats")
-    Seq((3, effResidual, effOpq)).toDF("version", "residual", "opq")
+    Seq((4, effResidual, effOpq, effLocal))
+      .toDF("version", "residual", "opq", "local")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -716,12 +773,16 @@ object Similarity {
                       maxProbe: Int = 16): DataFrame = {
     val centroids = loadCentroids(spark, path)
     val cbs = loadCodebooks(spark, path)
-    val (_, residual, opq) = loadPqMeta(spark, path)
+    val (_, residual, opq, local) = loadPqMeta(spark, path)
     val shiftLit =
       if (residual)
         typedLit(loadShifts(spark, path, centroids.length, centroids.head.length))
       else typedLit(Seq(Seq(0.0)))
     val rotation = if (opq) loadRotation(spark, path) else Seq.empty
+    val localRotLit =
+      if (local) typedLit(loadLocalRotations(spark, path,
+        centroids.length, centroids.head.length))
+      else typedLit(Seq(Seq(Seq(0.0))))
     val m = cbs.length
     val sub = cbs.head.head.length
 
@@ -751,7 +812,12 @@ object Similarity {
             zip_with(transform(col("qv"), _ / col("qn")),
               element_at(shiftLit, col("cell") + 1), _ - _)
           else col("qv").cast("array<double>")
-        if (opq) graft.operators.Quantize.rotate(shifted, rotation) else shifted
+        if (local)
+          call_function("mat_vec",
+            element_at(localRotLit, col("cell") + 1),
+            shifted.cast("array<double>"))
+        else if (opq) graft.operators.Quantize.rotate(shifted, rotation)
+        else shifted
       }, cbs))
     val wA = Window.partitionBy("q_id").orderBy(col("adist").asc, col("id"))
     val pool = codesScan.join(probesLut, "cell")

@@ -137,14 +137,14 @@ class TrainedCodebooksSpec extends SparkSpecBase {
     assert(rRes >= rRaw - 0.05,
       f"residual encoding lost recall beyond seeding noise: raw=$rRaw%.3f residual=$rRes%.3f")
 
-    // format versioning: new indexes are v3 + flags; missing meta reads as
+    // format versioning: new indexes are v4 + flags; missing meta reads as
     // v1 raw, and a 2-column v2 meta reads as opq=false (back-compat)
-    assert(Similarity.loadPqMeta(spark, s"$base/res") == ((3, true, false)))
-    assert(Similarity.loadPqMeta(spark, s"$base/raw") == ((3, false, false)))
-    assert(Similarity.loadPqMeta(spark, s"$base/nonexistent") == ((1, false, false)))
+    assert(Similarity.loadPqMeta(spark, s"$base/res") == ((4, true, false, false)))
+    assert(Similarity.loadPqMeta(spark, s"$base/raw") == ((4, false, false, false)))
+    assert(Similarity.loadPqMeta(spark, s"$base/nonexistent") == ((1, false, false, false)))
     Seq((2, true)).toDF("version", "residual")
       .write.mode("overwrite").parquet(s"$base/v2meta/meta")
-    assert(Similarity.loadPqMeta(spark, s"$base/v2meta") == ((2, true, false)))
+    assert(Similarity.loadPqMeta(spark, s"$base/v2meta") == ((2, true, false, false)))
   }
 
   test("jacobiEigen diagonalizes a known symmetric matrix") {
@@ -201,7 +201,7 @@ class TrainedCodebooksSpec extends SparkSpecBase {
     info(f"anisotropic corpus, ADC-tier recall@10: residual=$rRes%.3f residual+OPQ=$rOpq%.3f")
     assert(rOpq > rRes,
       f"OPQ must beat residual-only on anisotropic data: $rRes%.3f vs $rOpq%.3f")
-    assert(Similarity.loadPqMeta(spark, s"$base/opq") == ((3, true, true)))
+    assert(Similarity.loadPqMeta(spark, s"$base/opq") == ((4, true, true, false)))
 
     // alternating (non-parametric) refinement: codebook training and
     // Procrustes re-solves share one objective, so recall must hold the
@@ -219,8 +219,62 @@ class TrainedCodebooksSpec extends SparkSpecBase {
     // reuse path: centroidsFrom inherits rotation + flags
     Similarity.ivfPqBuildIndex(planted, "vec_id", "embedding", s"$base/reuse",
       centroidsFrom = Some(s"$base/opq"))
-    assert(Similarity.loadPqMeta(spark, s"$base/reuse") == ((3, true, true)))
+    assert(Similarity.loadPqMeta(spark, s"$base/reuse") == ((4, true, true, false)))
     assert(Similarity.loadRotation(spark, s"$base/reuse")
       == Similarity.loadRotation(spark, s"$base/opq"))
+  }
+
+  test("LOPQ: per-cell rotations beat one global rotation on per-cluster anisotropy; format v4") {
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_lopq").toString
+    // planted PER-CLUSTER anisotropy — the geometry LOPQ exists for
+    // (Kalantidis & Avrithis, CVPR'14): 8 clusters, cluster g's residual
+    // variance concentrated in dim slice [8g, 8g+8). The MIXTURE covariance
+    // is near-balanced (every dim is strong in exactly one cluster), so ONE
+    // global OPQ rotation has nothing to reallocate; each cell's own
+    // rotation spreads its 8 strong dims across the 8 subspaces.
+    val rnd = new scala.util.Random(11)
+    val d = 64
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(8)(unit(Array.fill(d)(rnd.nextGaussian())))
+    val planted = (0 until 2000).map { i =>
+      val g = i % 8
+      val x = centers(g).zipWithIndex.map { case (c, j) =>
+        c + rnd.nextGaussian() * (if (j / 8 == g) 0.45 else 0.02) / 3
+      }
+      (i.toLong, unit(x).map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding").cache()
+    val pq = planted.orderBy("vec_id").limit(20).cache()
+    val pTruth = Similarity
+      .knnBruteForce(planted, "vec_id", pq, "vec_id", "embedding", 10).cache()
+
+    def tierRecall(path: String, useOpq: Boolean, useLocal: Boolean): Double = {
+      Similarity.ivfPqBuildIndex(planted, "vec_id", "embedding", path,
+        nCentroids = 8, m = 8, k = 16, trainIters = 5, residual = true,
+        opq = useOpq, localRot = useLocal)
+      val res = Similarity.ivfPqQueryIndex(spark, path, pq, "vec_id",
+        "embedding", k = 10, nProbe = 4, rerank = 10)
+      val hits = res.select("q_id", "id")
+        .join(pTruth.select("q_id", "id"), Seq("q_id", "id"), "left_semi").count()
+      hits.toDouble / pTruth.count()
+    }
+    val rRes = tierRecall(s"$base/res", useOpq = false, useLocal = false)
+    val rOpq = tierRecall(s"$base/opq", useOpq = true, useLocal = false)
+    val rLoc = tierRecall(s"$base/loc", useOpq = false, useLocal = true)
+    info(f"per-cluster anisotropy, ADC-tier recall@10: " +
+      f"residual=$rRes%.3f +globalOPQ=$rOpq%.3f +LOPQ=$rLoc%.3f")
+    assert(rLoc > rOpq,
+      f"LOPQ must beat one global rotation here: global=$rOpq%.3f local=$rLoc%.3f")
+    assert(rLoc > rRes,
+      f"LOPQ must beat residual-only here: res=$rRes%.3f local=$rLoc%.3f")
+    assert(Similarity.loadPqMeta(spark, s"$base/loc") == ((4, true, false, true)))
+
+    // reuse path: centroidsFrom inherits the per-cell rotations + flags
+    Similarity.ivfPqBuildIndex(planted, "vec_id", "embedding", s"$base/lreuse",
+      centroidsFrom = Some(s"$base/loc"))
+    assert(Similarity.loadPqMeta(spark, s"$base/lreuse") == ((4, true, false, true)))
+    assert(Similarity.loadLocalRotations(spark, s"$base/lreuse", 8, d)
+      == Similarity.loadLocalRotations(spark, s"$base/loc", 8, d))
   }
 }
