@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (Sennrich et al., ACL 2016) — the
+  * merge-learning loop every subword tokenizer recipe starts from, run as
+  * Spark jobs so the counting passes scale to corpus-sized vocabularies
+  * (the driver only ever holds the argmax pair and the merge list).
+  *
+  * Shape at 100 TB:
+  *  - ONE corpus pass collapses the text to a word-frequency table
+  *    (explode → partial-agg groupBy — the Zipf head pre-sums map-side);
+  *    every later iteration works on word TYPES weighted by frequency,
+  *    never the corpus again — the classic BPE economy;
+  *  - each merge round is one partial-agg pair-count shuffle over the
+  *    type table plus a top-1 (`orderBy.limit(1)` → TakeOrdered, not a
+  *    full sort) and a MAP-ONLY fold applying the merge;
+  *  - the applied merges stack lazily, so every `checkpointEvery` rounds
+  *    the type table is localCheckpoint-ed to cut lineage (the same
+  *    iterative-plan discipline as [[Components]]' rounds).
+  *
+  * The merge fold is the real left-to-right non-overlapping scan
+  * ("a a a" under pair (a,a) → ["aa","a"]), expressed as a Catalyst
+  * `aggregate` with (emitted, pending) state — no UDF, stays in codegen.
+  * Ties in the pair argmax break (count DESC, left ASC, right ASC), so
+  * training is deterministic for a given corpus.
+  */
+object Bpe {
+
+  /** Left-to-right non-overlapping merge of adjacent (a, b) → a+b. */
+  private[operators] def mergeStep(symsIn: Column, a: String, b: String): Column =
+    bindOnce(symsIn) { syms =>
+      val merged = a + b
+      val init = struct(array().cast("array<string>").as("out"),
+        lit(null).cast("string").as("pend"))
+      def flush(st: Column): Column =
+        when(st.getField("pend").isNull, st.getField("out"))
+          .otherwise(concat(st.getField("out"), array(st.getField("pend"))))
+      aggregate(syms, init,
+        (st, x) =>
+          when(st.getField("pend") === a && x === b,
+            struct(concat(st.getField("out"), array(lit(merged))).as("out"),
+              lit(null).cast("string").as("pend")))
+            .otherwise(struct(flush(st).as("out"), x.as("pend"))),
+        st => flush(st))
+    }
+
+  /** Train `nMerges` BPE merges over whitespace words of `textCol`.
+    * Returns the learned merge table (rank, left, right, merged,
+    * pair_count) — rows in merge order. Stops early when no adjacent pair
+    * reaches `minCount`. */
+  def train(df: DataFrame, textCol: String, nMerges: Int,
+            minCount: Long = 2L, checkpointEvery: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .persist()
+    words.count() // materialize the one corpus-wide pass
+
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      val top = words
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("a"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("b"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < minCount) done = true
+      else {
+        val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((r, a, b, a + b, n))
+        val next = words
+          .select(mergeStep(col("syms"), a, b).as("syms"), col("freq"))
+          .persist()
+        next.count()
+        words.unpersist(blocking = false)
+        words = if ((r + 1) % checkpointEvery == 0) next.localCheckpoint(true) else next
+        r += 1
+      }
+    }
+    words.unpersist(blocking = false)
+    merges.result()
+      .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+}

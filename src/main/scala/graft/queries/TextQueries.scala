@@ -522,6 +522,18 @@ object TextQueries {
         SELECT documents.doc_id, COALESCE(n_feats, 0) AS n_feats, w_sum,
           CAST(w_sum AS DOUBLE) / CAST(n_feats AS DOUBLE) AS dsir_weight,
           (COALESCE(n_feats, 0) > 0 AND w_sum >= n_feats * 1000000) AS selected
-        FROM documents LEFT JOIN d USING (doc_id) ORDER BY doc_id"""))
+        FROM documents LEFT JOIN d USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- p50: distributed BPE tokenizer training — the merge-learning
+    // loop of Sennrich et al. 2016 as Spark jobs (one corpus pass to a
+    // word-frequency table, then per-round pair-count shuffles + a
+    // map-only codegen merge fold). Iterative argmax selection is not
+    // SQL-expressible in one statement -> no DuckDB oracle (driver records
+    // the rows-only check); exactness is spec'd in TextExtrasSpec against
+    // the paper's hand-computable corpus. --------------------------------
+    QueryDef("p50_bpe_merges",
+      (s, d) => Bpe.train(T.documents(s, d), "text", nMerges = 10)
+        .orderBy("rank"),
+      None)
   )
 }

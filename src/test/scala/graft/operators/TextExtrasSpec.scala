@@ -246,6 +246,39 @@ class TextExtrasSpec extends SparkSpecBase {
     assert(out(201L)._1 < out(1L)._1 && out(1L)._1 < out(202L)._1)
   }
 
+  test("BPE training: the paper's corpus learns the expected merges in order") {
+    // Sennrich et al.'s worked example: low x5, lower x2, newest x6,
+    // widest x3. Hand-computed rounds (tie-break count DESC, pair lex ASC):
+    //   r0: (e,s) 9  (ties (s,t) 9, lex lower wins)
+    //   r1: (es,t) 9
+    //   r2: (l,o) 7  (ties (o,w) 7)
+    //   r3: (lo,w) 7
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "text")
+    val merges = Bpe.train(df, "text", nMerges = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(merges.toSeq == Seq(
+      (0, "e", "s", "es", 9L),
+      (1, "es", "t", "est", 9L),
+      (2, "l", "o", "lo", 7L),
+      (3, "lo", "w", "low", 7L)))
+  }
+
+  test("BPE merge fold is left-to-right non-overlapping") {
+    val df = Seq((1L, Seq("a", "a", "a")), (2L, Seq("a", "b", "a", "b")),
+      (3L, Seq("x", "a", "a", "y"))).toDF("id", "syms")
+    val aa = df.select($"id", Bpe.mergeStep($"syms", "a", "a").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(aa(1L) == Seq("aa", "a"))         // no overlap re-use
+    assert(aa(3L) == Seq("x", "aa", "y"))
+    val ab = df.select($"id", Bpe.mergeStep($"syms", "a", "b").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(ab(2L) == Seq("ab", "ab"))        // both occurrences merge
+  }
+
   test("DSIR weights: disjoint-vocab target docs selected, others not") {
     // Two sub-corpora with disjoint vocabularies; target = ids 1-10. Target
     // features have t_f = r_f → ratio ≈ (r_tot+B)/(t_tot+B) ≈ 2×scale;
