@@ -213,7 +213,13 @@ object Bench {
         .filter { case (n, _) => only.forall(_.contains(n)) })
     else None
     val duckTotal = duck.map(m => r3(m.values.sum))
-    val ratio = duckTotal.filter(_ > 0).map(d => r3(sparkTotal / d))
+    // ratio over the PAIRED set only: oracle-less queries (p50's iterative
+    // argmax is not one-statement SQL) have a Spark time but no DuckDB
+    // counterpart — folding them into the ratio numerator would charge
+    // Spark for work the denominator never does
+    val sparkPaired = duck.map(m =>
+      r3(results.collect { case (k, v) if m.contains(k) => v }.sum))
+    val ratio = for (d <- duckTotal if d > 0; s <- sparkPaired) yield r3(s / d)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -227,6 +233,7 @@ object Bench {
       s""""cpus":$cpus,"runs":2,"noisy":$noisyJson,""" +
       s""""plan_changed":${planChanged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""spark_total":$sparkTotal,""" +
+      s""""spark_paired":${sparkPaired.map(_.toString).getOrElse("null")},""" +
       s""""duckdb_total":${duckTotal.map(_.toString).getOrElse("null")},""" +
       s""""ratio":${ratio.map(_.toString).getOrElse("null")},"value":$sparkTotal}"""
 
