@@ -192,4 +192,35 @@ class PlanSpec extends SparkSpecBase {
       s"within-cell pairs must come from an equi-join on the cell id:\n${p.take(2000)}")
     assert(p.contains("vec_dot"), "exact verify must use the codegen kernel")
   }
+
+  test("p47 LM scoring: partial-agg count shuffles, LM join is an equi join") {
+    val p = plan("p47_lm_score")
+    // bigram/context counting and the per-doc sum are hash aggregates
+    // (partial+final — the Zipf head pre-sums map-side); the doc-bigram ⋈
+    // LM join must be an equi join, never a product. (A
+    // BroadcastNestedLoopJoin IS expected once: the single-row vocabulary
+    // size V cross-joins broadcast, like p44's corpus count N.)
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findFirstIn(p).isDefined, p.take(2000))
+  }
+
+  test("p48 DSIR: ratio table is broadcast back onto the feature stream") {
+    val p = plan("p48_dsir_weights")
+    // the bucket-bounded ratio table must come back as a broadcast hash
+    // join — a shuffle here would move the whole doc-feature stream for a
+    // ≤1024-row build side
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("p49 cluster sample: map-only assignment, one rank-window pass") {
+    val p = plan("p49_cluster_sample")
+    // assignment is centroid literals in projection (vec_dot kernel), the
+    // only work after it is the per-cell rank window; no joins at all
+    assert(p.contains("vec_dot"), p.take(2000))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
 }
