@@ -574,6 +574,43 @@ object TextOps {
           .as("keep"))
   }
 
+  /** Per-document duplication rate — the "fraction of this document's
+    * n-grams that occur in OTHER documents" signal corpus reports
+    * (Dolma, RedPajama-v2) publish per doc: high dup_frac marks
+    * boilerplate/mirrored content and memorization risk even when no
+    * single pair crosses a near-dup threshold.
+    *
+    * Per doc, the DISTINCT n-gram shingle set (the `word_shingles`
+    * kernel); a shingle is "shared" when its document frequency is ≥ 2.
+    * Exact integers end-to-end; `dup_frac` is one correctly-rounded
+    * double division, the keep flag (≤ 60% shared) integer-armed.
+    *
+    * Shape at 100 TB: explode distinct shingles → partial-agg DF shuffle
+    * (one row per shingle) → ONE shingle-keyed join back onto the posting
+    * stream — hot shingles are AQE-splittable because the DF side is one
+    * row each — → per-doc partial-agg counts. The same posting economy as
+    * p04/p44; no pair generation anywhere, so no caps needed. */
+  def duplicationRate(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val posts = df.select(col(idCol).as("doc_id"),
+        explode(wordShinglesFromTokens(tokens(col(textCol)), n)).as("sh"))
+    val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+    val perDoc = posts.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"),
+        (coalesce(col("n_grams"), lit(0L)) > 0 &&
+          col("n_shared") * 5L <= col("n_grams") * 3L).as("keep"))
+  }
+
   /** DSIR-style importance weights (Xie et al., NeurIPS'23 "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how target-like its HASHED bigram features are, where the

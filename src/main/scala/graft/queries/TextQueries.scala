@@ -534,6 +534,29 @@ object TextQueries {
     QueryDef("p50_bpe_merges",
       (s, d) => Bpe.train(T.documents(s, d), "text", nMerges = 10)
         .orderBy("rank"),
-      None)
+      None),
+
+    // ---- p51: per-document duplication rate — fraction of a doc's
+    // distinct 5-gram shingles that occur in other documents (the
+    // Dolma/RedPajama-v2 corpus-report signal; memorization-risk proxy).
+    // Exact integers; one double division; keep band integer-armed. ------
+    QueryDef("p51_dup_rate",
+      (s, d) => TextOps.duplicationRate(T.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+        s AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN
+            list_distinct(list_transform(range(0, len(tk)-4), i ->
+              tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]))
+          ELSE [] END AS shs FROM t),
+        posts AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+        dfq AS (SELECT sh, COUNT(*) AS df FROM posts GROUP BY 1),
+        d AS (SELECT posts.doc_id, COUNT(*) AS n_grams,
+            CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+          FROM posts JOIN dfq USING (sh) GROUP BY 1)
+        SELECT documents.doc_id, COALESCE(n_grams, 0) AS n_grams, n_shared,
+          CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac,
+          (COALESCE(n_grams, 0) > 0 AND n_shared * 5 <= n_grams * 3) AS keep
+        FROM documents LEFT JOIN d USING (doc_id) ORDER BY doc_id"""))
   )
 }

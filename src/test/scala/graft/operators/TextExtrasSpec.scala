@@ -246,6 +246,23 @@ class TextExtrasSpec extends SparkSpecBase {
     assert(out(201L)._1 < out(1L)._1 && out(1L)._1 < out(202L)._1)
   }
 
+  test("duplication rate: shared shingles counted, short docs null out") {
+    val df = Seq(
+      (1L, "a b c d e f"),   // shingles "a b c d e","b c d e f"; first shared
+      (2L, "a b c d e z"),   // shares "a b c d e" with doc 1
+      (3L, "p q r s t u"),   // all unique
+      (4L, "x y")            // < 5 tokens: no shingles
+    ).toDF("id", "text")
+    val out = TextOps.duplicationRate(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((2L, Some(1L), Some(0.5), true)))
+    assert(out(2L) == ((2L, Some(1L), Some(0.5), true)))
+    assert(out(3L) == ((2L, Some(0L), Some(0.0), true)))
+    assert(out(4L) == ((0L, None, None, false)))
+  }
+
   test("BPE training: the paper's corpus learns the expected merges in order") {
     // Sennrich et al.'s worked example: low x5, lower x2, newest x6,
     // widest x3. Hand-computed rounds (tie-break count DESC, pair lex ASC):
