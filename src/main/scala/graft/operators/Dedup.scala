@@ -484,4 +484,37 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Quality-ranked canonical selection over near-dup clusters — the
+    * FineWeb/RefinedWeb survivor rule: where [[Components.dedupClusters]]'s
+    * min-id winner is arbitrary, real curation keeps the BEST copy of each
+    * duplicated page (boilerplate-stripped mirrors, truncated reposts and
+    * the original all land in one cluster; quality decides which survives).
+    *
+    * Output: every doc with its cluster, `quality` ([[TextOps.qualityScore]]
+    * — engine-exact doubles, so the rank order is oracle-comparable),
+    * within-cluster rank `rk` (quality DESC, id ASC tie-break) and the
+    * `keep` verdict (rk == 1; singletons trivially keep).
+    *
+    * Shape at 100 TB: pairs → connected components (O(log n) rounds, 2
+    * key-shuffles each — p24's machinery unchanged) → quality is MAP-ONLY
+    * on the doc stream → ONE rank window partitioned by cluster_id.
+    * Cluster sizes are near-dup component sizes — bounded and heavy-tailed
+    * but far below partition scale, so the window never sees a giant
+    * partition (the pair generator's bucket caps bound them upstream). */
+  def keepBestQuality(docs: DataFrame, idCol: String, textCol: String,
+                      pairs: DataFrame,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = Components.dedupClusters(docs, idCol, pairs,
+      checkpointDir = checkpointDir)
+    val quality = docs.select(col(idCol),
+      TextOps.qualityScore(col(textCol)).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("quality").desc, col(idCol))
+    clusters.join(quality, Seq(idCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("keep", col("rk") === 1L)
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        col("quality"), col("rk"), col("keep"))
+  }
 }

@@ -104,4 +104,38 @@ object Shards {
     df.withColumn("shard_id", call_function("div",
       sum(col(tokensCol)).over(w) - col(tokensCol), lit(budget)))
   }
+
+  /** Weighted sample without replacement via PRIORITY SAMPLING (Duffield,
+    * Lund & Thorup, JACM'07): each row gets priority `w/u` for a uniform
+    * u ∈ (0,1]; the k largest priorities are the sample. Inclusion odds are
+    * proportional to weight (heavy rows near-certain, light rows
+    * proportionally), which is the resampling step importance-weighting
+    * schemes like DSIR (p48) call for — and unlike rejection sampling the
+    * output size is EXACTLY k.
+    *
+    * Determinism (the [[splitBucket]] contract): u is md5-derived from the
+    * salted id, so the drawn sample is a pure function of (ids, weights,
+    * salt) — reproducible across runs, partitionings, and engines. The
+    * priority is staged in exact integers: `(w << 20) div (h30 + 1)` with
+    * h30 the salted hash folded to 30 bits — no doubles anywhere, so no
+    * accumulation-order or rounding hazard. Overflow bound (documented):
+    * weights must stay below 2^43 ≈ 8.8e12; p48's `w_sum` weights peak at
+    * tokens-per-doc × 1e6, far inside it.
+    *
+    * Shape at 100 TB: the priority is MAP-ONLY; the only movement is the
+    * global top-k, which Spark executes as TakeOrdered (per-partition
+    * heap-k, then a k-row merge on the driver) — no sort, no shuffle of
+    * the unsampled mass. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: Column, k: Int,
+                     salt: String = "graft"): DataFrame = {
+    val h30 = pmod(
+      Dedup.mdHash31(concat(lit(salt), col(idCol).cast("string"))),
+      lit(1L << 30))
+    df.select(col(idCol), weightCol.as("weight"))
+      .withColumn("h30", h30)
+      .withColumn("priority", expr("weight * 1048576L div (h30 + 1L)"))
+      .select(col(idCol), col("weight"), col("priority"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -251,6 +251,38 @@ object Similarity {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Embedding-space decontamination: flag every corpus row whose embedding
+    * is ≥ `minSim` cosine to ANY held-out evaluation vector — the SEMANTIC
+    * sibling of the shingle/Bloom decontamination tier (p23): paraphrased
+    * or lightly-edited benchmark leakage survives n-gram matching but not
+    * an embedding check (the contamination audit of Yang et al. 2023,
+    * "Rethinking Benchmark and Contamination ... with Rephrased Samples").
+    *
+    * Output: one verdict row per corpus id — `n_hits` (how many eval
+    * vectors matched — exact integer, so the `contaminated` flag is
+    * integer-armed), `max_sim` (worst-case leakage score; `max` is
+    * order-free over doubles, unlike a sum, so it is engine-exact).
+    *
+    * Shape at 100 TB: the eval side of every real benchmark suite is tiny
+    * (10^3–10^5 vectors) — it BROADCASTS, the corpus streams through
+    * map-side (|test| fused dot products per row inside codegen), and the
+    * only shuffle is the per-doc partial-agg verdict. Nothing quadratic
+    * ever materializes. For eval sets past broadcast size, block first
+    * (LSH/IVF cells) and verify with this on the matched cells. */
+  def embeddingDecontaminate(corpus: DataFrame, corpusId: String,
+                             testSet: DataFrame, testId: String,
+                             vecCol: String, minSim: Double): DataFrame = {
+    val c = withNorm(corpus, corpusId, vecCol)
+    val t = broadcast(withNorm(testSet, testId, vecCol)
+      .select(col(testId).as("t_id"), col("v").as("tv"), col("nrm").as("tnrm")))
+    c.crossJoin(t)
+      .withColumn("sim", dot(col("v"), col("tv")) / (col("nrm") * col("tnrm")))
+      .groupBy(col(corpusId))
+      .agg(sum(when(col("sim") >= lit(minSim), 1L).otherwise(0L)).as("n_hits"),
+        max(col("sim")).as("max_sim"))
+      .withColumn("contaminated", col("n_hits") > 0L)
+  }
+
   /** Cluster-balanced corpus sampling — the topic-rebalancing pass of the
     * SemDeDup / SSL-prototypes curation recipes (Abbas et al. 2023; Sorscher
     * et al. 2022 select per-cluster rather than uniformly: a web crawl is

@@ -611,6 +611,57 @@ object TextOps {
           col("n_shared") * 5L <= col("n_grams") * 3L).as("keep"))
   }
 
+  /** BM25 ranked retrieval (Robertson et al., TREC-3): the top-k documents
+    * for a bag-of-terms query, scored with the Okapi tf saturation
+    * (`tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`, k1=1.2, b=0.75) — the
+    * retrieval pass a curation pipeline runs to pull topical slices out of
+    * a crawl (and the lexical half of any hybrid lexical+dense retriever).
+    *
+    * Divergence from the textbook form, for engine determinism (the p44
+    * pattern): IDF is the RATIONAL Robertson-Sparck-Jones body without the
+    * log — `1 + (N - df + 0.5)/(df + 0.5)` — monotone-decreasing in df and
+    * strictly positive, so rankings agree with the damped form whenever
+    * per-term scores do; `ln` would differ in the last ulp across libms.
+    * Per-(doc,term) weights are FLOOR-scaled to integers (`floor(idf·tfw·
+    * 1e6)`) so the per-doc sum is an exact BIGINT — a double sum's value
+    * would depend on accumulation order across engines.
+    *
+    * Shape at 100 TB: tokenize → map-side filter to the query's terms
+    * (drops ~everything before any shuffle) → (doc,term) partial-agg tf →
+    * a ≤|Q|-row df table broadcast back → per-doc partial-agg sum → global
+    * top-k as TakeOrdered (no single-partition window, no full sort). The
+    * corpus-stats row (N, total length) is a single-row broadcast. */
+  def bm25TopDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, queryTerms: Seq[String],
+                  k: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, sum}
+    val docs = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("dl"))
+    val n = docs.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("dl_tot"))
+    val hits = docs
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("token"))
+      .where(col("token").isin(queryTerms: _*))
+    val tf = hits.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "token").crossJoin(broadcast(n))
+      .withColumn("avgdl",
+        col("dl_tot").cast("double") / col("n_corpus").cast("double"))
+      .withColumn("idf", lit(1.0) +
+        (col("n_corpus").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)))
+      .withColumn("tfw", (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("w", floor(col("idf") * col("tfw") * lit(1000000.0)).cast("long"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("score_sum"))
+      .select(col("doc_id").as(idCol), col("n_terms"), col("score_sum"),
+        (col("score_sum").cast("double") / lit(1000000.0)).as("bm25"))
+      .orderBy(col("score_sum").desc, col(idCol))
+      .limit(k)
+  }
+
   /** DSIR-style importance weights (Xie et al., NeurIPS'23 "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how target-like its HASHED bigram features are, where the

@@ -516,6 +516,43 @@ object DedupQueries {
           WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.3)
         SELECT vec_id FROM e
         WHERE vec_id NOT IN (SELECT id_b FROM losers)
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // ---- p55: quality-ranked canonical selection over near-dup clusters —
+    // the FineWeb/RefinedWeb survivor rule on top of p24's components: the
+    // BEST copy of each duplicated page survives (quality DESC, id ASC
+    // tie-break), not the arbitrary min-id one. Quality doubles are the
+    // p02-proven engine-exact expression (shared fragment), so the rank
+    // order is oracle-comparable. ----------------------------------------
+    QueryDef("p55_keep_best",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, minJaccard = 0.5)
+        Dedup.keepBestQuality(docs, "doc_id", "text", pairs).orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $MinhashPairsCte,
+        sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(v, x) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
+          UNION
+          SELECT r.v, s.v FROM reach r JOIN sym s ON r.x = s.u),
+        cc AS (SELECT v AS doc_id, MIN(x) AS cluster_id FROM reach GROUP BY v),
+        assigned AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cc c USING (doc_id)),
+        csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM assigned GROUP BY 1),
+        q AS (SELECT doc_id, ${qualitySql("toks", "text")} AS quality
+          FROM (SELECT doc_id, text, $ToksSql AS toks FROM documents)),
+        j AS (SELECT a.doc_id, a.cluster_id, cs.cluster_size, q.quality
+          FROM assigned a JOIN csizes cs USING (cluster_id)
+          JOIN q USING (doc_id)),
+        r AS (SELECT *, CAST(ROW_NUMBER() OVER
+            (PARTITION BY cluster_id ORDER BY quality DESC, doc_id)
+            AS BIGINT) AS rk FROM j)
+        SELECT doc_id, cluster_id, cluster_size, quality, rk, rk = 1 AS keep
+        FROM r ORDER BY doc_id"""))
   )
 }

@@ -10,6 +10,17 @@ private[queries] object QuerySql {
   val ToksSql = "string_split_regex(trim(text), '\\s+')"
   val StopSql: String = TextOps.Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** p02's quality-score expression ([[graft.operators.TextOps.qualityScore]]
+    * mirror) over a token-list ref and a text ref — factored so p55 ranks
+    * cluster survivors by the identical doubles p02 hash-proves. */
+  def qualitySql(toks: String, text: String): String =
+    s"""least(CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+           + least(CAST(len(list_filter($toks, x -> x IN $StopSql)) AS DOUBLE)
+                     / CAST(greatest(len($toks), 1) AS DOUBLE) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+           + (CAST(1.0 AS DOUBLE)
+              - least(CAST(len(regexp_replace($text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                        / CAST(greatest(len($text), 1) AS DOUBLE) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)"""
+
   def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x,y) -> x+y)"
   def normSql(v: String): String =

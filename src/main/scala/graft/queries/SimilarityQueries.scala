@@ -260,6 +260,42 @@ object SimilarityQueries {
               vec_id) AS rk
           FROM assign)
         SELECT vec_id, cell, CAST(rk AS BIGINT) AS rk
-        FROM r WHERE rk <= 20 ORDER BY vec_id"""))
+        FROM r WHERE rk <= 20 ORDER BY vec_id""")),
+
+    // ---- p54: embedding-space decontamination — per-corpus-row verdict
+    // against a held-out eval set (vec_id < 20), the semantic sibling of
+    // p23's shingle decontamination. Clones of the first 5 eval vectors
+    // are planted into the corpus (ids +200000, both engines identically)
+    // so the filter provably catches leakage at sim 1.0; organic near-dups
+    // >= 0.8 count too. n_hits is an exact integer (the flag arms off it);
+    // max_sim is order-free-exact. ---------------------------------------
+    QueryDef("p54_embed_decontaminate",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val test = e.filter(col("vec_id") < 20).select("vec_id", "embedding")
+        val clones = e.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+        val corpus = e.filter(col("vec_id") >= 20)
+          .select("vec_id", "embedding").unionAll(clones)
+        Similarity.embeddingDecontaminate(corpus, "vec_id", test, "vec_id",
+          "embedding", minSim = 0.8).orderBy("vec_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        test AS (SELECT vec_id AS t_id, v AS tv, ${normSql("v")} AS tnrm
+          FROM e WHERE vec_id < 20),
+        corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 20
+                   UNION ALL
+                   SELECT vec_id + 200000 AS vec_id, v FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM corpus),
+        sims AS (SELECT c.vec_id,
+            ${dotSql("c.v", "test.tv")} / (c.nrm * test.tnrm) AS sim
+          FROM c CROSS JOIN test)
+        SELECT vec_id,
+          CAST(SUM(CASE WHEN sim >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+          MAX(sim) AS max_sim,
+          CAST(SUM(CASE WHEN sim >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) > 0
+            AS contaminated
+        FROM sims GROUP BY vec_id ORDER BY vec_id"""))
   )
 }

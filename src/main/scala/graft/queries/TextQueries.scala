@@ -557,6 +557,84 @@ object TextQueries {
         SELECT documents.doc_id, COALESCE(n_grams, 0) AS n_grams, n_shared,
           CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac,
           (COALESCE(n_grams, 0) > 0 AND n_shared * 5 <= n_grams * 3) AS keep
-        FROM documents LEFT JOIN d USING (doc_id) ORDER BY doc_id"""))
+        FROM documents LEFT JOIN d USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- p52: BM25 ranked retrieval — top-20 docs for a fixed bag-of-
+    // terms query ("dup" is the corpus's one rare token — high IDF; the
+    // others are common, so tf/doc-length saturation discriminates).
+    // Rational (log-free) IDF + floor-scaled integer per-term weights so
+    // the per-doc sum is an exact BIGINT; see TextOps.bm25TopDocs. -------
+    QueryDef("p52_bm25_topk",
+      (s, d) => TextOps.bm25TopDocs(T.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("dup", "vector", "customer", "batch"), k = 20),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+        docs AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM t),
+        n AS (SELECT COUNT(*) AS n_corpus, CAST(SUM(dl) AS BIGINT) AS dl_tot
+          FROM docs),
+        hits AS (SELECT doc_id, dl, unnest(tk) AS token FROM docs),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf, MAX(dl) AS dl FROM hits
+          WHERE token IN ('dup', 'vector', 'customer', 'batch')
+          GROUP BY 1, 2),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        s1 AS (SELECT tf.doc_id, tf.tf, tf.dl, dfreq.df, n.n_corpus,
+            CAST(n.dl_tot AS DOUBLE) / CAST(n.n_corpus AS DOUBLE) AS avgdl
+          FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        s2 AS (SELECT doc_id,
+            1.0 + (CAST(n_corpus AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5) AS idf,
+            (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))) AS tfw
+          FROM s1),
+        s3 AS (SELECT doc_id,
+            CAST(floor(idf * tfw * 1000000.0) AS BIGINT) AS w FROM s2),
+        agg AS (SELECT doc_id, COUNT(*) AS n_terms,
+            CAST(SUM(w) AS BIGINT) AS score_sum FROM s3 GROUP BY 1)
+        SELECT doc_id, n_terms, score_sum,
+          CAST(score_sum AS DOUBLE) / 1000000.0 AS bm25
+        FROM agg ORDER BY score_sum DESC, doc_id LIMIT 20""")),
+
+    // ---- p53: weighted corpus sampling by PRIORITY SAMPLING (Duffield-
+    // Lund-Thorup) over the p48 DSIR importance weights — the resampling
+    // step that turns importance weights into an actual drawn subset.
+    // Exactly k rows out, md5-seeded (reproducible across engines/runs),
+    // all-integer priorities. ---------------------------------------------
+    QueryDef("p53_priority_sample",
+      (s, d) => {
+        val wts = TextOps.dsirWeights(T.documents(s, d), "doc_id", "text",
+            col("lang") === "en")
+          .select(col("doc_id"),
+            (coalesce(col("w_sum"), lit(0L)) + 1L).as("wt"))
+        Shards.prioritySample(wts, "doc_id", col("wt"), k = 100)
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang = 'en' AS is_target, $ToksSql AS tk
+          FROM documents),
+        feats AS (SELECT doc_id, is_target,
+            ('0x' || substring(md5(w1 || ' ' || w2), 1, 15))::BIGINT % 1024 AS f
+          FROM (SELECT doc_id, is_target,
+              unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+            FROM t)),
+        counts AS (SELECT f, COUNT(*) AS r_f,
+            CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_f
+          FROM feats GROUP BY 1),
+        tot AS (SELECT CAST(SUM(r_f) AS BIGINT) AS r_tot,
+            CAST(SUM(t_f) AS BIGINT) AS t_tot FROM counts),
+        ratios AS (SELECT f,
+            ((t_f + 1) * 1000000 // (r_f + 1)) * (r_tot + 1024)
+              // (t_tot + 1024) AS ratio
+          FROM counts CROSS JOIN tot),
+        d AS (SELECT feats.doc_id, COUNT(*) AS n_feats,
+            CAST(SUM(ratio) AS BIGINT) AS w_sum
+          FROM feats JOIN ratios USING (f) GROUP BY 1),
+        base AS (SELECT documents.doc_id, COALESCE(w_sum, 0) + 1 AS weight
+          FROM documents LEFT JOIN d USING (doc_id)),
+        pri AS (SELECT doc_id, weight,
+            (weight * 1048576) // (((('0x' || substring(
+              md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 2147483648) % 1073741824) + 1) AS priority
+          FROM base)
+        SELECT doc_id, weight, priority FROM pri
+        ORDER BY priority DESC, doc_id LIMIT 100"""))
   )
 }

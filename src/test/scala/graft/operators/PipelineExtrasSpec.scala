@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Hand-computed oracles for the round-7 retrieval/sampling additions:
+  * BM25 ranked retrieval, priority sampling, embedding decontamination,
+  * quality-ranked cluster survivors. */
+class PipelineExtrasSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** The BM25 per-(doc,term) integer weight, independently recomputed. */
+  private def bmW(tf: Long, dl: Long, df: Long, n: Long, dlTot: Long): Long = {
+    val avgdl = dlTot.toDouble / n.toDouble
+    val idf = 1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)
+    val tfw = (tf.toDouble * 2.2) /
+      (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl)))
+    math.floor(idf * tfw * 1000000.0).toLong
+  }
+
+  test("bm25TopDocs: hand-computed scores, multi-term sum, k cut") {
+    val docs = Seq(
+      (1L, "cat bird dog"),
+      (2L, "cat cat cat dog dog dog"),
+      (3L, "dog bird")
+    ).toDF("doc_id", "text")
+    // N=3, dl = 3/6/2 -> dlTot=11; df(cat)=2, df(bird)=2
+    val exp = Map(
+      1L -> (2L, bmW(1, 3, 2, 3, 11) + bmW(1, 3, 2, 3, 11)), // cat + bird
+      2L -> (1L, bmW(3, 6, 2, 3, 11)),
+      3L -> (1L, bmW(1, 2, 2, 3, 11)))
+    val all = TextOps.bm25TopDocs(docs, "doc_id", "text",
+        Seq("cat", "bird"), k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(all == exp, all)
+    // k=2 keeps the two largest score_sums (deterministic id tie-break)
+    val top2 = TextOps.bm25TopDocs(docs, "doc_id", "text",
+        Seq("cat", "bird"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val expTop2 = exp.toSeq.sortBy { case (id, (_, s)) => (-s, id) }
+      .take(2).map(_._1)
+    assert(top2 == expTop2, top2)
+  }
+
+  /** mdHash31 folded to 30 bits over the salted id — the JVM-side mirror. */
+  private def h30(id: Long, salt: String = "graft"): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((salt + id.toString).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(15), 16) % (1L << 31)) % (1L << 30)
+  }
+
+  test("prioritySample: exact-k, recomputed priorities, deterministic") {
+    val rows = (1L to 50L).map(i => (i, 1000000000L + i * 7L))
+    val df = rows.toDF("id", "w")
+    val got = Shards.prioritySample(df, "id", col("w"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = rows
+      .map { case (i, w) => (i, w, (w * 1048576L) / (h30(i) + 1L)) }
+      .sortBy { case (i, _, p) => (-p, i) }.take(5)
+    assert(got == expected, got)
+    val again = Shards.prioritySample(df, "id", col("w"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again == got)
+  }
+
+  test("prioritySample: a dominating weight is always drawn") {
+    val df = ((1L to 99L).map(i => (i, 1L)) :+ (999L, 1L << 40))
+      .toDF("id", "w")
+    val ids = Shards.prioritySample(df, "id", col("w"), k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(999L), ids)
+    assert(ids.size == 3)
+  }
+
+  test("embeddingDecontaminate: planted leak flagged, near-miss is not") {
+    val corpus = Seq(
+      (10L, Seq(1f, 0f)), (11L, Seq(0f, 1f)), (12L, Seq(3f, 4f))
+    ).toDF("id", "vec")
+    val testSet = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 2f))).toDF("tid", "vec")
+    val out = Similarity.embeddingDecontaminate(
+        corpus, "id", testSet, "tid", "vec", minSim = 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out(10L) == ((1L, 1.0, true)), out(10L))   // exact copy of t1
+    assert(out(11L) == ((1L, 1.0, true)), out(11L))   // direction of t2
+    assert(out(12L) == ((0L, 0.8, false)), out(12L))  // (3,4)/5 vs t2 = 0.8
+  }
+
+  test("keepBestQuality: quality beats min-id; singletons keep") {
+    val docs = Seq(
+      (1L, "!!!! ???? ;;;; ::::"), // punctuation soup -> near-zero quality
+      (2L, "the cat sat on the mat with a dog and a fish for fun"),
+      (3L, "another solo document")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestQuality(docs, "doc_id", "text", pairs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getBoolean(5)))
+      .toMap
+    assert(out(1L) == ((1L, 2L, 2L, false)), out(1L)) // min-id LOSES on quality
+    assert(out(2L) == ((1L, 2L, 1L, true)), out(2L))
+    assert(out(3L) == ((3L, 1L, 1L, true)), out(3L))
+  }
+}

@@ -223,4 +223,40 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
     assert(!p.contains("Join"), p.take(2000))
   }
+
+  test("p52 bm25: broadcast df/stats sides, top-k is TakeOrdered") {
+    val p = plan("p52_bm25_topk")
+    // the per-term df table and the single-row corpus stats broadcast; the
+    // global top-k must be a per-partition heap, never a full sort
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("p53 priority sample: map-only priority, top-k is TakeOrdered") {
+    val p = plan("p53_priority_sample")
+    // priorities never shuffle the unsampled mass: the only ordering op is
+    // the TakeOrdered top-k; the p48 ratio table rides a broadcast join
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("p54 embed decontaminate: eval side broadcasts, corpus streams") {
+    val p = plan("p54_embed_decontaminate")
+    // the cross join must be broadcast-nested-loop (tiny eval side), the
+    // verdict a partial-aggregatable hash aggregate — nothing quadratic
+    // ever shuffles
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("p55 keep-best: one rank window over clusters, quality map-only") {
+    val p = plan("p55_keep_best")
+    assert(p.contains("Window"), p.take(2000))
+    // quality is computed in a projection, not via any extra join on docs
+    assert(p.contains("least"), p.take(2000))
+  }
 }
