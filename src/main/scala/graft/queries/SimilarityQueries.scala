@@ -296,6 +296,67 @@ object SimilarityQueries {
           MAX(sim) AS max_sim,
           CAST(SUM(CASE WHEN sim >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) > 0
             AS contaminated
-        FROM sims GROUP BY vec_id ORDER BY vec_id"""))
+        FROM sims GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ---- p56: hybrid retrieval — reciprocal-rank fusion (Cormack et al.
+    // SIGIR'09) of the BM25 lexical top-50 (p52's scorer) and the dense
+    // cosine top-50 for query vector 0 (p07's retriever), doc_id==vec_id
+    // row pairing. Rank-only fusion needs no score calibration; integer
+    // 1e6 div (60+rank) contributions keep the fused sum exact. ----------
+    QueryDef("p56_hybrid_rrf",
+      (s, d) => {
+        val lex = Retrieval.rankBounded(
+            TextOps.bm25TopDocs(T.documents(s, d), "doc_id", "text",
+              Seq("dup", "vector", "customer", "batch"), k = 50),
+            "doc_id", col("score_sum").desc)
+          .select(col("doc_id"), col("rk"))
+        val e = T.embeddings(s, d)
+        val dense = Similarity.knnBruteForce(e, "vec_id",
+            e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+          .select(col("id").as("doc_id"), col("rnk").cast("long").as("rk"))
+        Retrieval.rrfFuse(Seq(lex, dense), "doc_id", "rk", k0 = 60, topK = 20)
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+        docs AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM t),
+        nn AS (SELECT COUNT(*) AS n_corpus, CAST(SUM(dl) AS BIGINT) AS dl_tot
+          FROM docs),
+        hits AS (SELECT doc_id, dl, unnest(tk) AS token FROM docs),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf, MAX(dl) AS dl FROM hits
+          WHERE token IN ('dup', 'vector', 'customer', 'batch')
+          GROUP BY 1, 2),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        s1 AS (SELECT tf.doc_id, tf.tf, tf.dl, dfreq.df, nn.n_corpus,
+            CAST(nn.dl_tot AS DOUBLE) / CAST(nn.n_corpus AS DOUBLE) AS avgdl
+          FROM tf JOIN dfreq USING (token) CROSS JOIN nn),
+        s2 AS (SELECT doc_id,
+            1.0 + (CAST(n_corpus AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5) AS idf,
+            (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))) AS tfw
+          FROM s1),
+        s3 AS (SELECT doc_id,
+            CAST(floor(idf * tfw * 1000000.0) AS BIGINT) AS w FROM s2),
+        agg AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score_sum
+          FROM s3 GROUP BY 1),
+        lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+            (ORDER BY score_sum DESC, doc_id) AS BIGINT) AS rk
+          FROM agg QUALIFY rk <= 50),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        nv AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        dsims AS (SELECT c.vec_id AS doc_id,
+            ${dotSql("c.v", "q.v")} / (c.nrm * q.nrm) AS sim
+          FROM nv c, nv q WHERE q.vec_id = 0),
+        dense AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+            (ORDER BY sim DESC, doc_id) AS BIGINT) AS rk
+          FROM dsims QUALIFY rk <= 50),
+        u AS (SELECT doc_id, 1000000 // (60 + rk) AS contrib FROM lex
+              UNION ALL
+              SELECT doc_id, 1000000 // (60 + rk) AS contrib FROM dense),
+        f AS (SELECT doc_id, COUNT(*) AS n_lists,
+            CAST(SUM(contrib) AS BIGINT) AS rrf_sum FROM u GROUP BY 1)
+        SELECT doc_id, n_lists, rrf_sum,
+          CAST(rrf_sum AS DOUBLE) / 1000000.0 AS rrf
+        FROM f ORDER BY rrf_sum DESC, doc_id LIMIT 20"""))
   )
 }

@@ -88,6 +88,20 @@ class PipelineExtrasSpec extends SparkSpecBase {
     assert(out(12L) == ((0L, 0.8, false)), out(12L))  // (3,4)/5 vs t2 = 0.8
   }
 
+  test("rrfFuse: hand-computed fusion of two ranked lists") {
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rk")
+    val b = Seq((2L, 1L), (3L, 2L), (4L, 3L)).toDF("id", "rk")
+    val out = Retrieval.rrfFuse(Seq(a, b), "id", "rk", k0 = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // contribs: 1e6 div 61 = 16393, div 62 = 16129, div 63 = 15873
+    val expected = Seq(
+      (2L, 2L, 16129L + 16393L),  // rank2 in A + rank1 in B = 32522
+      (3L, 2L, 15873L + 16129L),  // rank3 in A + rank2 in B = 32002
+      (1L, 1L, 16393L),
+      (4L, 1L, 15873L))
+    assert(out == expected, out)
+  }
+
   test("keepBestQuality: quality beats min-id; singletons keep") {
     val docs = Seq(
       (1L, "!!!! ???? ;;;; ::::"), // punctuation soup -> near-zero quality

@@ -253,6 +253,14 @@ class PlanSpec extends SparkSpecBase {
       p.take(2000))
   }
 
+  test("p56 hybrid rrf: fused top-k is TakeOrdered; corpus joins broadcast") {
+    val p = plan("p56_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the dense retriever's query side and the bm25 stats broadcast — the
+    // corpus never sort-merge joins anywhere in the hybrid pipeline
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("p55 keep-best: one rank window over clusters, quality map-only") {
     val p = plan("p55_keep_best")
     assert(p.contains("Window"), p.take(2000))
