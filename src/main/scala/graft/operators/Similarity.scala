@@ -119,8 +119,9 @@ object Similarity {
     * path and training is opt-in via `trainIters` — recall@10 vs
     * [[knnBruteForce]] is measured in `TrainedCodebooksSpec` instead. */
   def ivfCentroidsTrained(corpus: DataFrame, corpusId: String, vecCol: String,
-                          nCentroids: Int, iters: Int): Seq[Seq[Double]] = {
-    var cents = ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+                          nCentroids: Int, iters: Int,
+                          start: Option[Seq[Seq[Double]]] = None): Seq[Seq[Double]] = {
+    var cents = start.getOrElse(ivfCentroids(corpus, corpusId, vecCol, nCentroids))
     if (iters <= 0) return cents
     val unit = withNorm(corpus, corpusId, vecCol)
       .filter(col("nrm") > 0)
@@ -143,6 +144,133 @@ object Similarity {
     } finally { unit.unpersist(); () }
   }
 
+  /** k-means|| initialization (Bahmani et al., VLDB'12 "Scalable K-Means++"):
+    * the distance-spread seeding that k-means++ gets from k sequential
+    * corpus passes, in `rounds` passes total — each round OVERSAMPLES ~l
+    * candidates with probability proportional to their distance cost from
+    * the current candidate set, then the (bounded, ≤ 1 + rounds·2l)
+    * candidate set is weighted by how many corpus rows it attracts and
+    * reduced to k by a driver-side weighted spherical k-means. Spread
+    * seeding matters when cluster sizes are skewed: uniform hash seeding
+    * puts most seeds in the dominant mode and misses small clusters
+    * entirely; distance-proportional seeding covers them.
+    *
+    * Determinism (NOT the oracle path — same contract as Lloyd training):
+    * the per-row coin is an md5-derived uniform over (round, id), the
+    * per-round candidate cap orders by (cost DESC, id), and the driver
+    * reduction starts from the top-k candidates by (weight DESC, index) —
+    * a pure function of the corpus, reproducible across runs and
+    * partitionings. Costs are spherical: d² ∝ 1 − max-dot on unit vectors.
+    *
+    * Shape at 100 TB: each round is ONE map-side pass (candidate literals,
+    * vec_dot kernel) + a single-row cost aggregate + a bounded top-cap
+    * TakeOrdered of the selected rows; the weighting pass is one
+    * partial-agg count. The driver only ever holds the candidate set. */
+  def kmeansParallelInit(corpus: DataFrame, corpusId: String, vecCol: String,
+                         k: Int, rounds: Int = 3, oversample: Int = 0,
+                         storage: StorageLevel = StorageLevel.MEMORY_AND_DISK
+                        ): Seq[Seq[Double]] = {
+    val l = if (oversample > 0) oversample else 2 * k
+    val unit = withNorm(corpus, corpusId, vecCol)
+      .filter(col("nrm") > 0)
+      .select(col(corpusId).as("id"), transform(col("v"), x => x / col("nrm")).as("u"))
+      .persist(storage)
+    try {
+      var cand: Seq[Seq[Double]] = ivfCentroids(corpus, corpusId, vecCol, 1)
+      var r = 1
+      var covered = false
+      while (r <= rounds && !covered) {
+        val withCost = unit.select(col("id"), col("u"),
+          (lit(1.0) - array_max(cellSimsFor(cand)(col("u"))).getField("sim"))
+            .as("cost"))
+        val phi = withCost.agg(sum(col("cost"))).head().getDouble(0)
+        if (phi <= 0) covered = true
+        else {
+          // select when u01·φ < l·cost  ⇔  P[select] = min(1, l·cost/φ)
+          val u01 = conv(substring(md5(concat(lit(s"kmpar${r}_"),
+            col("id").cast("string"))), 1, 15), 16, 10).cast("double") /
+            lit(math.pow(2, 60))
+          val picked = withCost
+            .filter(u01 * lit(phi) < col("cost") * lit(l.toDouble))
+            .orderBy(col("cost").desc, col("id"))
+            .limit(2 * l) // hard cap: a degenerate cost spike can't flood the driver
+            .select(col("u")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+          cand = cand ++ picked
+        }
+        r += 1
+      }
+      // weight candidates by attraction, reduce to k driver-side
+      val wRows = unit
+        .select(array_max(cellSimsFor(cand)(col("u"))).getField("cid").as("cid"))
+        .groupBy("cid").agg(count(lit(1)).as("n")).collect()
+      val weights = Array.fill(cand.size)(0L)
+      wRows.foreach(row => weights(row.getInt(0)) = row.getLong(1))
+      driverWeightedKmeans(cand, weights.toSeq, k)
+    } finally { unpersistQuiet(unit) }
+  }
+
+  private def unpersistQuiet(df: DataFrame): Unit = { df.unpersist(); () }
+
+  /** Weighted spherical k-means over a BOUNDED candidate set, entirely on
+    * the driver (candidates ≤ 1 + rounds·2l — metadata scale). Init is the
+    * GREEDY weighted-D² pick (k-means++ made deterministic: argmax of
+    * w·(1 − max-dot to chosen), ties to the lowest index) — top-k-by-weight
+    * would re-collapse into the dominant mode, defeating the spread the ||
+    * rounds paid for. Then Lloyd: assign by max dot, recenter to the
+    * normalized weighted sum; empty cells keep their centroid. */
+  private def driverWeightedKmeans(points: Seq[Seq[Double]], weights: Seq[Long],
+                                   k: Int, iters: Int = 20): Seq[Seq[Double]] = {
+    if (points.size <= k) return points
+    val dim = points.head.size
+    def dotp(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < dim) { s += a(j) * b(j); j += 1 }
+      s
+    }
+    val first = weights.zipWithIndex.maxBy { case (w, i) => (w, -i) }._2
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    val bestDot = points.map(p => dotp(p, points(first))).toArray
+    while (chosen.size < k) {
+      var best = -1; var bestGain = -1.0
+      var i = 0
+      while (i < points.size) {
+        if (!chosen.contains(i)) {
+          val gain = weights(i).toDouble * (1.0 - bestDot(i))
+          if (gain > bestGain) { bestGain = gain; best = i }
+        }
+        i += 1
+      }
+      chosen += best
+      var j = 0
+      while (j < points.size) {
+        val d = dotp(points(j), points(best))
+        if (d > bestDot(j)) bestDot(j) = d
+        j += 1
+      }
+    }
+    var cents = chosen.map(points(_)).toSeq
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      points.zip(weights).foreach { case (p, w) =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var dp = 0.0; var j = 0
+          while (j < dim) { dp += p(j) * cents(c)(j); j += 1 }
+          if (dp > bestDot) { bestDot = dp; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += w * p(j); j += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        val n = math.sqrt(sums(c).map(x => x * x).sum)
+        if (n > 0) sums(c).map(_ / n).toSeq else old
+      }
+    }
+    cents
+  }
+
   /** array<struct<sim,cid>> of similarities to every centroid. */
   private def cellSimsFor(centroids: Seq[Seq[Double]])(v: Column): Column =
     array(centroids.zipWithIndex.map { case (c, i) =>
@@ -155,9 +283,16 @@ object Similarity {
     * stream cannot re-derive them). Hash-seeded by default; `trainIters > 0`
     * Lloyd-refines. Bounded: nCentroids × dim doubles. */
   def centroidsFor(corpus: DataFrame, corpusId: String, vecCol: String,
-                   nCentroids: Int, trainIters: Int = 0): Seq[Seq[Double]] =
-    if (trainIters > 0) ivfCentroidsTrained(corpus, corpusId, vecCol, nCentroids, trainIters)
-    else ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+                   nCentroids: Int, trainIters: Int = 0,
+                   init: String = "hash"): Seq[Seq[Double]] = {
+    val start = init match {
+      case "parallel" => Some(kmeansParallelInit(corpus, corpusId, vecCol, nCentroids))
+      case _          => None
+    }
+    if (trainIters > 0)
+      ivfCentroidsTrained(corpus, corpusId, vecCol, nCentroids, trainIters, start)
+    else start.getOrElse(ivfCentroids(corpus, corpusId, vecCol, nCentroids))
+  }
 
   /** Nearest-centroid cell id for a vector column — the same argmax-dot
     * expression every IVF/SemDeDup path uses (tie: higher cid, matching
@@ -455,14 +590,13 @@ object Similarity {
   def ivfBuildIndex(corpus: DataFrame, corpusId: String, vecCol: String,
                     path: String, nCentroids: Int = 16,
                     trainIters: Int = 0,
-                    centroidsFrom: Option[String] = None): Unit = {
+                    centroidsFrom: Option[String] = None,
+                    init: String = "hash"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = centroidsFrom match {
       case Some(src) => loadCentroids(spark, src)
-      case None =>
-        if (trainIters > 0) ivfCentroidsTrained(corpus, corpusId, vecCol, nCentroids, trainIters)
-        else ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+      case None => centroidsFor(corpus, corpusId, vecCol, nCentroids, trainIters, init)
     }
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cid", "c")
@@ -594,16 +728,15 @@ object Similarity {
                       residual: Boolean = true,
                       opq: Boolean = false,
                       opqRounds: Int = 0,
-                      localRot: Boolean = false): Unit = {
+                      localRot: Boolean = false,
+                      init: String = "hash"): Unit = {
     require(!(opq && localRot),
       "opq and localRot are alternative rotation modes — pick one")
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = centroidsFrom match {
       case Some(src) => loadCentroids(spark, src)
-      case None =>
-        if (trainIters > 0) ivfCentroidsTrained(corpus, corpusId, vecCol, nCentroids, trainIters)
-        else ivfCentroids(corpus, corpusId, vecCol, nCentroids)
+      case None => centroidsFor(corpus, corpusId, vecCol, nCentroids, trainIters, init)
     }
     val effResidual = centroidsFrom
       .map(src => loadPqMeta(spark, src)._2).getOrElse(residual)

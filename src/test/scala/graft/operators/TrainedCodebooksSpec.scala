@@ -277,4 +277,44 @@ class TrainedCodebooksSpec extends SparkSpecBase {
     assert(Similarity.loadLocalRotations(spark, s"$base/lreuse", 8, d)
       == Similarity.loadLocalRotations(spark, s"$base/loc", 8, d))
   }
+
+  /** Mean spherical k-means cost (1 − max-dot on unit vectors) of a
+    * centroid set over a corpus — the objective both inits compete on. */
+  private def meanCost(df: DataFrame, cents: Seq[Seq[Double]]): Double = {
+    Similarity.withNorm(df, "id", "vec").filter(col("nrm") > 0)
+      .select(transform(col("v"), x => x / col("nrm")).as("u"))
+      .select((lit(1.0) - greatest(cents.map(c =>
+        call_function("vec_dot", col("u"), typedLit(c))): _*)).as("cost"))
+      .agg(avg(col("cost"))).head().getDouble(0)
+  }
+
+  test("k-means|| init beats hash seeding on a skew-sized corpus; deterministic") {
+    // 8 orthogonal modes in 16d, one dominant (600 rows) vs seven small
+    // (25 each): uniform hash seeding lands ~all seeds in the dominant
+    // mode and strands the small clusters at cost ~1; distance-spread
+    // seeding must cover them. Jitter is a deterministic hash residue.
+    val sizes = Seq(600, 25, 25, 25, 25, 25, 25, 25)
+    var id = 0L
+    val rows = for (c <- 0 until 8; _ <- 0 until sizes(c)) yield {
+      id += 1
+      val v = Array.fill(16)(0.0f)
+      v(2 * c) = 1.0f
+      v(2 * c + 1) = ((id * 2654435761L % 1000L) / 10000.0f)
+      (id, v.toSeq)
+    }
+    val df = rows.toDF("id", "vec").cache()
+    try {
+      val hashC = Similarity.centroidsFor(df, "id", "vec", 8)
+      val parC = Similarity.centroidsFor(df, "id", "vec", 8, init = "parallel")
+      val parC2 = Similarity.centroidsFor(df, "id", "vec", 8, init = "parallel")
+      assert(parC.map(_.toSeq) == parC2.map(_.toSeq),
+        "k-means|| init must be a pure function of the corpus")
+      val cHash = meanCost(df, hashC)
+      val cPar = meanCost(df, parC)
+      info(f"spherical cost: hash-seeded=$cHash%.4f kmeans||=$cPar%.4f")
+      assert(cPar < cHash,
+        f"k-means|| must beat uniform seeding on skewed modes: $cPar%.4f vs $cHash%.4f")
+      assert(cPar < 0.02, f"k-means|| failed to cover the planted modes: $cPar%.4f")
+    } finally { df.unpersist(); () }
+  }
 }
