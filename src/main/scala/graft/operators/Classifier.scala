@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained linear quality classifier — the fastText-style logistic filter
+  * every LLM curation stack trains over hashed n-gram features (GPT-3's
+  * WebText-similarity filter, LLaMA's Wikipedia-reference classifier,
+  * FineWeb-Edu's quality scorer are all this shape: hashed bag-of-ngrams →
+  * linear model → per-doc keep score).
+  *
+  * Training is full-batch gradient descent run as Spark jobs, made
+  * ENGINE-EXACT so a fixed-iteration run is oracle-checkable (no other
+  * published pipeline trains a bit-reproducible classifier, because float
+  * gradient accumulation depends on reduction order):
+  *  - features are md5-hashed bigram counts (p48's portable idiom) —
+  *    exact integers;
+  *  - weights live as scaled integers (1e-9 units), so the per-doc logit
+  *    `z_sum = Σ w·x` is an exact BIGINT sum (order-free);
+  *  - the sigmoid is the RATIONAL fast sigmoid `0.5 + 0.5·z/(1+|z|)`
+  *    (Elliott '93) — abs/add/mul/div are IEEE correctly-rounded, where
+  *    exp() differs across libms in the last ulp;
+  *  - the per-row error folds back to an integer (`floor((σ−y)·1e6)`), so
+  *    the per-feature gradient is again an exact BIGINT sum, and the
+  *    weight update `w −= (grad div N) · η_scaled` is pure integer math.
+  *
+  * Shape at 100 TB: the feature table (doc, f, x) is built ONCE (one
+  * explode + partial-agg shuffle) and persisted; each of the (fixed, few)
+  * iterations is one map-only scoring pass (weights are a ≤`buckets`-entry
+  * literal array — broadcast-free) + one per-doc partial-agg sum + one
+  * per-feature partial-agg gradient shuffle. The driver only ever holds
+  * `buckets` longs — metadata scale, the centroids contract.
+  */
+object Classifier {
+
+  /** Hashed-bigram feature counts: (doc_id, f, x). */
+  private def bigramFeatures(df: DataFrame, idCol: String, textCol: String,
+                             buckets: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1).as("w1"),
+        slice(col("tk"), lit(2), size(col("tk")) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(concat_ws(" ", col("bg.w1"), col("bg.w2"))),
+          1, 15), 16, 10).cast("long"), lit(buckets.toLong)).as("f"))
+      .groupBy("doc_id", "f").agg(count(lit(1)).as("x"))
+
+  /** z/1e9 → rational fast sigmoid, in the exact literal op order the
+    * oracle mirrors. */
+  private def sigma(zInt: Column): Column = {
+    val z = zInt.cast("double") / lit(1.0e9)
+    lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
+  }
+
+  /** Train `iters` full-batch steps and score every document.
+    * `labelCol` is the boolean training target. Output per doc:
+    * (doc_id, z_sum BIGINT, prob, label, predicted, correct) — `predicted`
+    * is integer-armed (z_sum >= 0 ⇔ prob >= 0.5). `etaScaled` is the
+    * learning rate in 1e-9 weight units per 1e-6 error unit (500 ⇔ η=0.5).
+    */
+  def trainScoreLr(df: DataFrame, idCol: String, textCol: String,
+                   labelCol: Column, buckets: Int = 256, iters: Int = 5,
+                   etaScaled: Long = 500L): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      labelCol.as("label"))
+    val feats = bigramFeatures(docs, "doc_id", "text", buckets).persist()
+    val labels = docs.select(col("doc_id"), col("label"))
+    val n = docs.count() // one job; N is part of the update rule
+
+    // weights as a literal array (index f+1) — map-only scoring each pass
+    var w = Array.fill(buckets)(0L)
+    def zPerDoc(): DataFrame = labels
+      .join(feats.select(col("doc_id"),
+          (element_at(typedLit(w.toSeq), col("f").cast("int") + 1) * col("x"))
+            .as("wx")),
+        Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("wx"), lit(0L))).as("z_sum"),
+        first(col("label")).as("label"))
+
+    for (_ <- 0 until iters) {
+      val grads = zPerDoc()
+        .select(col("doc_id"),
+          floor((sigma(col("z_sum")) -
+            when(col("label"), lit(1.0)).otherwise(lit(0.0))) * lit(1000000.0))
+            .cast("long").as("e"))
+        .join(feats, "doc_id")
+        .groupBy("f").agg(sum(col("e") * col("x")).as("grad"))
+        .collect() // bounded: <= buckets rows of metadata
+      grads.foreach { r =>
+        val f = r.getLong(0).toInt
+        w(f) = w(f) - (r.getLong(1) / n) * etaScaled
+      }
+    }
+    val scored = zPerDoc()
+      .select(col("doc_id"), col("z_sum"),
+        sigma(col("z_sum")).as("prob"), col("label"),
+        (col("z_sum") >= 0L).as("predicted"),
+        ((col("z_sum") >= 0L) === col("label")).as("correct"))
+    feats.unpersist(blocking = false)
+    scored
+  }
+}

@@ -21,6 +21,51 @@ private[queries] object QuerySql {
               - least(CAST(len(regexp_replace($text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
                         / CAST(greatest(len($text), 1) AS DOUBLE) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)"""
 
+  /** p57's full training loop unrolled to SQL — `iters` fixed-point GD
+    * steps of [[graft.operators.Classifier.trainScoreLr]], exactly
+    * mirrored: integer z/grad sums, the rational fast sigmoid in the same
+    * literal op order, truncating integer division in the update. */
+  def lrOracle(plantedDocs: String, iters: Int, buckets: Int,
+               etaScaled: Long): String = {
+    def sig(z: String): String =
+      s"0.5 + 0.5 * (CAST($z AS DOUBLE) / 1000000000.0)" +
+        s" / (1.0 + abs(CAST($z AS DOUBLE) / 1000000000.0))"
+    val steps = (0 until iters).map { t =>
+      val wUpd =
+        if (t == 0) s"SELECT f, -(grad // n) * $etaScaled AS w FROM g0 CROSS JOIN nn"
+        else s"""SELECT w$t.f, w$t.w - (g$t.grad // n) * $etaScaled AS w
+          FROM w$t JOIN g$t USING (f) CROSS JOIN nn"""
+      s"""e$t AS (SELECT doc_id, CAST(floor(((${sig("z_sum")})
+            - CASE WHEN label THEN 1.0 ELSE 0.0 END) * 1000000.0) AS BIGINT) AS e
+          FROM z$t),
+        g$t AS (SELECT f, CAST(SUM(e * x) AS BIGINT) AS grad
+          FROM e$t JOIN feats USING (doc_id) GROUP BY 1),
+        w${t + 1} AS ($wUpd),
+        z${t + 1} AS (SELECT t.doc_id, t.label,
+            COALESCE(CAST(SUM(fx.w * fx.x) AS BIGINT), 0) AS z_sum
+          FROM t LEFT JOIN (SELECT feats.doc_id, w${t + 1}.w, feats.x
+            FROM feats JOIN w${t + 1} USING (f)) fx USING (doc_id)
+          GROUP BY 1, 2)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH docs AS ($plantedDocs),
+        t AS (SELECT doc_id, label, $ToksSql AS tk FROM docs),
+        feats AS (SELECT doc_id, f, COUNT(*) AS x FROM (
+            SELECT doc_id,
+              ('0x' || substring(md5(w1 || ' ' || w2), 1, 15))::BIGINT
+                % $buckets AS f
+            FROM (SELECT doc_id,
+                unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+              FROM t))
+          GROUP BY 1, 2),
+        nn AS (SELECT COUNT(*) AS n FROM docs),
+        z0 AS (SELECT doc_id, label, CAST(0 AS BIGINT) AS z_sum FROM t),
+        $steps
+        SELECT doc_id, z_sum, ${sig("z_sum")} AS prob, label,
+          z_sum >= 0 AS predicted, (z_sum >= 0) = label AS correct
+        FROM z$iters ORDER BY doc_id"""
+  }
+
   def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x,y) -> x+y)"
   def normSql(v: String): String =

@@ -635,6 +635,30 @@ object TextQueries {
               % 2147483648) % 1073741824) + 1) AS priority
           FROM base)
         SELECT doc_id, weight, priority FROM pri
-        ORDER BY priority DESC, doc_id LIMIT 100"""))
+        ORDER BY priority DESC, doc_id LIMIT 100""")),
+
+    // ---- p57: TRAINED quality classifier — 5 full-batch GD steps of a
+    // logistic model over hashed bigram features, then per-doc scoring, all
+    // engine-exact (integer logit/gradient sums, rational fast sigmoid,
+    // truncating-division updates) so even the TRAINING is hash-compared.
+    // The positive class is a planted marker phrase (doc_id % 3), the
+    // fastText-filter shape of GPT-3/LLaMA/FineWeb-Edu curation. ----------
+    QueryDef("p57_quality_classifier",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" qz mark qz mark qz mark")))
+            .otherwise(col("text")).as("text"),
+          (pmod(col("doc_id"), lit(3)) === 0).as("y"))
+        Classifier.trainScoreLr(docs, "doc_id", "text", col("y"),
+          buckets = 256, iters = 5).orderBy("doc_id")
+      },
+      Some(lrOracle(
+        """SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' qz mark qz mark qz mark'
+                  ELSE text END AS text,
+             doc_id % 3 = 0 AS label
+           FROM documents""",
+        iters = 5, buckets = 256, etaScaled = 500L)))
   )
 }

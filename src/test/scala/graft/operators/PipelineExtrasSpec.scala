@@ -102,6 +102,26 @@ class PipelineExtrasSpec extends SparkSpecBase {
     assert(out == expected, out)
   }
 
+  test("trainScoreLr: learns a planted marker; exact across partitionings") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (0L until 60L).map { i =>
+      val base = (0 until 12).map(j => words(((i + j) % 5).toInt)).mkString(" ")
+      val text = if (i % 3 == 0) base + " qz mark qz mark" else base
+      (i, text, i % 3 == 0)
+    }.toDF("doc_id", "text", "y")
+    val out = Classifier.trainScoreLr(docs, "doc_id", "text", col("y"),
+        buckets = 64, iters = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(5))).toMap
+    val acc = out.values.count(_._2).toDouble / out.size
+    assert(acc >= 0.95, f"classifier failed to learn the marker: acc=$acc%.2f")
+    // integer-staged training is a pure function of the data — identical
+    // logits under a different partitioning (the float-GD failure mode)
+    val out2 = Classifier.trainScoreLr(docs.repartition(7), "doc_id", "text",
+        col("y"), buckets = 64, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map { case (k, v) => k -> v._1 } == out2)
+  }
+
   test("keepBestQuality: quality beats min-id; singletons keep") {
     val docs = Seq(
       (1L, "!!!! ???? ;;;; ::::"), // punctuation soup -> near-zero quality

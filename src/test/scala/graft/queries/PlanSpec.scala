@@ -261,6 +261,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("p57 classifier scoring: weights are literals, aggregates partial") {
+    val p = plan("p57_quality_classifier")
+    // the weight vector rides as an array literal (no weight-table join —
+    // the only joins are doc_id equi-joins of two corpus-sized sides,
+    // which SHOULD shuffle); logit and verdict are hash aggregates
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("p55 keep-best: one rank window over clusters, quality map-only") {
     val p = plan("p55_keep_best")
     assert(p.contains("Window"), p.take(2000))
