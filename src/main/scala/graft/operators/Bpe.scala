@@ -91,4 +91,62 @@ object Bpe {
     merges.result()
       .toDF("rank", "left", "right", "merged", "pair_count")
   }
+
+  /** Chars → pieces under an ORDERED merge list (rank order, each merge the
+    * same left-to-right non-overlapping scan training used). */
+  private[operators] def applyMerges(chars: Column,
+                                     merges: Seq[(String, String)]): Column =
+    merges.foldLeft(chars) { case (s, (a, b)) => mergeStep(s, a, b) }
+
+  /** Tokenize every document with a trained merge list and count pieces —
+    * the "how many tokens is this corpus under MY tokenizer" pass that
+    * sizes training runs and shard budgets.
+    *
+    * Output: (idCol, n_words, n_tokens); n_tokens / n_words is the
+    * fertility the tokenizer literature tracks.
+    *
+    * Shape at 100 TB — the word-TYPE economy (same as [[train]]): the
+    * merge fold runs once per DISTINCT word, not once per corpus token
+    * ("the" encodes once, not a billion times); per-doc word counts join
+    * the type table on the word (the type side is one row per word, so
+    * Zipf-head words are AQE-splittable), and the result is one partial-agg
+    * per-doc sum. The fold itself is a Catalyst `aggregate` — no UDF. */
+  def encodeCounts(df: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val perDocWord = df
+      .select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("id", "w").agg(count(lit(1)).as("n"))
+    val types = perDocWord.select("w").distinct()
+      .withColumn("n_pieces",
+        size(applyMerges(split(col("w"), ""), merges)).cast("long"))
+    val perDoc = perDocWord.join(types, "w")
+      .groupBy("id")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_pieces")).as("n_tokens"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
+  /** Full piece sequences per document (MAP-ONLY: the fold runs per token
+    * occurrence — use for bounded slices/demos; [[encodeCounts]] is the
+    * corpus-scale statistics path). */
+  def encodePieces(df: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol),
+      flatten(transform(
+        filter(TextOps.tokens(col(textCol)), w => length(w) > 0),
+        w => applyMerges(split(w, ""), merges))).as("pieces"))
+
+  /** [[encodeCounts]] driving its merge list from a [[train]] result frame
+    * (collected in rank order — bounded: nMerges rows of metadata). */
+  def encodeWithTrained(df: DataFrame, idCol: String, textCol: String,
+                        mergesDf: DataFrame): DataFrame = {
+    val ms = mergesDf.orderBy("rank").select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    encodeCounts(df, idCol, textCol, ms)
+  }
 }

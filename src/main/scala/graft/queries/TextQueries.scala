@@ -659,6 +659,20 @@ object TextQueries {
                   ELSE text END AS text,
              doc_id % 3 = 0 AS label
            FROM documents""",
-        iters = 5, buckets = 256, etaScaled = 500L)))
+        iters = 5, buckets = 256, etaScaled = 500L))),
+
+    // ---- p58: BPE tokenization under the p50-trained merges — per-doc
+    // subword counts (fertility = n_tokens/n_words), the corpus-sizing
+    // pass for training-run and shard budgets. Word-TYPE economy: the
+    // merge fold runs once per distinct word. Rows-only gate like p50
+    // (the per-merge fold is not one-statement SQL); exactness vs a
+    // reference JVM BPE is spec'd in PipelineExtrasSpec. -----------------
+    QueryDef("p58_bpe_encode",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val merges = Bpe.train(docs, "text", nMerges = 10)
+        Bpe.encodeWithTrained(docs, "doc_id", "text", merges).orderBy("doc_id")
+      },
+      None)
   )
 }

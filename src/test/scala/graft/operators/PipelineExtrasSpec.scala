@@ -122,6 +122,49 @@ class PipelineExtrasSpec extends SparkSpecBase {
     assert(out.map { case (k, v) => k -> v._1 } == out2)
   }
 
+  /** Reference BPE apply (pairwise scan, rank order) — the published
+    * algorithm, independently implemented. */
+  private def refEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString)
+    for ((a, b) <- merges) {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+
+  test("BPE encode matches a reference implementation under trained merges") {
+    val docs = Seq(
+      (1L, "low low low lower lower"),
+      (2L, "newest newest newest widest widest"),
+      (3L, "lowest newest aaaaa"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val mergesDf = Bpe.train(docs, "text", nMerges = 10)
+    val merges = mergesDf.orderBy("rank").select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(merges.nonEmpty)
+
+    val pieces = Bpe.encodePieces(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val counts = Bpe.encodeCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((id, text) <- Seq(1L -> "low low low lower lower",
+        2L -> "newest newest newest widest widest",
+        3L -> "lowest newest aaaaa", 4L -> "")) {
+      val words = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val ref = words.flatMap(w => refEncode(w, merges))
+      assert(pieces(id) == ref, s"doc $id: ${pieces(id)} vs $ref")
+      assert(counts(id) == ((words.size.toLong, ref.size.toLong)), s"doc $id")
+    }
+  }
+
   test("keepBestQuality: quality beats min-id; singletons keep") {
     val docs = Seq(
       (1L, "!!!! ???? ;;;; ::::"), // punctuation soup -> near-zero quality
