@@ -296,6 +296,20 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The benchmark Bloom filter as DRIVER-SIDE bit words (bounded:
+    * numBits/64 longs —
+    * the centroids contract) — for consumers that must pin the reference
+    * set before work starts, e.g. the streaming decontamination twin
+    * ([[graft.streaming.StreamingDedup.decontaminateBloomStream]]: a
+    * stream cannot re-aggregate the benchmark per micro-batch). */
+  def benchBloomWords(bench: DataFrame, benchText: String, n: Int = 3,
+                      numBits: Int = 1 << 20,
+                      numHashes: Int = 5): Seq[Long] =
+    benchShinglePosts(bench, benchText, n)
+      .agg(call_function("bloom_sketch", mdHash31(col("sh")),
+        lit(numBits), lit(numHashes)).as("bloom"))
+      .head().getSeq[Long](0).toSeq
+
   /** Survivors of decontamination: the corpus minus every contaminated doc
     * (one broadcast semi-join + one anti join). */
   def decontaminate(corpus: DataFrame, corpusId: String, corpusText: String,

@@ -70,6 +70,55 @@ object StreamingDedup {
     dedupExactStream(gated, tsCol, textCol, watermark)
   }
 
+  /** Streaming decontamination — the streaming twin of
+    * [[graft.operators.Dedup.decontaminateBloom]]: every arriving document
+    * is probed against a PRE-BUILT benchmark Bloom filter
+    * ([[graft.operators.Dedup.benchBloomWords]] — pinned before the stream
+    * starts, the same frozen-reference contract as the SemDeDup twin's
+    * centroids) and dropped when `minShared` or more of its distinct
+    * shingles hit. COMPLETELY STATELESS: the verdict is one scalar
+    * expression per row (the Bloom rides as a literal, `bloom_contains`
+    * probes inside codegen), so there is no state store, no watermark, and
+    * the operator composes freely before any stateful stage. Same
+    * no-false-negative guarantee as the batch tier: every exact n-gram hit
+    * is a Bloom hit; over-drops at the FP rate — the safe direction. */
+  def decontaminateBloomStream(docs: DataFrame, textCol: String,
+                               bloom: Seq[Long], numHashes: Int = 5,
+                               n: Int = 3, minShared: Long = 1L): DataFrame = {
+    import graft.operators.{Dedup, TextOps}
+    val shs = TextOps.wordShinglesFromTokens(TextOps.tokens(col(textCol)), n)
+    val hits = size(filter(shs, sh =>
+      call_function("bloom_contains", typedLit(bloom), Dedup.mdHash31(sh),
+        lit(numHashes)))).cast("long")
+    docs.withColumn("n_shared", hits).filter(col("n_shared") < minShared)
+  }
+
+  /** Streaming EMBEDDING decontamination — the streaming twin of
+    * [[graft.operators.Similarity.embeddingDecontaminate]]: rows whose
+    * cosine to ANY pinned eval vector reaches `minSim` drop. The eval side
+    * is unit-normalized on the driver and rides as expression literals
+    * (bounded — real eval sets are 10^3..10^5 vectors; beyond literal
+    * size, shard the list across chained filters), so this too is a
+    * STATELESS map-only filter. Zero-norm rows keep (no direction to
+    * match). Adds `max_test_sim`. */
+  def embedDecontaminateStream(docs: DataFrame, vecCol: String,
+                               testVecs: Seq[Seq[Double]],
+                               minSim: Double): DataFrame = {
+    import graft.operators.Similarity
+    require(testVecs.nonEmpty, "empty eval set")
+    val units = testVecs.map { t =>
+      val n = math.sqrt(t.map(x => x * x).sum)
+      if (n > 0) t.map(_ / n) else t
+    }
+    val v = Similarity.toDoubleVec(col(vecCol))
+    val nrm = call_function("vec_norm", v)
+    val sims = units.map(t => call_function("vec_dot", v, typedLit(t)) / nrm)
+    val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
+    docs.withColumn("max_test_sim",
+        when(nrm > 0, maxSim).otherwise(lit(0.0)))
+      .filter(col("max_test_sim") < minSim)
+  }
+
   /** Streaming NEAR-duplicate dedup — the streaming twin of
     * `Dedup.dedupNear`, at candidate level: a document is kept iff NONE of
     * its MinHash-LSH band keys was claimed by an earlier document within the

@@ -102,6 +102,68 @@ class StreamingDedupSpec extends SparkSpecBase {
         s"onlyBatch=${(batchKept -- kept).take(5)}")
   }
 
+  test("streaming bloom decontamination matches the batch tier, statelessly") {
+    import spark.implicits._
+    val base = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => Doc(r.getLong(0),
+        new Timestamp(1700000000000L + r.getLong(0) * 1000L), r.getString(1)))
+      .toSeq
+    // benchmark = the first 5 docs' texts: those corpus rows MUST drop
+    val benchDf = base.take(5).map(_.text).toDF("btext")
+    val bloom = graft.operators.Dedup.benchBloomWords(benchDf, "btext", n = 3)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamingDedup.decontaminateBloomStream(mem.toDF(), "text", bloom)
+      .writeStream.format("memory").queryName("deconb_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val (b1, b2) = base.splitAt(base.size / 2)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("deconb_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(base.take(5).forall(d => !kept.contains(d.doc_id)),
+      "benchmark-identical docs must drop")
+    val batchDf = base.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val batchKept = graft.operators.Dedup.decontaminateBloom(
+        batchDf, "doc_id", "text", benchDf, "btext", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == batchKept,
+      s"stream/batch divergence: onlyStream=${(kept -- batchKept).take(5)} " +
+        s"onlyBatch=${(batchKept -- kept).take(5)}")
+  }
+
+  case class Vec(vec_id: Long, ts: Timestamp, embedding: Seq[Float])
+
+  test("streaming embedding decontamination drops pinned-eval look-alikes") {
+    import spark.implicits._
+    val rows = Seq(
+      Vec(10L, new Timestamp(1700000000000L), Seq(1f, 0f)),
+      Vec(11L, new Timestamp(1700000001000L), Seq(0f, 1f)),
+      Vec(12L, new Timestamp(1700000002000L), Seq(3f, 4f)),
+      Vec(13L, new Timestamp(1700000003000L), Seq(0f, 0f))) // zero-norm keeps
+    val eval = Seq(Seq(2.0, 0.0), Seq(0.0, 5.0))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Vec]
+    val q = StreamingDedup.embedDecontaminateStream(mem.toDF(), "embedding",
+        eval, minSim = 0.95)
+      .writeStream.format("memory").queryName("decone_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(rows: _*); q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("decone_out")
+      .select("vec_id", "max_test_sim")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kept.keySet == Set(12L, 13L), kept) // 10/11 are eval directions
+    assert(math.abs(kept(12L) - 0.8) < 1e-12)  // (3,4)/5 vs (0,1) = 0.8
+    assert(kept(13L) == 0.0)
+  }
+
   test("streaming URL dedup: surface variants of one canonical URL collapse to first arrival") {
     import spark.implicits._
     val base = 1700000000000L
