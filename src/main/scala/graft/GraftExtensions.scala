@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BinRead, BinRfind, BloomContains, BloomSketchAgg, MatVec, MinHashSketchAgg, SimHashAgg, VecDot, VecLshKeys, VecNorm, WordShingles}
+import graft.functions.{BinRead, BinRfind, BloomContains, BloomSketchAgg, MatVec, Md5Prefix60Expr, MinHashSketchAgg, SimHashAgg, VecDot, VecLshKeys, VecNorm, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60Expr].getName, "md5_prefix60"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Prefix60Expr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),

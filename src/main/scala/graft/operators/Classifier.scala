@@ -41,8 +41,9 @@ object Classifier {
         slice(col("tk"), lit(1), size(col("tk")) - 1).as("w1"),
         slice(col("tk"), lit(2), size(col("tk")) - 1).as("w2"))).as("bg"))
       .select(col("doc_id"),
-        pmod(conv(substring(md5(concat_ws(" ", col("bg.w1"), col("bg.w2"))),
-          1, 15), 16, 10).cast("long"), lit(buckets.toLong)).as("f"))
+        pmod(call_function("md5_prefix60",
+          concat_ws(" ", col("bg.w1"), col("bg.w2"))),
+          lit(buckets.toLong)).as("f"))
       .groupBy("doc_id", "f").agg(count(lit(1)).as("x"))
 
   /** z/1e9 → rational fast sigmoid, in the exact literal op order the

@@ -68,7 +68,39 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    minJaccard: Double, maxDocFreq: Option[Long] = None,
-                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    pairIntersections(df, idCol, textCol, n, maxDocFreq, storage)
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "uni", "jaccard")
+
+  /** Containment / overlap-coefficient pairs — SUBSET duplication that
+    * Jaccard structurally misses: a quote, excerpt or truncated mirror of a
+    * big page has `inter/min(|A|,|B|)` ≈ 1 while its Jaccard sits near
+    * |small|/|big| (0.5 for a half-page), under every dedup threshold.
+    * Broder'97 distinguishes resemblance from containment for exactly this;
+    * the asymmetric measure is what catches aggregator/excerpt families.
+    * Output: (id_a, id_b, inter, sz_a, sz_b, containment, jaccard) with
+    * containment >= minContainment; same posting economy and DF skew cap
+    * as [[jaccardPairs]] (shared [[pairIntersections]] skeleton). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                       minContainment: Double, maxDocFreq: Option[Long] = None,
+                       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    pairIntersections(df, idCol, textCol, n, maxDocFreq, storage)
+      .withColumn("containment",
+        col("inter") / least(col("sz_a"), col("sz_b")))
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "containment", "jaccard")
+
+  /** Shared pair skeleton: shingle posting lists (optionally DF-capped),
+    * the posting self-join, and per-pair intersection counts with both
+    * side sizes attached — (id_a, id_b, inter, sz_a, sz_b). */
+  private def pairIntersections(df: DataFrame, idCol: String, textCol: String,
+                                n: Int, maxDocFreq: Option[Long],
+                                storage: StorageLevel): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n).persist(storage)
     val posts0 = sets.select(col("id"), explode(col("shingles")).as("sh"))
     val posts = maxDocFreq match {
@@ -89,10 +121,6 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
-      .withColumn("jaccard", col("inter") / col("uni"))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "inter", "uni", "jaccard")
   }
 
   /** Near-duplicate dedup end-to-end: remove every doc that appears as the
@@ -341,11 +369,10 @@ object Dedup {
     * the DuckDB oracle mirrors it exactly as
     * `('0x' || substring(md5(x),1,15))::BIGINT % 2147483648`. */
   def mdHash31(c: Column): Column =
-    pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(1L << 31))
+    pmod(call_function("md5_prefix60", c), lit(1L << 31))
 
   /** 60-bit variant (first 15 hex chars of md5) for SimHash bit votes. */
-  def mdHash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def mdHash60(c: Column): Column = call_function("md5_prefix60", c)
 
   /** k-component MinHash signatures via the mergeable
     * [[graft.functions.MinHashSketchAgg]] sketch over md5-derived

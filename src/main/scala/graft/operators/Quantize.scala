@@ -32,8 +32,8 @@ object Quantize {
                   vecCol: String, m: Int, k: Int): Seq[Seq[Seq[Double]]] = {
     val seeds = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .orderBy(pmod(conv(substring(md5(col("id").cast("string")), 1, 15),
-        16, 10).cast("long"), lit(9973)), col("id"))
+      .orderBy(pmod(call_function("md5_prefix60", col("id").cast("string")),
+        lit(9973)), col("id"))
       .limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toIndexedSeq)
     val d = seeds.head.length

@@ -94,8 +94,8 @@ object Similarity {
   private def ivfCentroids(corpus: DataFrame, corpusId: String, vecCol: String,
                            nCentroids: Int): Seq[Seq[Double]] = {
     val seedRows = withNorm(corpus, corpusId, vecCol)
-      .orderBy(pmod(conv(substring(md5(col(corpusId).cast("string")), 1, 15),
-        16, 10).cast("long"), lit(9973)), col(corpusId))
+      .orderBy(pmod(call_function("md5_prefix60", col(corpusId).cast("string")),
+        lit(9973)), col(corpusId))
       .limit(nCentroids)
       .select(col("v"), col("nrm")).collect()
     seedRows.map { r =>
@@ -187,9 +187,8 @@ object Similarity {
         if (phi <= 0) covered = true
         else {
           // select when u01·φ < l·cost  ⇔  P[select] = min(1, l·cost/φ)
-          val u01 = conv(substring(md5(concat(lit(s"kmpar${r}_"),
-            col("id").cast("string"))), 1, 15), 16, 10).cast("double") /
-            lit(math.pow(2, 60))
+          val u01 = call_function("md5_prefix60", concat(lit(s"kmpar${r}_"),
+            col("id").cast("string"))).cast("double") / lit(math.pow(2, 60))
           val picked = withCost
             .filter(u01 * lit(phi) < col("cost") * lit(l.toDouble))
             .orderBy(col("cost").desc, col("id"))
@@ -441,8 +440,7 @@ object Similarity {
       .select(col(idCol).as("id"),
         cellAssign(col("v"), centroids).cast("int").as("cell"))
     val w = Window.partitionBy("cell").orderBy(
-      conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long"),
-      col("id"))
+      call_function("md5_prefix60", col("id").cast("string")), col("id"))
     cells.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= perCell)
       .select(col("id").as(idCol), col("cell"), col("rk"))

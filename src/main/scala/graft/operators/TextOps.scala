@@ -703,8 +703,12 @@ object TextOps {
           slice(col("tk"), lit(1), size(col("tk")) - 1).as("w1"),
           slice(col("tk"), lit(2), size(col("tk")) - 1).as("w2"))).as("bg"))
       .select(col("doc_id"), col("is_target"),
-        pmod(conv(substring(md5(concat_ws(" ", col("bg.w1"), col("bg.w2"))),
-          1, 15), 16, 10).cast("long"), lit(buckets.toLong)).as("f"))
+        pmod(call_function("md5_prefix60",
+          concat_ws(" ", col("bg.w1"), col("bg.w2"))),
+          lit(buckets.toLong)).as("f"))
+      // referenced twice (bucket counts AND the per-doc join): persisted so
+      // the explode+hash pass runs once, not once per branch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = feats.groupBy("f").agg(
       count(lit(1)).as("r_f"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("t_f"))

@@ -553,6 +553,55 @@ object DedupQueries {
             (PARTITION BY cluster_id ORDER BY quality DESC, doc_id)
             AS BIGINT) AS rk FROM j)
         SELECT doc_id, cluster_id, cluster_size, quality, rk, rk = 1 AS keep
-        FROM r ORDER BY doc_id"""))
+        FROM r ORDER BY doc_id""")),
+
+    // ---- p59: containment (overlap-coefficient) pairs — subset
+    // duplication Jaccard misses (Broder'97's containment vs resemblance):
+    // a half-page excerpt has containment 1.0 but Jaccard ~0.5, under
+    // every near-dup threshold. Excerpts are PLANTED (doc_id % 11: the
+    // first half of the token stream under a fresh id, identically in
+    // both engines); DF cap 8 engaged per the p18 skew contract. --------
+    QueryDef("p59_containment_pairs",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val halves = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat_ws(" ", slice(col("tk"), lit(1),
+              (size(col("tk")) / 2).cast("int"))).as("text"))
+        Dedup.containmentPairs(
+          docs.select("doc_id", "text").unionAll(halves),
+          "doc_id", "text", n = 3, minContainment = 0.9,
+          maxDocFreq = Some(8L)).orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH base AS (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 300000 AS doc_id,
+            array_to_string(tk2[1:len(tk2)//2], ' ') AS text
+          FROM (SELECT doc_id, $ToksSql AS tk2 FROM documents)
+          WHERE doc_id % 11 = 0),
+        t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+          FROM base),
+        sets AS (SELECT doc_id,
+            list_distinct(list_transform(range(0, len(tk)-2),
+              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shs
+          FROM t WHERE len(tk) >= 3),
+        posts0 AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
+        hot AS (SELECT sh FROM posts0 GROUP BY sh HAVING COUNT(*) > 8),
+        posts AS (SELECT * FROM posts0 WHERE sh NOT IN (SELECT sh FROM hot)),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM posts GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM posts a JOIN posts b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, inter, sz_a, sz_b, containment, jaccard FROM (
+          SELECT id_a, id_b, i AS inter, sa.sz AS sz_a, sb.sz AS sz_b,
+                 i / least(sa.sz, sb.sz) AS containment,
+                 i / (sa.sz + sb.sz - i) AS jaccard
+          FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id)
+        WHERE containment >= 0.9 ORDER BY id_a, id_b"""))
   )
 }

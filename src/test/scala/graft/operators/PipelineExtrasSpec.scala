@@ -165,6 +165,29 @@ class PipelineExtrasSpec extends SparkSpecBase {
     }
   }
 
+  test("md5_prefix60 kernel equals the conv(substring(md5)) chain bit-for-bit") {
+    val df = Seq("", "a", "graft42", "the quick brown fox", "qz mark",
+      "é中文 mixed", "x" * 500).toDF("s")
+    val cmp = df.select(
+        call_function("md5_prefix60", col("s")).as("fast"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("ref"))
+      .collect()
+    cmp.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
+  test("containmentPairs: subset dup at containment 1.0, jaccard far below") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // 4 shingles
+      (2L, "a b c"),       // 1 shingle, fully contained in doc 1
+      (3L, "x y z w")      // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+        minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.toSeq == Seq((1L, 2L, 1L, 4L, 1L, 1.0, 0.25)), out.toSeq)
+  }
+
   test("keepBestQuality: quality beats min-id; singletons keep") {
     val docs = Seq(
       (1L, "!!!! ???? ;;;; ::::"), // punctuation soup -> near-zero quality
