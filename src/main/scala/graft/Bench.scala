@@ -142,9 +142,17 @@ object Bench {
     // (builder-side iteration; the driver leaves it unset and runs all)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // force FULL materialization through the noop sink: a bare .count()
+    // lets Catalyst prune the query's own output (it eliminated p48's
+    // cardinality-preserving left join entirely, benching the DSIR
+    // pipeline at 0.15 s while its real cost was seconds) — the DuckDB
+    // side fetches full rows, so the honest comparison materializes every
+    // declared output column.
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     var warmupFlushes = 0
     selected.foreach { case (_, f) =>
-      try f(spark, sfDir).count() catch { case _: Throwable => }
+      try force(f(spark, sfDir)) catch { case _: Throwable => }
       if (enforceCacheBudget()) warmupFlushes += 1
     }
     // deterministic name order: map-iteration order made run-to-run totals
@@ -173,7 +181,7 @@ object Bench {
     def timedPass(): Seq[(String, Double, String)] = names.map { case (name, fn) =>
       if (pendingFlush) { flushBefore += name; pendingFlush = false }
       val t0 = System.nanoTime()
-      val fp = try { val df = fn(spark, sfDir); df.count(); planPrint(df) }
+      val fp = try { val df = fn(spark, sfDir); force(df); planPrint(df) }
         catch { case _: Throwable => "" }
       val dt = (System.nanoTime() - t0) / 1e9
       pendingFlush = enforceCacheBudget()
