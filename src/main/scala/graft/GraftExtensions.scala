@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BinRead, BinRfind, BloomContains, BloomSketchAgg, MatVec, Md5Prefix60Expr, MinHashSketchAgg, SimHashAgg, VecDot, VecLshKeys, VecNorm, WordShingles}
+import graft.functions.{BinRead, BinRfind, BloomContains, BloomSketchAgg, GramScoreExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PqEncodeExpr, SimHashAgg, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -24,6 +24,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("max_multiplicity"),
+      new ExpressionInfo(classOf[MaxMultiplicityExpr].getName, "max_multiplicity"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MaxMultiplicityExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFpsExpr].getName, "winnow_fps"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def longLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+              v.toString.toLong
+            case other => throw new IllegalArgumentException(
+              s"winnow_fps expects literal parameters, got $other")
+          }
+        WinnowFpsExpr(children.head, longLit(children(1)).toInt,
+          longLit(children(2)).toInt, longLit(children(3)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "pq_encode"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val lit = intLit("pq_encode") _
+        val flat = children(4) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            arr: org.apache.spark.sql.catalyst.util.ArrayData, _) =>
+            arr.toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"pq_encode expects a literal flattened codebook, got $other")
+        }
+        PqEncodeExpr(children.head, lit(children(1)), lit(children(2)),
+          lit(children(3)), flat)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("gram_score"),
+      new ExpressionInfo(classOf[GramScoreExpr].getName, "gram_score"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val grams = children.tail.map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"gram_score expects literal gram strings, got $other")
+        }
+        GramScoreExpr(children.head, grams)
+      }))
     ext.injectFunction((
       FunctionIdentifier("md5_prefix60"),
       new ExpressionInfo(classOf[Md5Prefix60Expr].getName, "md5_prefix60"),

@@ -1,0 +1,248 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** N-gram profile scorer: Σ over literal grams of
+  * `charLen(gram) × nonOverlappingCount(gram in text)` — the exact value of
+  * the `length(t) - length(replace(t, g, ''))` chain the language-ID oracle
+  * counts with (`replace` removes non-overlapping left-to-right matches, so
+  * the length delta is count × gram char-length), but in ONE kernel call
+  * per profile instead of one full-text `replace` + string allocation PER
+  * GRAM (80 scans/doc for 4×20-gram profiles — the honest bench showed
+  * that chain at 4.7 s/100k docs).
+  *
+  * Counting uses `String.indexOf` stepping by the matched gram's UTF-16
+  * length — the same non-overlapping scan `replace` performs; occurrence
+  * counts are unit-agnostic, and the per-occurrence weight uses the gram's
+  * CODE-POINT length to match Spark's `length()` on supplementary-plane
+  * text. */
+object GramScore {
+  def score(s: String, grams: Array[String], charLens: Array[Int]): Long = {
+    var total = 0L
+    var gi = 0
+    while (gi < grams.length) {
+      val g = grams(gi)
+      if (g.nonEmpty) {
+        var c = 0
+        var idx = s.indexOf(g)
+        while (idx >= 0) { c += 1; idx = s.indexOf(g, idx + g.length) }
+        total += c.toLong * charLens(gi)
+      }
+      gi += 1
+    }
+    total
+  }
+}
+
+/** Winnowing fingerprints (Schleimer et al., SIGMOD'03) in one kernel pass:
+  * code points → rolling polynomial k-gram hashes (base 31, the shared
+  * modulus) → per-window minima → sorted distinct. Bit-identical to the
+  * staged `charCodes |> kgramHashes |> winnowFromKgrams` expression chain
+  * (same integer math, same empty-input fallbacks) — which evaluates as
+  * INTERPRETED higher-order functions and showed up at 50 s/500k docs on
+  * the honest bench. */
+object WinnowFps {
+  def fps(s: String, k: Int, w: Int, mod: Long): Array[Long] = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < k) return Array.emptyLongArray
+    val kh = new Array[Long](n - k + 1)
+    var i = 0
+    while (i < kh.length) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = (acc * 31L + cps(i + j)) % mod; j += 1 }
+      kh(i) = acc
+      i += 1
+    }
+    val mins =
+      if (kh.length >= w) {
+        val out = new Array[Long](kh.length - w + 1)
+        var p = 0
+        while (p < out.length) {
+          var mn = kh(p)
+          var q = 1
+          while (q < w) { if (kh(p + q) < mn) mn = kh(p + q); q += 1 }
+          out(p) = mn
+          p += 1
+        }
+        out
+      } else kh
+    java.util.Arrays.sort(mins)
+    // sorted -> dedupe adjacent = sorted distinct
+    var m = 0
+    var r = 0
+    while (r < mins.length) {
+      if (m == 0 || mins(r) != mins(m - 1)) { mins(m) = mins(r); m += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(mins, m)
+  }
+}
+
+case class WinnowFpsExpr(child: Expression, k: Int, w: Int, mod: Long)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps expects a string input, got $other")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      WinnowFps.fps(input.asInstanceOf[UTF8String].toString, k, w, mod))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.WinnowFps.fps($c.toString(), $k, $w, ${mod}L))")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
+    copy(child = newChild)
+}
+
+/** PQ encoding in one kernel: per subspace, the argmin-distance codebook
+  * entry (ascending-index scan, strict `<` — ties take the LOWEST cid,
+  * matching the staged `array_min(struct(d, cid))` ordering), distances
+  * folded j-ascending so doubles are bit-identical to the staged
+  * expression tree (which at m=8,k=16 is ~1000 nodes and falls out of
+  * codegen — 21 s/500k rows on the honest bench). */
+object PqEncodeKernel {
+  def encode(v: org.apache.spark.sql.catalyst.util.ArrayData,
+             m: Int, k: Int, sub: Int, flat: Array[Double]): Array[Int] = {
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var bestD = Double.PositiveInfinity
+      var bestC = 0
+      var ki = 0
+      while (ki < k) {
+        var d = 0.0
+        var j = 0
+        val base = (mi * k + ki) * sub
+        while (j < sub) {
+          val dd = v.getDouble(mi * sub + j) - flat(base + j)
+          d += dd * dd
+          j += 1
+        }
+        if (d < bestD) { bestD = d; bestC = ki }
+        ki += 1
+      }
+      out(mi) = bestC
+      mi += 1
+    }
+    out
+  }
+}
+
+case class PqEncodeExpr(child: Expression, m: Int, k: Int, sub: Int,
+                        flat: Array[Double]) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<double>, got $other")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqEncodeKernel.encode(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        m, k, sub, flat))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.PqEncodeKernel.encode($c, $m, $k, $sub, $fRef))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Maximum element multiplicity of a string array — the sorted-run count
+  * behind the Gopher repetition statistics, as one kernel call instead of
+  * `array_sort` + an interpreted `aggregate` fold per row. Sort order is
+  * UTF8String's binary order (what `array_sort` uses); only EQUALITY of
+  * neighbors matters for the result, so the value is order-convention-free.
+  * Empty array → 0. */
+object MaxMultiplicity {
+  def run(a: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = a.numElements()
+    if (n == 0) return 0L
+    val arr = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { arr(i) = a.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(arr.asInstanceOf[Array[Object]])
+    var best = 1L
+    var run = 1L
+    i = 1
+    while (i < n) {
+      if (arr(i).equals(arr(i - 1))) run += 1 else run = 1
+      if (run > best) best = run
+      i += 1
+    }
+    best
+  }
+}
+
+case class MaxMultiplicityExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"max_multiplicity expects array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "max_multiplicity"
+
+  override def nullSafeEval(input: Any): Any =
+    MaxMultiplicity.run(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MaxMultiplicity.run($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MaxMultiplicityExpr =
+    copy(child = newChild)
+}
+
+case class GramScoreExpr(child: Expression, grams: Seq[String])
+  extends UnaryExpression {
+
+  private lazy val gramsArr: Array[String] = grams.toArray
+  private lazy val charLens: Array[Int] =
+    grams.map(g => g.codePointCount(0, g.length)).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_score expects a string input, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "gram_score"
+
+  override def nullSafeEval(input: Any): Any =
+    GramScore.score(input.asInstanceOf[UTF8String].toString, gramsArr, charLens)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gRef = ctx.addReferenceObj("grams", gramsArr, "java.lang.String[]")
+    val lRef = ctx.addReferenceObj("gramLens", charLens, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GramScore.score($c.toString(), $gRef, $lRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramScoreExpr =
+    copy(child = newChild)
+}

@@ -92,13 +92,13 @@ object TextOps {
       " qu", "ue ", "en ", " en", "ar ", "ión", "los", " y ", "es ", "ta ", "nte"))
 
   /** Trigram-hit score of `padded` against one profile: Σ over profile grams
-    * of 3 × occurrence-count, via length-delta of literal `replace` — the one
-    * counting primitive with identical semantics in Spark and DuckDB (no
-    * regex dialect involved). Integer-armed. */
+    * of 3 × occurrence-count — the value of the length-delta-of-`replace`
+    * chain the DuckDB oracle counts with, computed by the `gram_score`
+    * kernel ([[graft.functions.GramScore]]: one call per profile, no
+    * per-gram full-text replace/allocation — the honest bench showed the
+    * replace chain at 4.7 s/100k docs). Integer-armed. */
   private def profileScore(padded: Column, grams: Seq[String]): Column =
-    grams.map(g =>
-      length(padded) - length(call_function("replace", padded, lit(g))): Column)
-      .reduce(_ + _)
+    call_function("gram_score", padded +: grams.map(g => lit(g): Column): _*)
 
   /** N-gram-profile language ID: lower-cased, space-padded text scored
     * against [[LangProfiles]]; argmax with the profile-order tie-break.
@@ -183,18 +183,12 @@ object TextOps {
   }
 
   /** Longest run of equal values in the sorted array = the maximum
-    * multiplicity of any element. Empty array → 0. */
-  def maxMultiplicity(arrIn: Column): Column = bindOnce(array_sort(arrIn)) { a =>
-    aggregate(a,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-  }
+    * multiplicity of any element. Empty array → 0. One `max_multiplicity`
+    * kernel call ([[graft.functions.MaxMultiplicity]]) — the staged
+    * `array_sort` + `aggregate` fold evaluates interpreted per row (the
+    * honest bench measured the repetition stats at 10.5 s/500k docs). */
+  def maxMultiplicity(arrIn: Column): Column =
+    call_function("max_multiplicity", arrIn)
 
   /** Count of the most frequent token / token count. */
   def topTokenFrac(toksIn: Column): Column = bindOnce(toksIn) { t =>
@@ -503,6 +497,14 @@ object TextOps {
         i => array_min(slice(kgrams, i + 1, lit(w)))))))
       .otherwise(array_sort(array_distinct(kgrams)))
   }
+
+  /** The whole winnowing chain ([[charCodes]] → [[kgramHashes]] →
+    * [[winnowFromKgrams]]) as ONE `winnow_fps` kernel call
+    * ([[graft.functions.WinnowFps]], bit-parity spec'd against the staged
+    * chain) — the staged higher-order functions evaluate interpreted and
+    * cost ~100 µs/doc; the kernel is one compiled pass. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    call_function("winnow_fps", text, lit(k), lit(w), lit(RollingHashMod))
 
   /** Corpus-trained bigram language-model scoring — the self-perplexity
     * quality filter of the CCNet family of recipes (Wenzek et al., LREC'20

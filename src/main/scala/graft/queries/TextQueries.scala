@@ -74,9 +74,7 @@ object TextQueries {
     // ---- p10: winnowing fingerprints (rolling-hash mirror in DuckDB) -------
     QueryDef("p10_winnowing",
       (s, d) => T.documents(s, d)
-        .select(col("doc_id"), TextOps.charCodes(col("text")).as("ch"))
-        .select(col("doc_id"), TextOps.kgramHashes(col("ch")).as("kgrams"))
-        .select(col("doc_id"), TextOps.winnowFromKgrams(col("kgrams")).as("fps"))
+        .select(col("doc_id"), TextOps.winnowFingerprints(col("text")).as("fps"))
         .select(col("doc_id"),
           size(col("fps")).cast("long").as("n_fps"),
           array_min(col("fps")).as("fp_min"),

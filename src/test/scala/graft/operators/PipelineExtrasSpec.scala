@@ -175,6 +175,46 @@ class PipelineExtrasSpec extends SparkSpecBase {
     cmp.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
   }
 
+  test("gram_score kernel equals the replace length-delta chain") {
+    // overlap semantics ("aaa" under "aa" counts ONE non-overlapping hit),
+    // multibyte text, empty text, gram-at-boundaries
+    val df = Seq("aaa", "aa aa", "", " the then th", "ééé xé é", "ab").toDF("s")
+    val grams = Seq("aa", " th", "é", "ab")
+    val refCol = grams.map(g =>
+      length(col("s")) - length(call_function("replace", col("s"), lit(g))): org.apache.spark.sql.Column)
+      .reduce(_ + _)
+    val cmp = df.select(
+        call_function("gram_score", (col("s") +: grams.map(g => lit(g): org.apache.spark.sql.Column)): _*).as("fast"),
+        refCol.cast("long").as("ref"))
+      .collect()
+    cmp.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
+  test("winnow_fps kernel equals the staged charCodes|>kgramHashes|>winnow chain") {
+    val df = Seq("", "short", "abcdefgh", "abcdefghijk",
+      "the quick brown fox jumps over the lazy dog and runs on",
+      "aaaaaaaaaaaaaaaaaa", "é accented çhars repeated é accented çhars")
+      .toDF("text")
+    val cmp = df.select(
+        TextOps.winnowFingerprints(col("text")).as("fast"),
+        TextOps.winnowFromKgrams(
+          TextOps.kgramHashes(TextOps.charCodes(col("text")))).as("ref"))
+      .collect()
+    cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
+  }
+
+  test("pq_encode kernel: argmin per subspace, lowest-cid ties, exact distances") {
+    // 2 subspaces x 3 codes x 2 dims; vector picks code 2 then code 0;
+    // an exact tie (two identical codebook rows) must take the LOWER cid
+    val cbs: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(5.0, 5.0)),
+      Seq(Seq(2.0, 2.0), Seq(2.0, 2.0), Seq(9.0, 9.0)))
+    val df = Seq((1L, Seq(5.1, 4.9, 2.0, 2.0))).toDF("id", "vec")
+    val codes = df.select(Quantize.pqEncode(col("vec"), cbs).as("codes"))
+      .head().getSeq[Int](0)
+    assert(codes == Seq(2, 0), codes)
+  }
+
   test("containmentPairs: subset dup at containment 1.0, jaccard far below") {
     val docs = Seq(
       (1L, "a b c d e f"), // 4 shingles
