@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BinRead, BinRfind, BloomContains, BloomSketchAgg, GramScoreExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PqEncodeExpr, SimHashAgg, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordShingles}
+import graft.functions.{BinRead, BinRfind, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePiecesExpr, GramScoreExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PqEncodeExpr, SimHashAgg, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -24,6 +24,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_merge_step"),
+      new ExpressionInfo(classOf[BpeMergeStepExpr].getName, "bpe_merge_step"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BpeMergeStepExpr(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_pieces"),
+      new ExpressionInfo(classOf[BpePiecesExpr].getName, "bpe_pieces"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val flat = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            arr: org.apache.spark.sql.catalyst.util.ArrayData, _) =>
+            (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString).toArray
+          case other => throw new IllegalArgumentException(
+            s"bpe_pieces expects a literal merge list, got $other")
+        }
+        BpePiecesExpr(children.head, flat)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_bigrams"),
+      new ExpressionInfo(classOf[WordBigramsExpr].getName, "word_bigrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordBigramsExpr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("max_multiplicity"),
       new ExpressionInfo(classOf[MaxMultiplicityExpr].getName, "max_multiplicity"),

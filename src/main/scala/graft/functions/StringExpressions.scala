@@ -218,6 +218,155 @@ case class MaxMultiplicityExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Adjacent word 2-grams WITH multiplicity, space-joined — one kernel pass
+  * instead of the interpreted `transform(sequence, concat_ws(element_at))`
+  * chain. n tokens → n−1 bigrams; <2 tokens → empty. */
+object WordBigrams {
+  private val Space = UTF8String.fromString(" ")
+  def run(a: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    if (n < 2) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev = a.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = a.getUTF8String(i)
+      out(i - 1) = UTF8String.concat(prev, Space, cur)
+      prev = cur
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class WordBigramsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_bigrams expects array<string>, got $other")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_bigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    WordBigrams.run(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordBigrams.run($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordBigramsExpr =
+    copy(child = newChild)
+}
+
+/** BPE merge kernels — the left-to-right non-overlapping merge scan of
+  * Sennrich et al. (the semantics `Bpe.mergeStep`'s (emitted, pending)
+  * aggregate fold implements, spec-proven equal to the reference pairwise
+  * scan), compiled: `bpe_merge_step` applies ONE (a,b)→ab merge to a
+  * symbol array (the training rounds' fold), `bpe_pieces` runs a whole
+  * RANK-ORDERED merge list over a word (the encoding path — previously
+  * nMerges nested interpreted aggregates per distinct word). */
+object BpeKernel {
+  def mergeStep(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                l: UTF8String, r: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    val merged = UTF8String.concat(l, r)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && a.getUTF8String(i).equals(l) &&
+          a.getUTF8String(i + 1).equals(r)) {
+        out.add(merged); i += 2
+      } else { out.add(a.getUTF8String(i)); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  def pieces(w: UTF8String, flat: Array[String]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = w.toString
+    var syms: Array[String] = {
+      val buf = new java.util.ArrayList[String](s.length)
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val cc = Character.charCount(cp)
+        buf.add(s.substring(i, i + cc))
+        i += cc
+      }
+      buf.toArray(new Array[String](0))
+    }
+    var mi = 0
+    while (mi + 1 < flat.length) {
+      val a = flat(mi); val b = flat(mi + 1); val m = a + b
+      val out = new java.util.ArrayList[String](syms.length)
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out.add(m); i += 2
+        } else { out.add(syms(i)); i += 1 }
+      }
+      syms = out.toArray(new Array[String](0))
+      mi += 2
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      syms.map(UTF8String.fromString): Array[Any])
+  }
+}
+
+case class BpeMergeStepExpr(first: Expression, second: Expression,
+                            third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(StringType, _),
+        StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_merge_step expects (array<string>, string, string), got $other")
+    }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge_step"
+
+  override def nullSafeEval(a: Any, l: Any, r: Any): Any =
+    BpeKernel.mergeStep(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, l, r) =>
+      s"${ev.value} = graft.functions.BpeKernel.mergeStep($a, $l, $r);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): BpeMergeStepExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+case class BpePiecesExpr(child: Expression, flat: Array[String])
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_pieces expects a string word, got $other")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_pieces"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeKernel.pieces(input.asInstanceOf[UTF8String], flat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeKernel.pieces($c, $fRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpePiecesExpr =
+    copy(child = newChild)
+}
+
 case class GramScoreExpr(child: Expression, grams: Seq[String])
   extends UnaryExpression {
 

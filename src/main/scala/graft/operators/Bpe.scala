@@ -28,23 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Left-to-right non-overlapping merge of adjacent (a, b) → a+b. */
+  /** Left-to-right non-overlapping merge of adjacent (a, b) → a+b — the
+    * `bpe_merge_step` kernel ([[graft.functions.BpeKernel]]; the prior
+    * (emitted, pending) `aggregate` fold evaluated interpreted per row per
+    * round and is spec-proven equal to this pairwise scan). */
   private[operators] def mergeStep(symsIn: Column, a: String, b: String): Column =
-    bindOnce(symsIn) { syms =>
-      val merged = a + b
-      val init = struct(array().cast("array<string>").as("out"),
-        lit(null).cast("string").as("pend"))
-      def flush(st: Column): Column =
-        when(st.getField("pend").isNull, st.getField("out"))
-          .otherwise(concat(st.getField("out"), array(st.getField("pend"))))
-      aggregate(syms, init,
-        (st, x) =>
-          when(st.getField("pend") === a && x === b,
-            struct(concat(st.getField("out"), array(lit(merged))).as("out"),
-              lit(null).cast("string").as("pend")))
-            .otherwise(struct(flush(st).as("out"), x.as("pend"))),
-        st => flush(st))
-    }
+    call_function("bpe_merge_step", symsIn, lit(a), lit(b))
 
   /** Train `nMerges` BPE merges over whitespace words of `textCol`.
     * Returns the learned merge table (rank, left, right, merged,
@@ -117,9 +106,10 @@ object Bpe {
       .select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("id", "w").agg(count(lit(1)).as("n"))
+    val flat = merges.flatMap(p => Seq(p._1, p._2))
     val types = perDocWord.select("w").distinct()
       .withColumn("n_pieces",
-        size(applyMerges(split(col("w"), ""), merges)).cast("long"))
+        size(call_function("bpe_pieces", col("w"), typedLit(flat))).cast("long"))
     val perDoc = perDocWord.join(types, "w")
       .groupBy("id")
       .agg(sum(col("n")).as("n_words"),
@@ -135,11 +125,13 @@ object Bpe {
     * occurrence — use for bounded slices/demos; [[encodeCounts]] is the
     * corpus-scale statistics path). */
   def encodePieces(df: DataFrame, idCol: String, textCol: String,
-                   merges: Seq[(String, String)]): DataFrame =
+                   merges: Seq[(String, String)]): DataFrame = {
+    val flat = merges.flatMap(p => Seq(p._1, p._2))
     df.select(col(idCol),
       flatten(transform(
         filter(TextOps.tokens(col(textCol)), w => length(w) > 0),
-        w => applyMerges(split(w, ""), merges))).as("pieces"))
+        w => call_function("bpe_pieces", w, typedLit(flat)))).as("pieces"))
+  }
 
   /** [[encodeCounts]] driving its merge list from a [[train]] result frame
     * (collected in rank order — bounded: nMerges rows of metadata). */

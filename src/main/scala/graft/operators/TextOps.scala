@@ -195,13 +195,11 @@ object TextOps {
     maxMultiplicity(t).cast("double") / greatest(size(t), lit(1)).cast("double")
   }
 
-  /** Word 2-grams WITH multiplicity (no distinct — counts matter here). */
-  def wordBigrams(toksIn: Column): Column = bindOnce(toksIn) { t =>
-    when(size(t) >= 2,
-      transform(sequence(lit(0), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word 2-grams WITH multiplicity (no distinct — counts matter here).
+    * One `word_bigrams` kernel call ([[graft.functions.WordBigrams]]) —
+    * the staged transform-over-sequence evaluated interpreted. */
+  def wordBigrams(toksIn: Column): Column =
+    call_function("word_bigrams", toksIn)
 
   /** Count of the most frequent word 2-gram / 2-gram count. */
   def top2gramFrac(toksIn: Column): Column = bindOnce(toksIn) { t =>
