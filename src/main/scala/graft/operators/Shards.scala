@@ -128,14 +128,36 @@ object Shards {
     * the unsampled mass. */
   def prioritySample(df: DataFrame, idCol: String, weightCol: Column, k: Int,
                      salt: String = "graft"): DataFrame = {
-    val h30 = pmod(
-      Dedup.mdHash31(concat(lit(salt), col(idCol).cast("string"))),
-      lit(1L << 30))
     df.select(col(idCol), weightCol.as("weight"))
-      .withColumn("h30", h30)
+      .withColumn("h30", priorityHash(col(idCol), salt))
       .withColumn("priority", expr("weight * 1048576L div (h30 + 1L)"))
       .select(col(idCol), col("weight"), col("priority"))
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
+  }
+
+  private def priorityHash(id: Column, salt: String): Column =
+    pmod(Dedup.mdHash31(concat(lit(salt), id.cast("string"))), lit(1L << 30))
+
+  /** [[prioritySample]] per STRATUM: exactly `kPerStratum` rows drawn from
+    * every group (fewer only when a group is smaller) — the per-domain
+    * quota draw of mixture recipes ("10k docs per source, weighted by
+    * length/quality"), where a global sample would let one giant domain
+    * starve the rest. Same all-integer md5-seeded priorities; the only
+    * movement is ONE rank window partitioned by the stratum (each stratum
+    * ranks independently in parallel — no global ordering anywhere).
+    * Output: (idCol, strataCol, weight, priority, rk). */
+  def prioritySampleStratified(df: DataFrame, idCol: String, strataCol: String,
+                               weightCol: Column, kPerStratum: Int,
+                               salt: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col("priority").desc, col(idCol))
+    df.select(col(idCol), col(strataCol), weightCol.as("weight"))
+      .withColumn("h30", priorityHash(col(idCol), salt))
+      .withColumn("priority", expr("weight * 1048576L div (h30 + 1L)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= kPerStratum)
+      .select(col(idCol), col(strataCol), col("weight"), col("priority"),
+        col("rk"))
   }
 }

@@ -353,6 +353,30 @@ object CorpusQueries {
           COUNT(*) AS n_docs, CAST(SUM(tk2) AS BIGINT) AS shard_tokens,
           CAST(SUM(n_pii) AS BIGINT) AS n_pii_redacted,
           MIN(doc_id) AS first_doc
-        FROM w GROUP BY 1, 2 ORDER BY source, shard_id"""))
+        FROM w GROUP BY 1, 2 ORDER BY source, shard_id""")),
+
+    // ---- p60: stratified priority sampling — exactly 10 rows PER SOURCE
+    // drawn by length-weighted md5-seeded priorities (the per-domain quota
+    // draw of mixture recipes; a global top-k would let one giant domain
+    // starve the rest). All-integer p53 priorities; one rank window per
+    // stratum, no global ordering. --------------------------------------
+    QueryDef("p60_stratified_priority",
+      (s, d) => Shards.prioritySampleStratified(
+        T.documents(s, d), "doc_id", "source",
+        (col("n_chars").cast("long") + 1L), kPerStratum = 10)
+        .orderBy("doc_id"),
+      Some("""
+        WITH base AS (SELECT doc_id, source,
+            CAST(n_chars AS BIGINT) + 1 AS weight FROM documents),
+        pri AS (SELECT doc_id, source, weight,
+            (weight * 1048576) // (((('0x' || substring(
+              md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 2147483648) % 1073741824) + 1) AS priority
+          FROM base),
+        r AS (SELECT *, CAST(ROW_NUMBER() OVER
+            (PARTITION BY source ORDER BY priority DESC, doc_id)
+            AS BIGINT) AS rk FROM pri)
+        SELECT doc_id, source, weight, priority, rk FROM r
+        WHERE rk <= 10 ORDER BY doc_id"""))
   )
 }

@@ -64,6 +64,21 @@ class PipelineExtrasSpec extends SparkSpecBase {
     assert(again == got)
   }
 
+  test("prioritySampleStratified: exact-k per stratum, small strata whole") {
+    val rows = (1L to 30L).map(i => (i, "a", 10L)) ++
+      (31L to 60L).map(i => (i, "b", 10L)) ++
+      (61L to 63L).map(i => (i, "c", 10L))
+    val df = rows.toDF("id", "src", "w")
+    val out = Shards.prioritySampleStratified(df, "id", "src", col("w"), 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("a" -> 5, "b" -> 5, "c" -> 3), bySrc)
+    assert(out.forall(_._3 <= 5))
+    val again = Shards.prioritySampleStratified(df.repartition(7), "id", "src",
+      col("w"), 5).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("prioritySample: a dominating weight is always drawn") {
     val df = ((1L to 99L).map(i => (i, 1L)) :+ (999L, 1L << 40))
       .toDF("id", "w")

@@ -271,6 +271,12 @@ class PlanSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("p60 stratified sample: map-only priorities, one per-stratum window, no joins") {
+    val p = plan("p60_stratified_priority")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("p55 keep-best: one rank window over clusters, quality map-only") {
     val p = plan("p55_keep_best")
     assert(p.contains("Window"), p.take(2000))
