@@ -181,14 +181,22 @@ object MaxMultiplicity {
   def run(a: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val n = a.numElements()
     if (n == 0) return 0L
+    // null elements are legal (containsNull=true is accepted and the SQL
+    // function is user-callable): skip them while copying — the previous
+    // array_sort+aggregate chain was null-tolerant, natural-order sort is not
     val arr = new Array[UTF8String](n)
+    var m = 0
     var i = 0
-    while (i < n) { arr(i) = a.getUTF8String(i); i += 1 }
-    java.util.Arrays.sort(arr.asInstanceOf[Array[Object]])
+    while (i < n) {
+      if (!a.isNullAt(i)) { arr(m) = a.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    if (m == 0) return 0L
+    java.util.Arrays.sort(arr.asInstanceOf[Array[Object]], 0, m)
     var best = 1L
     var run = 1L
     i = 1
-    while (i < n) {
+    while (i < m) {
       if (arr(i).equals(arr(i - 1))) run += 1 else run = 1
       if (run > best) best = run
       i += 1

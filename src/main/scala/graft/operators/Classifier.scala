@@ -93,11 +93,17 @@ object Classifier {
         w(f) = w(f) - (r.getLong(1) / n) * etaScaled
       }
     }
+    // materialize the final scoring pass BEFORE releasing feats (the
+    // Bpe.train persist-count-unpersist pattern) — unpersisting under a
+    // still-lazy `scored` would recompute the whole tokenize+explode+hash
+    // feature extraction when the caller finally evaluates it
     val scored = zPerDoc()
       .select(col("doc_id"), col("z_sum"),
         sigma(col("z_sum")).as("prob"), col("label"),
         (col("z_sum") >= 0L).as("predicted"),
         ((col("z_sum") >= 0L) === col("label")).as("correct"))
+      .persist()
+    scored.count()
     feats.unpersist(blocking = false)
     scored
   }

@@ -409,8 +409,12 @@ object Similarity {
     val c = withNorm(corpus, corpusId, vecCol)
     val t = broadcast(withNorm(testSet, testId, vecCol)
       .select(col(testId).as("t_id"), col("v").as("tv"), col("nrm").as("tnrm")))
+    // zero-norm guard: 0/0 = NaN and Spark's NaN-greatest comparison makes
+    // `NaN >= minSim` TRUE, flagging zero vectors against EVERY eval row —
+    // mirror the stream twin (embedDecontaminateStream keeps zero-norm rows)
     c.crossJoin(t)
-      .withColumn("sim", dot(col("v"), col("tv")) / (col("nrm") * col("tnrm")))
+      .withColumn("sim", when(col("nrm") > 0d && col("tnrm") > 0d,
+        dot(col("v"), col("tv")) / (col("nrm") * col("tnrm"))).otherwise(0d))
       .groupBy(col(corpusId))
       .agg(sum(when(col("sim") >= lit(minSim), 1L).otherwise(0L)).as("n_hits"),
         max(col("sim")).as("max_sim"))

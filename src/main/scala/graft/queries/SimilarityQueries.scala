@@ -289,7 +289,9 @@ object SimilarityQueries {
                    SELECT vec_id + 200000 AS vec_id, v FROM e WHERE vec_id < 5),
         c AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM corpus),
         sims AS (SELECT c.vec_id,
-            ${dotSql("c.v", "test.tv")} / (c.nrm * test.tnrm) AS sim
+            CASE WHEN c.nrm > 0 AND test.tnrm > 0
+              THEN ${dotSql("c.v", "test.tv")} / (c.nrm * test.tnrm)
+              ELSE 0.0 END AS sim
           FROM c CROSS JOIN test)
         SELECT vec_id,
           CAST(SUM(CASE WHEN sim >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,

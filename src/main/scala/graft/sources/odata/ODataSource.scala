@@ -1008,6 +1008,20 @@ final case class ODataTaskMetric(override val name: String, override val value: 
   * None -> caller stays serial. */
 private[odata] object KeysetWindows {
 
+  /** Uniform carve of the half-open integer range (l, h] into up to n
+    * windows. BigInt staging: for snowflake-style keys the width h-l (keys
+    * may span the sign boundary) and the cut product (h-l)*i both overflow
+    * Long; wrapped cuts that landed back inside (l,h) used to produce
+    * OVERLAPPING windows -> duplicate rows read. Sorted+distinct guarantees
+    * monotonic boundaries regardless of any representation edge. */
+  private[odata] def carveRange(l: Long, h: Long, n: Int): Seq[(Long, Long)] = {
+    val width = BigInt(h) - BigInt(l)
+    val nn = width.min(BigInt(math.max(1, n))).max(1).toInt
+    val cuts = (1 until nn).map(i => (BigInt(l) + width * i / nn).toLong)
+      .filter(c => c > l && c < h).distinct.sorted
+    ((l +: cuts) :+ h).sliding(2).map(p => (p(0), p(1))).toSeq
+  }
+
   /** Key properties to order/partition by: the explicit `partitionKey`
     * option, or the entity type's declared key (requires `$metadata`;
     * fixed-schema reads have none). */
@@ -1199,19 +1213,21 @@ private[odata] object KeysetWindows {
     // asc tail = k1 in (b1, max]; desc tail = k1 in [min, b1) = (min-1, b1-1]
     val (lo, hi) = if (desc) (ext - 1, b1 - 1) else (b1, ext)
     if (hi <= lo || nTail <= 1) return None
-    def carve(l: Long, h: Long, n: Int): Seq[(Long, Long)] = {
-      val nn = math.max(1L, math.min(n.toLong, h - l)).toInt
-      val cuts = (1 until nn).map(i => l + (h - l) * i / nn).distinct
-        .filter(c => c > l && c < h)
-      ((l +: cuts) :+ h).sliding(2).map(p => (p(0), p(1))).toSeq
-    }
+    def carve(l: Long, h: Long, n: Int): Seq[(Long, Long)] = carveRange(l, h, n)
     val base = carve(lo, hi, nTail)
+    // the window that renders open-ended (h == hi asc / l == lo desc) is
+    // there precisely to catch rows beyond the max/min-key probe (late
+    // inserts, stale counts) — NEVER drop it on a 0-count probe; only
+    // interior bounded stretches may be elided.
+    def rendersOpen(l: Long, h: Long): Boolean =
+      if (desc) l == lo else h == hi
     val refined: Seq[(Long, Long)] =
       if (!conf.keysetCountRefine) base
       else base.flatMap { case (l, h) =>
         countRows(conf, meta, filters :+ s"$key gt $l and $key le $h") match {
-          case Some(0L) => Seq.empty // empty stretch: no request at read time
-          case Some(c) if c > 2 * per && h - l > 1 =>
+          case Some(0L) if !rendersOpen(l, h) =>
+            Seq.empty // empty interior stretch: no request at read time
+          case Some(c) if c > 2 * per && (BigInt(h) - BigInt(l)) > 1 =>
             carve(l, h, math.min(16L, (c + per - 1) / per).toInt)
           case _ => Seq((l, h))
         }
