@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BinRead, BinRfind, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePiecesExpr, GramScoreExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PqEncodeExpr, SimHashAgg, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
+import graft.functions.{BinRead, BinRfind, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePiecesExpr, EncodingStatsExpr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -52,6 +52,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MaxMultiplicityExpr].getName, "max_multiplicity"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MaxMultiplicityExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("pii_scan"),
+      new ExpressionInfo(classOf[PiiScanExpr].getName, "pii_scan"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PiiScanExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("encoding_stats"),
+      new ExpressionInfo(classOf[EncodingStatsExpr].getName, "encoding_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        EncodingStatsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("line_filter_stats"),
+      new ExpressionInfo(classOf[LineFilterStatsExpr].getName, "line_filter_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LineFilterStatsExpr(children.head,
+          intLit("line_filter_stats")(children(1)))))
     ext.injectFunction((
       FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFpsExpr].getName, "winnow_fps"),

@@ -46,19 +46,39 @@ object Pii {
   val AddressRe = "\\b\\d{1,5} [A-Z][A-Za-z]+ " +
     "(Street|Avenue|Boulevard|Road|Lane|Drive|St|Ave|Blvd|Rd|Ln|Dr)\\b"
 
-  def emailCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(EmailRe), lit(0)))
-  def ipv4Count(text: Column): Column =
-    size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
-  def phoneCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
-  def addressCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(AddressRe), lit(0)))
+  /** One kernel call returning every PII signal at once:
+    * `struct<n_emails, n_ips, n_phones, n_addresses, redacted>`. Counts are
+    * over the INPUT text (the `regexp_extract_all` convention); `redacted`
+    * is the sequential email -> IP -> phone -> address rewrite. Backed by
+    * the `pii_scan` codegen byte-scanner ([[graft.functions.PiiScan]]) —
+    * java.util.regex backtracking was the single most expensive per-byte
+    * cost in the curation pipeline (56x DuckDB's RE2 at sf1); the scanner
+    * reproduces its semantics exactly (bit-parity spec `TextScanKernelSpec`
+    * + the unchanged regex-form DuckDB oracle). Callers needing several
+    * fields should bind the struct once, not call per-field helpers. */
+  def scan(text: Column): Column = call_function("pii_scan", text)
+
+  def emailCount(text: Column): Column = scan(text).getField("n_emails")
+  def ipv4Count(text: Column): Column = scan(text).getField("n_ips")
+  def phoneCount(text: Column): Column = scan(text).getField("n_phones")
+  def addressCount(text: Column): Column = scan(text).getField("n_addresses")
 
   /** All four PII classes replaced by typed placeholder tags. Replacement
     * order (email, then IP, then phone, then address) is part of the
     * contract — the oracle mirrors it exactly. */
-  def redact(text: Column): Column =
+  def redact(text: Column): Column = scan(text).getField("redacted")
+
+  // ---- staged regex forms — the semantic reference the kernel is
+  // parity-tested against (and the shape the DuckDB oracle still runs) ----
+  def emailCountStaged(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+  def ipv4CountStaged(text: Column): Column =
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
+  def phoneCountStaged(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+  def addressCountStaged(text: Column): Column =
+    size(regexp_extract_all(text, lit(AddressRe), lit(0)))
+  def redactStaged(text: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(

@@ -331,6 +331,22 @@ object TextOps {
   def lineFilterRebuild(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, minTokens: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
+    // one `line_filter_stats` byte-scan per row (split + per-line HOF
+    // token/letter regex chains were the hot path); the staged variant
+    // below remains the parity reference
+    df.select(col(idCol).as("id"),
+        call_function("line_filter_stats", col(textCol), lit(minTokens)).as("o"))
+      .select(col("id").as(idCol),
+        col("o.text_kept").as("text_kept"),
+        col("o.n_kept_lines").as("n_kept_lines"),
+        col("o.kept").as("kept"))
+  }
+
+  /** The split + HOF-filter chain `lineFilterRebuild` replaced — the
+    * kernel's semantic reference (parity spec `TextScanKernelSpec`). */
+  private[graft] def lineFilterRebuildStaged(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, minTokens: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
     // staged struct column, referenced 3x downstream: CollapseProject keeps
     // multi-referenced projections staged, so the line filter runs ONCE per
     // row (three flat output columns would each inline their own copy)
@@ -431,12 +447,7 @@ object TextOps {
     * smart-punctuation triples decoded as Latin-1/Windows-1252. Literal Seq
     * shared with the generated oracle SQL. All BMP, so `.length` (UTF-16
     * units) equals the codepoint count both engines' `length` reports. */
-  val MojibakeSeqs: Seq[String] = Seq(
-    "\u00C3\u00A9", "\u00C3\u00A8", "\u00C3\u00A4", "\u00C3\u00B6", // e-acute/grave, a/o-umlaut
-    "\u00C3\u00BC", "\u00C3\u00B1", "\u00C3\u00B3", "\u00C3\u00A7", // u-umlaut, n-tilde, o-acute, c-cedilla
-    "\u00E2\u0080\u0099", "\u00E2\u0080\u009C", "\u00E2\u0080\u009D", // smart quotes
-    "\u00E2\u0080\u0093", "\u00E2\u0080\u0094", "\u00E2\u0080\u00A6", // dashes, ellipsis
-    "\u00C2\u00A0") // non-breaking space
+  val MojibakeSeqs: Seq[String] = graft.functions.EncodingStats.MojibakeSeqs
 
   /** C0 controls minus tab/newline/CR, plus DEL — ASCII-only, so Java regex
     * and DuckDB's RE2 agree character-for-character. C1 artifacts are
@@ -446,8 +457,16 @@ object TextOps {
 
   /** (n_replacement, n_control, n_mojibake, looks_clean) over a text column.
     * looks_clean: no U+FFFD, no mojibake sequence, and C0 controls under
-    * 0.5% of characters (`200 * n_control <= length`). */
-  def encodingArtifacts(text: Column): Column = bindOnce(text) { t =>
+    * 0.5% of characters (`200 * n_control <= length`). Backed by the
+    * `encoding_stats` single-pass byte scanner
+    * ([[graft.functions.EncodingStats]]); the staged replace/regex chain
+    * below is the parity reference (and the DuckDB oracle's shape). */
+  def encodingArtifacts(text: Column): Column =
+    call_function("encoding_stats", text)
+
+  /** The replace + regex + 15-literal-count chain `encodingArtifacts`
+    * replaced — kept as the kernel's semantic reference (parity spec). */
+  private[graft] def encodingArtifactsStaged(text: Column): Column = bindOnce(text) { t =>
     val nRep = (length(t) -
       length(call_function("replace", t, lit("\uFFFD")))).cast("long")
     val nCtl = (length(t) -

@@ -295,9 +295,11 @@ object CorpusQueries {
             concat(lit("contact user"), col("doc_id"), lit("@example.com")),
             concat(lit("host 10.1."), pmod(col("doc_id"), lit(250)), lit(".7"))))
         val redacted = withPii
+          .withColumn("ps", Pii.scan(col("text"))) // one kernel call, 3 fields
           .withColumn("n_pii",
-            (Pii.emailCount(col("text")) + Pii.ipv4Count(col("text"))).cast("long"))
-          .withColumn("text", Pii.redact(col("text")))
+            (col("ps.n_emails") + col("ps.n_ips")).cast("long"))
+          .withColumn("text", col("ps.redacted"))
+          .drop("ps")
         val sampled = Shards.sampleStratified(redacted, "doc_id", "source",
           Map.empty, defaultFraction = 0.6, salt = "cur")
           .withColumn("tk", TextOps.tokenCount(col("text")).cast("long"))

@@ -163,12 +163,13 @@ object TextQueries {
             concat(lit("addr "), (pmod(col("doc_id"), lit(90)) + 10).cast("string"),
               lit(" Oak Street")))
             .as("text"))
+        .select(col("doc_id"), Pii.scan(col("text")).as("s"))
         .select(col("doc_id"),
-          Pii.emailCount(col("text")).cast("long").as("n_emails"),
-          Pii.ipv4Count(col("text")).cast("long").as("n_ips"),
-          Pii.phoneCount(col("text")).cast("long").as("n_phones"),
-          Pii.addressCount(col("text")).cast("long").as("n_addresses"),
-          Pii.redact(col("text")).as("redacted"))
+          col("s.n_emails").cast("long").as("n_emails"),
+          col("s.n_ips").cast("long").as("n_ips"),
+          col("s.n_phones").cast("long").as("n_phones"),
+          col("s.n_addresses").cast("long").as("n_addresses"),
+          col("s.redacted").as("redacted"))
         .orderBy("doc_id"),
       Some("""
         WITH w AS (SELECT doc_id,
