@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BinRead, BinRfind, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePiecesExpr, EncodingStatsExpr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
+import graft.functions.{BinRead, BinRfind, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePiecesExpr, EncodingStatsExpr, GopherStatsExpr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -52,6 +52,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MaxMultiplicityExpr].getName, "max_multiplicity"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MaxMultiplicityExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("token_stats"),
+      new ExpressionInfo(classOf[TokenStatsExpr].getName, "token_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TokenStatsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("gopher_stats"),
+      new ExpressionInfo(classOf[GopherStatsExpr].getName, "gopher_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GopherStatsExpr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("pii_scan"),
       new ExpressionInfo(classOf[PiiScanExpr].getName, "pii_scan"),

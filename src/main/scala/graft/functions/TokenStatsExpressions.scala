@@ -1,0 +1,370 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass token/character statistics kernels. The Gopher repetition and
+  * C4 quality signals each re-tokenized the document and ran interpreted
+  * HOF folds (`array_distinct`, `filter`, `aggregate`) or a sort-based
+  * multiplicity per statistic; `token_stats`/`gopher_stats` produce every
+  * signal from ONE tokenization with open-addressing count tables —
+  * exactness is against the staged chains (`TokenStatsKernelSpec` fuzz
+  * parity) and the unchanged DuckDB gate oracles.
+  *
+  * Tokenization contract (shared with `TextOps.tokens` and the oracle
+  * `string_split_regex(trim(text),'\s+')`): trim strips SPACES only; the
+  * split keeps empty lead/trail fields produced by non-space whitespace at
+  * the ends; an all-space document tokenizes to one empty token. */
+private[functions] object Tokenize {
+  import TextScan.{isCharStart, isLetter, isDigit}
+
+  @inline def isWs(b: Byte): Boolean = // Java regex \s (ASCII)
+    b == ' ' || b == '\t' || b == 0x0B || b == '\f' || b == '\r' || b == '\n'
+  @inline def isAsciiWord(b: Byte): Boolean =
+    isLetter(b) || isDigit(b) || b == '_'
+
+  /** Token spans of `b` under the split contract. Returns the count; fills
+    * `starts`/`ends` (caller passes arrays sized >= maxTokens(b)). */
+  def spans(b: Array[Byte], starts: Array[Int], ends: Array[Int]): Int = {
+    val n = b.length
+    var ts = 0
+    while (ts < n && b(ts) == ' ') ts += 1
+    var te = n
+    while (te > ts && b(te - 1) == ' ') te -= 1
+    var cnt = 0
+    var fs = ts
+    var i = ts
+    while (i < te) {
+      if (isWs(b(i))) {
+        starts(cnt) = fs; ends(cnt) = i; cnt += 1
+        while (i < te && isWs(b(i))) i += 1
+        fs = i
+      } else i += 1
+    }
+    starts(cnt) = fs; ends(cnt) = te; cnt += 1
+    cnt
+  }
+
+  /** Upper bound on token count: ws runs + 1 <= n/1 + 1. */
+  def maxTokens(b: Array[Byte]): Int = b.length / 2 + 2
+
+  def fnv(b: Array[Byte], from: Int, until: Int): Int = {
+    var h = 0x811C9DC5
+    var i = from
+    while (i < until) { h = (h ^ (b(i) & 0xFF)) * 0x01000193; i += 1 }
+    h
+  }
+  def bytesEq(b: Array[Byte], s1: Int, e1: Int, s2: Int, e2: Int): Boolean = {
+    if (e1 - s1 != e2 - s2) return false
+    var i = 0
+    val len = e1 - s1
+    while (i < len) { if (b(s1 + i) != b(s2 + i)) return false; i += 1 }
+    true
+  }
+  def nextPow2(x: Int): Int = Integer.highestOneBit(math.max(4, x) * 2 - 1) << 1
+
+  def charLen(b: Array[Byte], from: Int, until: Int): Long = {
+    var c = 0L; var i = from
+    while (i < until) { if (isCharStart(b(i))) c += 1; i += 1 }
+    c
+  }
+
+  /** token equals an ASCII-lowercase word after `lower()`? ASCII fast path;
+    * tokens with multi-byte chars fall back to the same default-locale
+    * `String.toLowerCase` that UTF8String.toLowerCase delegates to. */
+  def lowerEquals(b: Array[Byte], s: Int, e: Int, word: Array[Byte]): Boolean = {
+    var ascii = true
+    var i = s
+    while (ascii && i < e) { ascii = b(i) >= 0; i += 1 }
+    if (ascii) {
+      if (e - s != word.length) return false
+      i = 0
+      while (i < word.length) {
+        var c = b(s + i)
+        if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+        if (c != word(i)) return false
+        i += 1
+      }
+      true
+    } else {
+      val t = new String(b, s, e - s, java.nio.charset.StandardCharsets.UTF_8)
+      t.toLowerCase == new String(word, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+  }
+}
+
+/** `token_stats(text)` — the C4/Gopher per-document statistics in one pass:
+  * token count, distinct tokens, max token multiplicity, max word-bigram
+  * multiplicity, summed token length (codepoints), stopword hits, BPE-ish
+  * unit count (`\w+|[^\w\s]`), sentence-punctuation chars, total chars. */
+object TokenStats {
+  import TextScan.isCharStart
+  import Tokenize._
+
+  /** p02's stopword list — canonical here (executor-safe), aliased by
+    * `TextOps.Stopwords`. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private val stopBytes: Array[Array[Byte]] =
+    Stopwords.map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII)).toArray
+
+  def run(u: UTF8String): InternalRow = {
+    val b = u.getBytes
+    val n = b.length
+
+    // ---- character pass: units, punctuation, chars ----
+    var nUnits = 0L
+    var nPunct = 0L
+    var nChars = 0L
+    var inWordRun = false
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (isCharStart(c)) nChars += 1
+      if (c >= 0) {
+        if (isAsciiWord(c)) {
+          if (!inWordRun) { nUnits += 1; inWordRun = true }
+        } else {
+          inWordRun = false
+          if (!isWs(c)) nUnits += 1 // ASCII symbol: one [^\w\s] unit
+          if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?')
+            nPunct += 1
+        }
+      } else {
+        inWordRun = false
+        if (isCharStart(c)) nUnits += 1 // non-ASCII codepoint: not \w, not \s
+      }
+      i += 1
+    }
+
+    // ---- token pass ----
+    val starts = new Array[Int](maxTokens(b))
+    val ends = new Array[Int](maxTokens(b))
+    val nTok = spans(b, starts, ends)
+    var sumLen = 0L
+    var nStop = 0L
+    val cap = nextPow2(nTok)
+    val mask = cap - 1
+    val slotTok = new Array[Int](cap)
+    java.util.Arrays.fill(slotTok, -1)
+    val slotCnt = new Array[Int](cap)
+    val ids = new Array[Int](nTok)
+    var nDistinct = 0L
+    var maxMult = 0L
+    var t = 0
+    while (t < nTok) {
+      val s = starts(t); val e = ends(t)
+      sumLen += charLen(b, s, e)
+      var k = 0
+      var stop = false
+      while (!stop && k < stopBytes.length) {
+        val w = stopBytes(k)
+        if (e - s == w.length) {
+          var j = 0
+          var eq = true
+          while (eq && j < w.length) { eq = b(s + j) == w(j); j += 1 }
+          stop = eq
+        }
+        k += 1
+      }
+      if (stop) nStop += 1
+      var slot = fnv(b, s, e) & mask
+      var done = false
+      while (!done) {
+        val rep = slotTok(slot)
+        if (rep < 0) {
+          slotTok(slot) = t; slotCnt(slot) = 1; nDistinct += 1
+          if (maxMult < 1) maxMult = 1
+          done = true
+        } else if (bytesEq(b, starts(rep), ends(rep), s, e)) {
+          slotCnt(slot) += 1
+          if (slotCnt(slot) > maxMult) maxMult = slotCnt(slot)
+          done = true
+        } else slot = (slot + 1) & mask
+      }
+      ids(t) = slot
+      t += 1
+    }
+
+    // ---- bigram pass: joined-with-space bigram equality == component
+    // equality (tokens never contain whitespace), so (id, id) pairs count
+    // exactly what `word_bigrams` + max_multiplicity counted ----
+    var maxBigram = 0L
+    if (nTok >= 2) {
+      val capB = nextPow2(nTok - 1)
+      val maskB = capB - 1
+      val keys = new Array[Long](capB)
+      java.util.Arrays.fill(keys, -1L)
+      val cnts = new Array[Int](capB)
+      t = 0
+      while (t < nTok - 1) {
+        val key = (ids(t).toLong << 32) | ids(t + 1).toLong
+        var h = (key ^ (key >>> 29)) * 0xBF58476D1CE4E5B9L
+        h ^= h >>> 32
+        var slot = h.toInt & maskB
+        var done = false
+        while (!done) {
+          if (keys(slot) < 0) {
+            keys(slot) = key; cnts(slot) = 1
+            if (maxBigram < 1) maxBigram = 1
+            done = true
+          } else if (keys(slot) == key) {
+            cnts(slot) += 1
+            if (cnts(slot) > maxBigram) maxBigram = cnts(slot)
+            done = true
+          } else slot = (slot + 1) & maskB
+        }
+        t += 1
+      }
+    }
+
+    new GenericInternalRow(Array[Any](nTok.toLong, nDistinct, maxMult,
+      maxBigram, sumLen, nStop, nUnits, nPunct, nChars))
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("max_mult", LongType, nullable = false),
+    StructField("max_bigram_mult", LongType, nullable = false),
+    StructField("sum_token_len", LongType, nullable = false),
+    StructField("n_stopwords", LongType, nullable = false),
+    StructField("n_units", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+}
+
+case class TokenStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_stats expects string, got $other")
+  }
+  override def dataType: DataType = TokenStats.schema
+  override def prettyName: String = "token_stats"
+  override def nullSafeEval(input: Any): Any =
+    TokenStats.run(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenStats.run($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenStatsExpr =
+    copy(child = newChild)
+}
+
+/** `gopher_stats(text)` — the Gopher document-rule counters in one pass
+  * (Rae et al. 2021 §A1.1): word/word-char/line counts, bullet and
+  * ellipsis-terminated lines, symbol count ('#' chars + non-overlapping
+  * '...' runs), words containing a letter, DISTINCT stopwords present
+  * (lowercased match). */
+object GopherStats {
+  import TextScan.{isCharStart, isLetter}
+  import Tokenize._
+
+  /** Canonical here (executor-safe), aliased by `TextOps.GopherStopwords`. */
+  val Stopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private val stopBytes: Array[Array[Byte]] =
+    Stopwords.map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII)).toArray
+
+  private val Bullet = Array(0xE2.toByte, 0x80.toByte, 0xA2.toByte) // U+2022
+  private val Ellipsis = Array(0xE2.toByte, 0x80.toByte, 0xA6.toByte) // U+2026
+
+  def run(u: UTF8String): InternalRow = {
+    val b = u.getBytes
+    val n = b.length
+
+    // ---- line + symbol pass ----
+    var nLines = 0L
+    var nBullet = 0L
+    var nEllipsis = 0L
+    var nSymbols = 0L
+    var s = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == '\n') {
+        nLines += 1
+        var ts = s
+        while (ts < i && b(ts) == ' ') ts += 1
+        var te = i
+        while (te > ts && b(te - 1) == ' ') te -= 1
+        if (ts < te) {
+          val c = b(ts)
+          if (c == '-' || c == '*' ||
+            (te - ts >= 3 && c == Bullet(0) && b(ts + 1) == Bullet(1) &&
+              b(ts + 2) == Bullet(2))) nBullet += 1
+          if ((te - ts >= 3 && b(te - 3) == '.' && b(te - 2) == '.' &&
+              b(te - 1) == '.') ||
+            (te - ts >= 3 && b(te - 3) == Ellipsis(0) &&
+              b(te - 2) == Ellipsis(1) && b(te - 1) == Ellipsis(2)))
+            nEllipsis += 1
+        }
+        s = i + 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < n) { // '#' chars + non-overlapping "..." runs (literalCount)
+      if (b(i) == '#') { nSymbols += 1; i += 1 }
+      else if (b(i) == '.' && i + 2 < n && b(i + 1) == '.' && b(i + 2) == '.') {
+        nSymbols += 1; i += 3
+      } else i += 1
+    }
+
+    // ---- token pass ----
+    val starts = new Array[Int](maxTokens(b))
+    val ends = new Array[Int](maxTokens(b))
+    val nTok = spans(b, starts, ends)
+    var sumLen = 0L
+    var nAlpha = 0L
+    var stopMask = 0
+    var t = 0
+    while (t < nTok) {
+      val ts = starts(t); val te = ends(t)
+      sumLen += charLen(b, ts, te)
+      var j = ts
+      var alpha = false
+      while (!alpha && j < te) { alpha = isLetter(b(j)); j += 1 }
+      if (alpha) nAlpha += 1
+      var k = 0
+      while (k < stopBytes.length) {
+        if ((stopMask & (1 << k)) == 0 && lowerEquals(b, ts, te, stopBytes(k)))
+          stopMask |= 1 << k
+        k += 1
+      }
+      t += 1
+    }
+
+    new GenericInternalRow(Array[Any](nTok.toLong, sumLen, nLines, nBullet,
+      nEllipsis, nSymbols, nAlpha, Integer.bitCount(stopMask).toLong))
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_word_chars", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_bullet", LongType, nullable = false),
+    StructField("n_ellipsis_end", LongType, nullable = false),
+    StructField("n_symbols", LongType, nullable = false),
+    StructField("n_alpha_words", LongType, nullable = false),
+    StructField("n_stopwords", LongType, nullable = false)))
+}
+
+case class GopherStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gopher_stats expects string, got $other")
+  }
+  override def dataType: DataType = GopherStats.schema
+  override def prettyName: String = "gopher_stats"
+  override def nullSafeEval(input: Any): Any =
+    GopherStats.run(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GopherStats.run($c)")
+  override protected def withNewChildInternal(newChild: Expression): GopherStatsExpr =
+    copy(child = newChild)
+}

@@ -15,11 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Fixed stopword list shared with the DuckDB oracle SQL (inline there). */
-  val Stopwords: Seq[String] =
-    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  /** Fixed stopword list shared with the DuckDB oracle SQL (inline there).
+    * Canonical in the `token_stats` kernel (executor-safe init). */
+  val Stopwords: Seq[String] = graft.functions.TokenStats.Stopwords
 
   private val stopwordSet: Column = array(Stopwords.map(lit): _*)
+
+  /** One-pass per-document token/char statistics
+    * (`struct<n_tokens, n_distinct, max_mult, max_bigram_mult,
+    * sum_token_len, n_stopwords, n_units, n_punct, n_chars>`) — the
+    * `token_stats` kernel ([[graft.functions.TokenStats]]). One
+    * tokenization feeds every repetition/quality signal; the staged
+    * HOF forms below remain the parity references. */
+  def tokenStats(text: Column): Column = call_function("token_stats", text)
 
   /** Whitespace tokenization; `trim` first so leading/trailing blanks don't
     * produce empty tokens (matches DuckDB `string_split_regex(trim(x),'\s+')`). */
@@ -37,8 +45,15 @@ object TextOps {
     length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
-  /** Fraction of tokens that are stopwords — the classic fluency signal. */
-  def stopwordRatio(text: Column): Column = {
+  /** Fraction of tokens that are stopwords — the classic fluency signal.
+    * Kernel-backed (one `token_stats` pass); [[stopwordRatioStaged]] is the
+    * parity reference. */
+  def stopwordRatio(text: Column): Column = bindOnce(tokenStats(text)) { s =>
+    s.getField("n_stopwords").cast("double") /
+      greatest(s.getField("n_tokens"), lit(1L)).cast("double")
+  }
+
+  private[graft] def stopwordRatioStaged(text: Column): Column = {
     val t = tokens(text)
     size(filter(t, tok => array_contains(stopwordSet, tok))).cast("double") /
       greatest(size(t), lit(1)).cast("double")
@@ -55,9 +70,23 @@ object TextOps {
     * moderate token length, penalizes punctuation soup. Heuristic per
     * C4/Gopher-style filtering rules; exact constants are part of the operator
     * contract (mirrored in the oracle SQL). */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = bindOnce(tokenStats(text)) { s =>
+    val nTok = s.getField("n_tokens")
+    val lenScore = least(nTok.cast("double") / lit(100.0), lit(1.0))
+    val swScore = least(
+      s.getField("n_stopwords").cast("double") /
+        greatest(nTok, lit(1L)).cast("double") * lit(10.0), lit(1.0))
+    val punctPen = least(
+      s.getField("n_punct").cast("double") /
+        greatest(s.getField("n_chars"), lit(1L)).cast("double") * lit(5.0),
+      lit(1.0))
+    (lenScore * lit(0.4) + swScore * lit(0.4) + (lit(1.0) - punctPen) * lit(0.2))
+  }
+
+  /** The per-signal staged form [[qualityScore]] replaced (parity spec). */
+  private[graft] def qualityScoreStaged(text: Column): Column = {
     val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
-    val swScore  = least(stopwordRatio(text) * lit(10.0), lit(1.0))
+    val swScore  = least(stopwordRatioStaged(text) * lit(10.0), lit(1.0))
     val punctPen = least(punctRatio(text) * lit(5.0), lit(1.0))
     (lenScore * lit(0.4) + swScore * lit(0.4) + (lit(1.0) - punctPen) * lit(0.2))
   }
@@ -373,8 +402,7 @@ object TextOps {
 
   /** Gopher's stop-word list (§A1.1): a document must contain at least two
     * of these, counted by distinct presence, not frequency. */
-  val GopherStopwords: Seq[String] =
-    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherStopwords: Seq[String] = graft.functions.GopherStats.Stopwords
 
   /** Occurrences of literal `what` in `text` via replace length-delta — the
     * counting primitive with identical semantics in both engines (leftmost
@@ -396,6 +424,36 @@ object TextOps {
     *   7. >= 2 distinct [[GopherStopwords]] present (lowercased match)
     */
   def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, minWords: Int = 50,
+                  maxWords: Int = 100000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // one `gopher_stats` byte scan per row ([[graft.functions.GopherStats]]);
+    // the staged HOF chain below is the parity reference
+    df.select(col(idCol).as("id"),
+        call_function("gopher_stats", col(textCol)).as("g"))
+      .select(col("id"),
+        col("g.n_words").as("n_words"),
+        col("g.n_word_chars").as("n_word_chars"),
+        col("g.n_lines").as("n_lines"),
+        col("g.n_bullet").as("n_bullet"),
+        col("g.n_ellipsis_end").as("n_ellipsis_end"),
+        col("g.n_symbols").as("n_symbols"),
+        col("g.n_alpha_words").as("n_alpha_words"),
+        col("g.n_stopwords").as("n_stopwords"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        lit(3) * col("n_words") <= col("n_word_chars") &&
+        col("n_word_chars") <= lit(10) * col("n_words") &&
+        lit(10) * col("n_symbols") <= col("n_words") &&
+        lit(10) * col("n_bullet") <= lit(9) * col("n_lines") &&
+        lit(10) * col("n_ellipsis_end") <= lit(3) * col("n_lines") &&
+        lit(5) * col("n_alpha_words") >= lit(4) * col("n_words") &&
+        col("n_stopwords") >= 2)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** The staged HOF chain [[gopherRules]] replaced (parity reference). */
+  private[graft] def gopherRulesStaged(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, minWords: Int = 50,
                   maxWords: Int = 100000): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col

@@ -287,9 +287,15 @@ object CorpusQueries {
       (s, d) => {
         val docs = T.documents(s, d)
         val clean = docs
-          .withColumn("dup_frac", TextOps.dupTokenFrac(TextOps.tokens(col("text"))))
-          .withColumn("topg", TextOps.top2gramFrac(TextOps.tokens(col("text"))))
+          .withColumn("ts", TextOps.tokenStats(col("text"))) // one pass, both gates
+          .withColumn("dup_frac",
+            (col("ts.n_tokens") - col("ts.n_distinct")).cast("double") /
+              greatest(col("ts.n_tokens"), lit(1L)).cast("double"))
+          .withColumn("topg",
+            col("ts.max_bigram_mult").cast("double") /
+              greatest(col("ts.n_tokens") - lit(1L), lit(1L)).cast("double"))
           .filter(!(col("dup_frac") > 0.3 || col("topg") > 0.18))
+          .drop("ts")
         val withPii = clean.withColumn("text",
           concat_ws(" ", col("text"),
             concat(lit("contact user"), col("doc_id"), lit("@example.com")),

@@ -13,14 +13,28 @@ object TextQueries {
 
     // ---- p02: per-document text statistics & quality score -----------------
     QueryDef("p02_doc_quality",
-      (s, d) => T.documents(s, d).select(
-        col("doc_id"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_units"),
-        TextOps.punctRatio(col("text")).as("punct_ratio"),
-        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
-        TextOps.meanTokenLen(col("text")).as("mean_token_len"),
-        TextOps.qualityScore(col("text")).as("quality"))
+      // ONE token_stats kernel call feeds all six signals (tokenizing per
+      // signal was the p02 hot path); values identical to the staged forms
+      // (same double compositions, parity-fuzzed in TokenStatsKernelSpec)
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"), TextOps.tokenStats(col("text")).as("ts"))
+        .select(
+          col("doc_id"),
+          col("ts.n_tokens").as("n_tokens"),
+          col("ts.n_units").as("n_units"),
+          (col("ts.n_punct").cast("double") /
+            greatest(col("ts.n_chars"), lit(1L)).cast("double")).as("punct_ratio"),
+          (col("ts.n_stopwords").cast("double") /
+            greatest(col("ts.n_tokens"), lit(1L)).cast("double")).as("stopword_ratio"),
+          (col("ts.sum_token_len").cast("double") /
+            greatest(col("ts.n_tokens"), lit(1L)).cast("double")).as("mean_token_len"),
+          (least(col("ts.n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4)
+            + least(col("ts.n_stopwords").cast("double") /
+                greatest(col("ts.n_tokens"), lit(1L)).cast("double") * lit(10.0),
+              lit(1.0)) * lit(0.4)
+            + (lit(1.0) - least(col("ts.n_punct").cast("double") /
+                greatest(col("ts.n_chars"), lit(1L)).cast("double") * lit(5.0),
+              lit(1.0))) * lit(0.2)).as("quality"))
         .orderBy("doc_id"),
       Some(s"""
         WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents)
@@ -107,11 +121,18 @@ object TextQueries {
     // O(n log n) per-row fold, no explode/groupBy); oracle computes the same
     // values the relational way (unnest + count + max). -------------------
     QueryDef("p25_repetition",
-      (s, d) => T.documents(s, d).select(
-        col("doc_id"),
-        TextOps.dupTokenFrac(TextOps.tokens(col("text"))).as("dup_token_frac"),
-        TextOps.topTokenFrac(TextOps.tokens(col("text"))).as("top_token_frac"),
-        TextOps.top2gramFrac(TextOps.tokens(col("text"))).as("top_2gram_frac"))
+      // ONE token_stats pass (open-addressing count tables) instead of
+      // three tokenizations + two sort-based multiplicity kernels
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"), TextOps.tokenStats(col("text")).as("ts"))
+        .select(
+          col("doc_id"),
+          ((col("ts.n_tokens") - col("ts.n_distinct")).cast("double") /
+            greatest(col("ts.n_tokens"), lit(1L)).cast("double")).as("dup_token_frac"),
+          (col("ts.max_mult").cast("double") /
+            greatest(col("ts.n_tokens"), lit(1L)).cast("double")).as("top_token_frac"),
+          (col("ts.max_bigram_mult").cast("double") /
+            greatest(col("ts.n_tokens") - lit(1L), lit(1L)).cast("double")).as("top_2gram_frac"))
         .withColumn("repetitive",
           col("dup_token_frac") > 0.3 || col("top_2gram_frac") > 0.18)
         .orderBy("doc_id"),
