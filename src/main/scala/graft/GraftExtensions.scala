@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BinRead, BinRfind, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePiecesExpr, EncodingStatsExpr, GopherStatsExpr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
+import graft.functions.{BinRead, BinRfind, BlockCosinePairsExpr, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePiecesExpr, EncodingStatsExpr, GopherStatsExpr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -62,6 +62,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GopherStatsExpr].getName, "gopher_stats"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GopherStatsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("block_cosine_pairs"),
+      new ExpressionInfo(classOf[BlockCosinePairsExpr].getName, "block_cosine_pairs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val minSim = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toDouble
+          case other => throw new IllegalArgumentException(
+            s"block_cosine_pairs expects a literal minSim, got $other")
+        }
+        BlockCosinePairsExpr(children.head, minSim)
+      }))
     ext.injectFunction((
       FunctionIdentifier("pii_scan"),
       new ExpressionInfo(classOf[PiiScanExpr].getName, "pii_scan"),

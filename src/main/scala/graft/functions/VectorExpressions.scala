@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.catalyst.InternalRow
 
 /** Native Catalyst expressions for the embedding-vector kernels (SURVEY.md
   * §4.3: custom `Expression`s for the beyond-reference similarity tier).
@@ -253,4 +254,96 @@ case class MatVec(mat: Expression, vec: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MatVec =
     copy(mat = newLeft, vec = newRight)
+}
+
+/** All within-block cosine near-duplicate pairs from ONE packed block —
+  * the GEMM-shaped replacement for the blocked self-join's per-pair
+  * `vec_dot` (the join materialized every pair row with BOTH d-dim arrays
+  * attached; at sf1 that was 2.5x DuckDB). The block's vectors unpack once
+  * into a flat primitive matrix; the i<j loop emits (min_id, max_id, sim)
+  * for sim >= minSim. Zero-norm rows never pair (cosine is undefined; the
+  * ANSI-mode division in the join form would throw on them — the kernel
+  * makes the operator total instead).
+  *
+  * Dot products run in index order, and IEEE multiply is commutative, so
+  * the sim doubles are bit-identical to the join form in either pair
+  * orientation. Equal ids never pair (the join's `a.id < b.id`). */
+object BlockCosinePairs {
+  def run(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+          minSim: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // unpack once: ids, norms, flat row-major matrix
+    val first = arr.getStruct(0, 3)
+    val d = first.getArray(1).numElements()
+    val ids = new Array[Long](n)
+    val nrms = new Array[Double](n)
+    val m = new Array[Double](n * d)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      nrms(i) = row.getDouble(2)
+      val v = row.getArray(1)
+      val dd = math.min(d, v.numElements())
+      var j = 0
+      while (j < dd) { m(i * d + j) = v.getDouble(j); j += 1 }
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < n) {
+      val baseI = i * d
+      var k = i + 1
+      while (k < n) {
+        // zero-norm rows never pair: cosine is undefined there, and the
+        // ANSI-mode division the join form ran would THROW on them — the
+        // kernel makes the operator total instead (documented divergence)
+        if (ids(i) != ids(k) && nrms(i) != 0.0 && nrms(k) != 0.0) {
+          val baseK = k * d
+          var s = 0.0
+          var j = 0
+          while (j < d) { s += m(baseI + j) * m(baseK + j); j += 1 }
+          val sim = s / (nrms(i) * nrms(k))
+          if (sim >= minSim) {
+            val (a, b2) = if (ids(i) < ids(k)) (ids(i), ids(k)) else (ids(k), ids(i))
+            out += InternalRow(a, b2, sim)
+          }
+        }
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  val elementSchema: StructType = StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+}
+
+case class BlockCosinePairsExpr(child: Expression, minSim: Double)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _) if st.length == 3 &&
+      st(0).dataType == LongType &&
+      st(1).dataType.isInstanceOf[ArrayType] &&
+      st(1).dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
+      st(2).dataType == DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"block_cosine_pairs expects array<struct<long, array<double>, double>>, got $other")
+  }
+  override def dataType: DataType =
+    ArrayType(BlockCosinePairs.elementSchema, containsNull = false)
+  override def prettyName: String = "block_cosine_pairs"
+  override def nullSafeEval(input: Any): Any =
+    BlockCosinePairs.run(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], minSim)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BlockCosinePairs.run($c, $minSim)")
+  override protected def withNewChildInternal(newChild: Expression): BlockCosinePairsExpr =
+    copy(child = newChild)
 }

@@ -69,6 +69,30 @@ object Similarity {
     * Output: (id_a, id_b, sim) with id_a < id_b, sim >= minSim. */
   def cosineNearDupBlocked(df: DataFrame, idCol: String, vecCol: String,
                            blockCol: String, minSim: Double): DataFrame = {
+    // GEMM-in-group: ONE groupBy shuffle moves each vector once, then the
+    // `block_cosine_pairs` kernel runs the i<j loop over a packed primitive
+    // matrix per block — the former self-join shipped BOTH d-dim arrays on
+    // every pair row (|block|x vector duplication through the shuffle).
+    // Block footprint is |block| x d doubles (the operator's contract
+    // already requires blocks small enough for quadratic work); parallelism
+    // is one task per block, which is the natural grain of a blocking key.
+    // sim doubles are bit-identical to the join form (index-order dots,
+    // commutative IEEE multiply); the join/filter form stays in
+    // [[cosineNearDupBlockedStaged]] as the parity reference.
+    val e = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    e.groupBy(col("blk"))
+      .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("rows"))
+      .select(explode(
+        call_function("block_cosine_pairs", col("rows"), lit(minSim))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sim").as("sim"))
+  }
+
+  /** The blocked self-join form (parity reference for the kernel). */
+  private[graft] def cosineNearDupBlockedStaged(df: DataFrame, idCol: String, vecCol: String,
+                           blockCol: String, minSim: Double): DataFrame = {
     val e = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
         toDoubleVec(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))

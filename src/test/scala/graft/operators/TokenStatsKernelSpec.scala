@@ -83,3 +83,50 @@ class TokenStatsKernelSpec extends SparkSpecBase {
     assert(bad.isEmpty, "quality mismatches:\n" + bad.mkString("\n"))
   }
 }
+
+/** Parity of the GEMM-in-group `block_cosine_pairs` kernel against the
+  * blocked self-join form, including zero-norm vectors (NaN-greatest
+  * comparison semantics) and duplicate ids (never pair). */
+class BlockCosinePairsSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("kernel pairs == self-join pairs on random blocks") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      val blk = i % 7
+      val v = Array.fill(16)((rnd.nextInt(2000) - 1000) / 250.0f)
+      (i.toLong, blk, v)
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val k = Similarity.cosineNearDupBlocked(df, "vec_id", "embedding", "label", 0.35)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val s = Similarity.cosineNearDupBlockedStaged(df, "vec_id", "embedding", "label", 0.35)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(k.size == s.size, s"sizes: kernel ${k.size} vs staged ${s.size}")
+    k.zip(s).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    assert(k.nonEmpty)
+  }
+
+  test("zero-norm rows never pair (the ANSI join form would throw on them)") {
+    val df = Seq(
+      (1L, 0, Array(1.0f, 0f)), (2L, 0, Array(2.0f, 0f)),
+      (3L, 0, Array(0.0f, 0f)), (4L, 0, Array(0.0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val k = Similarity.cosineNearDupBlocked(df, "vec_id", "embedding", "label", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(k == Seq((1L, 2L))) // only the two nonzero vectors pair
+  }
+
+  test("duplicate ids inside one block never pair (join a.id < b.id)") {
+    val df = Seq(
+      (1L, 0, Array(1.0f, 0f)), (1L, 0, Array(1.0f, 0f)), (2L, 0, Array(1.0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val k = Similarity.cosineNearDupBlocked(df, "vec_id", "embedding", "label", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val s = Similarity.cosineNearDupBlockedStaged(df, "vec_id", "embedding", "label", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(k == s)
+    assert(k == Seq((1L, 2L), (1L, 2L))) // two id-1 rows each pair id-2, 1-1 never
+  }
+}

@@ -283,4 +283,14 @@ class PlanSpec extends SparkSpecBase {
     // quality is computed in a projection, not via any extra join on docs
     assert(p.contains("least"), p.take(2000))
   }
+  test("p08 blocked cosine: one block-key aggregate shuffle, no pair join") {
+    val p = plan("p08_cosine_blocked")
+    // GEMM-in-group kernel: the only shuffle is the collect_list groupBy on
+    // the block key; no join operator (the old form self-joined per pair)
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      p.take(3000))
+    assert(p.contains("block_cosine_pairs"), p.take(3000))
+  }
+
 }
