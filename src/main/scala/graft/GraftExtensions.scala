@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BinRead, BinRfind, BlockCosinePairsExpr, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePiecesExpr, EncodingStatsExpr, GopherStatsExpr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
+import graft.functions.{BinRead, BinRfind, BlockCosinePairsExpr, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePieceCountExpr, BpePiecesExpr, EncodingStatsExpr, GopherStatsExpr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -41,6 +41,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"bpe_pieces expects a literal merge list, got $other")
         }
         BpePiecesExpr(children.head, flat)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_piece_count"),
+      new ExpressionInfo(classOf[BpePieceCountExpr].getName, "bpe_piece_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val flat = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            arr: org.apache.spark.sql.catalyst.util.ArrayData, _) =>
+            (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString).toArray
+          case other => throw new IllegalArgumentException(
+            s"bpe_piece_count expects a literal merge list, got $other")
+        }
+        BpePieceCountExpr(children.head, new graft.functions.BpeCountPlan(flat))
       }))
     ext.injectFunction((
       FunctionIdentifier("word_bigrams"),

@@ -403,3 +403,92 @@ case class GramScoreExpr(child: Expression, grams: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): GramScoreExpr =
     copy(child = newChild)
 }
+
+/** Precompiled BPE merge plan for COUNTING pieces: every merge symbol
+  * (component and result) interned to an int once at plan build; the
+  * per-word fold then runs over int arrays — no string allocation or
+  * comparison per round (the `bpe_pieces` fold re-materialized a String
+  * array per merge). Symbols absent from every merge map to -1: they can
+  * never participate in a merge, so one shared id preserves counts.
+  * A presence filter skips rounds whose components don't occur in the
+  * word (stale-true only costs a scan, never correctness). */
+final class BpeCountPlan(val flat: Array[String]) extends Serializable {
+  val nMerges: Int = flat.length / 2
+  private val table = new java.util.HashMap[String, Integer]()
+  private def intern(s: String): Int = {
+    val got = table.get(s)
+    if (got != null) got.intValue()
+    else { val id = table.size(); table.put(s, id); id }
+  }
+  val aIds = new Array[Int](nMerges)
+  val bIds = new Array[Int](nMerges)
+  val mIds = new Array[Int](nMerges)
+  locally {
+    var r = 0
+    while (r < nMerges) {
+      aIds(r) = intern(flat(2 * r))
+      bIds(r) = intern(flat(2 * r + 1))
+      mIds(r) = intern(flat(2 * r) + flat(2 * r + 1))
+      r += 1
+    }
+  }
+  val vocab: Int = table.size()
+
+  def count(w: UTF8String): Long = {
+    val s = w.toString
+    val ids = new Array[Int](s.length)
+    val present = new Array[Boolean](vocab)
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cc = Character.charCount(s.codePointAt(i))
+      val got = table.get(s.substring(i, i + cc))
+      val id = if (got == null) -1 else got.intValue()
+      ids(n) = id
+      if (id >= 0) present(id) = true
+      n += 1
+      i += cc
+    }
+    var r = 0
+    while (r < nMerges) {
+      val a = aIds(r); val b = bIds(r)
+      if (present(a) && present(b)) {
+        val m = mIds(r)
+        var wr = 0
+        var rd = 0
+        while (rd < n) {
+          if (rd + 1 < n && ids(rd) == a && ids(rd + 1) == b) {
+            ids(wr) = m; present(m) = true; rd += 2
+          } else { ids(wr) = ids(rd); rd += 1 }
+          wr += 1
+        }
+        n = wr
+      }
+      r += 1
+    }
+    n.toLong
+  }
+}
+
+case class BpePieceCountExpr(child: Expression, plan: BpeCountPlan)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_piece_count expects a string word, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_piece_count"
+
+  override def nullSafeEval(input: Any): Any =
+    plan.count(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("bpeCountPlan", plan,
+      classOf[BpeCountPlan].getName)
+    defineCodeGen(ctx, ev, c => s"$pRef.count($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpePieceCountExpr =
+    copy(child = newChild)
+}

@@ -107,9 +107,12 @@ object Bpe {
       .filter(length(col("w")) > 0)
       .groupBy("id", "w").agg(count(lit(1)).as("n"))
     val flat = merges.flatMap(p => Seq(p._1, p._2))
+    // count-only kernel: merge symbols interned to ints once, the fold runs
+    // over int arrays — no piece-array materialization per word type
+    // (bit-parity with size(bpe_pieces(...)) spec'd in PipelineExtrasSpec)
     val types = perDocWord.select("w").distinct()
       .withColumn("n_pieces",
-        size(call_function("bpe_pieces", col("w"), typedLit(flat))).cast("long"))
+        call_function("bpe_piece_count", col("w"), typedLit(flat)))
     val perDoc = perDocWord.join(types, "w")
       .groupBy("id")
       .agg(sum(col("n")).as("n_words"),

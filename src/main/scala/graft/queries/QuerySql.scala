@@ -429,4 +429,65 @@ private[queries] object QuerySql {
         pairs AS (SELECT id_a, id_b, inter, uni, jaccard FROM (
             SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM verified)
           WHERE jaccard >= 0.5)"""
+  /** p50/p58 BPE oracle: the `nMerges` training rounds UNROLLED as chained
+    * MATERIALIZED CTEs (inlining would expand the round chain
+    * exponentially). Each round mirrors [[graft.operators.Bpe.train]]
+    * exactly: pair counts weighted by word-type frequency, argmax with the
+    * (n DESC, a, b) tie-break, and the left-to-right NON-OVERLAPPING merge
+    * fold — greedy non-overlap is relational as "within each run of
+    * consecutive candidate positions, odd ROW_NUMBERs merge" (adjacent
+    * candidates only occur when left==right). The `ok_r` scalars mirror the
+    * minCount=2 early stop cumulatively: a failed round keeps every later
+    * round's rows (and merge application) out, whatever they compute. */
+  private def bpeRoundsCte(nMerges: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"""w0f AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM
+      (SELECT unnest($ToksSql) AS w FROM documents) WHERE len(w) > 0 GROUP BY 1),
+    s_0 AS MATERIALIZED (SELECT w, freq, list_transform(range(1, len(w)+1), i -> w[i]) AS syms FROM w0f)"""
+    for (r <- 0 until nMerges) {
+      val ok = (0 to r).map(j => s"(SELECT n FROM top_$j) >= 2").mkString(" AND ")
+      parts += s"""pc_$r AS MATERIALIZED (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS n FROM
+      (SELECT freq, unnest(list_transform(range(1, len(syms)), i -> {'a': syms[i], 'b': syms[i+1]})) AS p
+       FROM s_$r WHERE len(syms) >= 2) GROUP BY 1, 2),
+    top_$r AS MATERIALIZED (SELECT a, b, n FROM pc_$r ORDER BY n DESC, a, b LIMIT 1),
+    ok_$r AS MATERIALIZED (SELECT ($ok) AS ok),
+    pos_$r AS MATERIALIZED (SELECT w, freq, syms, unnest(range(1, len(syms)+1)) AS i FROM s_$r),
+    cnd_$r AS MATERIALIZED (SELECT pos_$r.w, i FROM pos_$r, top_$r, ok_$r
+      WHERE ok_$r.ok AND i < len(syms) AND syms[i] = top_$r.a AND syms[i+1] = top_$r.b),
+    grp_$r AS MATERIALIZED (SELECT w, i, i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS g FROM cnd_$r),
+    tak_$r AS MATERIALIZED (SELECT w, i, (ROW_NUMBER() OVER (PARTITION BY w, g ORDER BY i) % 2 = 1) AS take FROM grp_$r),
+    s_${r + 1} AS MATERIALIZED (SELECT p.w, p.freq,
+        list(CASE WHEN COALESCE(t.take, false) THEN p.syms[p.i] || p.syms[p.i+1] ELSE p.syms[p.i] END ORDER BY p.i) AS syms
+      FROM pos_$r p
+      LEFT JOIN tak_$r t ON p.w = t.w AND p.i = t.i
+      LEFT JOIN tak_$r tp ON p.w = tp.w AND p.i = tp.i + 1
+      WHERE NOT COALESCE(tp.take, false)
+      GROUP BY p.w, p.freq)"""
+    }
+    parts.result().mkString(",\n    ")
+  }
+
+  /** p50: the trained merge table after `nMerges` rounds. */
+  def bpeMergesOracle(nMerges: Int): String = {
+    val rows = (0 until nMerges).map(r =>
+      s"""SELECT $r AS rank, a AS "left", b AS "right", a||b AS merged, n AS pair_count FROM top_$r WHERE (SELECT ok FROM ok_$r)""")
+      .mkString("\n      UNION ALL ")
+    s"""WITH ${bpeRoundsCte(nMerges)}
+    SELECT CAST(rank AS INTEGER) AS rank, "left", "right", merged, pair_count
+    FROM ($rows) ORDER BY rank"""
+  }
+
+  /** p58: per-doc word/piece counts under the trained merges — the final
+    * type table s_N IS the encoded vocabulary (training and encoding share
+    * the word-type set), joined back through per-doc word counts. */
+  def bpeEncodeOracle(nMerges: Int): String =
+    s"""WITH ${bpeRoundsCte(nMerges)},
+    wp AS MATERIALIZED (SELECT w, CAST(len(syms) AS BIGINT) AS n_pieces FROM s_$nMerges),
+    pdw AS MATERIALIZED (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS n FROM
+      (SELECT doc_id, unnest($ToksSql) AS w FROM documents) WHERE len(w) > 0 GROUP BY 1, 2),
+    enc AS MATERIALIZED (SELECT doc_id, SUM(n) AS n_words, SUM(n * n_pieces) AS n_tokens FROM pdw JOIN wp USING (w) GROUP BY 1)
+    SELECT documents.doc_id, CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+      CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM documents LEFT JOIN enc USING (doc_id) ORDER BY doc_id"""
+
 }

@@ -547,14 +547,16 @@ object TextQueries {
     // ---- p50: distributed BPE tokenizer training — the merge-learning
     // loop of Sennrich et al. 2016 as Spark jobs (one corpus pass to a
     // word-frequency table, then per-round pair-count shuffles + a
-    // map-only codegen merge fold). Iterative argmax selection is not
-    // SQL-expressible in one statement -> no DuckDB oracle (driver records
-    // the rows-only check); exactness is spec'd in TextExtrasSpec against
-    // the paper's hand-computable corpus. --------------------------------
+    // map-only codegen merge fold). The oracle UNROLLS all 10 training
+    // rounds as chained materialized CTEs (QuerySql.bpeMergesOracle):
+    // pair counts, argmax tie-break, the greedy non-overlapping merge
+    // fold (run-parity windows), and the minCount early stop — so
+    // training hash-matches DuckDB end to end. Exactness is additionally
+    // spec'd in TextExtrasSpec against the paper's corpus. ---------------
     QueryDef("p50_bpe_merges",
       (s, d) => Bpe.train(T.documents(s, d), "text", nMerges = 10)
         .orderBy("rank"),
-      None),
+      Some(bpeMergesOracle(10))),
 
     // ---- p51: per-document duplication rate — fraction of a doc's
     // distinct 5-gram shingles that occur in other documents (the
@@ -684,15 +686,17 @@ object TextQueries {
     // ---- p58: BPE tokenization under the p50-trained merges — per-doc
     // subword counts (fertility = n_tokens/n_words), the corpus-sizing
     // pass for training-run and shard budgets. Word-TYPE economy: the
-    // merge fold runs once per distinct word. Rows-only gate like p50
-    // (the per-merge fold is not one-statement SQL); exactness vs a
-    // reference JVM BPE is spec'd in PipelineExtrasSpec. -----------------
+    // merge fold runs once per distinct word (the count-only
+    // `bpe_piece_count` interned-int kernel). Oracle: the p50 round chain
+    // re-applied — the final type table IS the encoded vocabulary, joined
+    // back through per-doc word counts (QuerySql.bpeEncodeOracle); also
+    // spec'd vs a reference JVM BPE in PipelineExtrasSpec. ---------------
     QueryDef("p58_bpe_encode",
       (s, d) => {
         val docs = T.documents(s, d)
         val merges = Bpe.train(docs, "text", nMerges = 10)
         Bpe.encodeWithTrained(docs, "doc_id", "text", merges).orderBy("doc_id")
       },
-      None)
+      Some(bpeEncodeOracle(10)))
   )
 }

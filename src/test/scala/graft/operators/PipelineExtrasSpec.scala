@@ -180,6 +180,26 @@ class PipelineExtrasSpec extends SparkSpecBase {
     }
   }
 
+  test("bpe_piece_count == size(bpe_pieces) on fuzz words (interned-int fold parity)") {
+    val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "s", "es" -> "t",
+      "n" -> "e", "ne" -> "w", "a" -> "a", "aa" -> "aa", "w" -> "est",
+      "é" -> "é") // incl. self-pairs, chained results, multibyte
+    val flat = merges.flatMap(p => Seq(p._1, p._2))
+    val rnd = new scala.util.Random(11)
+    val alphabet = "lowestnewidaé🙂"
+    val words = (0 until 2000).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(12)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } :+ ((9999L, ""))
+    val df = words.toDF("id", "w").filter(length(col("w")) > 0)
+    val bad = df.select(col("id"), col("w"),
+        call_function("bpe_piece_count", col("w"), typedLit(flat)).as("k"),
+        size(call_function("bpe_pieces", col("w"), typedLit(flat))).cast("long").as("s"))
+      .filter(col("k") =!= col("s"))
+      .take(5)
+    assert(bad.isEmpty, "piece-count mismatches:\n" + bad.mkString("\n"))
+  }
+
   test("md5_prefix60 kernel equals the conv(substring(md5)) chain bit-for-bit") {
     val df = Seq("", "a", "graft42", "the quick brown fox", "qz mark",
       "é中文 mixed", "x" * 500).toDF("s")
