@@ -160,4 +160,43 @@ object Shards {
       .select(col(idCol), col(strataCol), col("weight"), col("priority"),
         col("rk"))
   }
+
+  /** Mixture planning END-TO-END: temperature-weighted per-stratum quotas
+    * (sqrt temperature — the UniMax/mT5-style up-weighting of small
+    * domains, `k_s ∝ sqrt(n_s)`) DRAWN in the same query by the
+    * [[prioritySampleStratified]] machinery — the one-pass "plan the
+    * mixture and materialize it" composite of data-mixture recipes.
+    *
+    * Exactness: `sqrt` is IEEE correctly-rounded in both engines (unlike
+    * `pow`/`ln`), and the quota math floor-scales it to integers
+    * (`s_k = floor(sqrt(n)*1e6)`, `quota = min(n, targetRows*s_k div Σs)`),
+    * so quotas are engine-exact; the draw itself is the all-integer
+    * md5-seeded priority rank. For arbitrary temperatures use
+    * [[sampleMixture]] (fraction-based, not oracle-gated).
+    *
+    * Shape at 100 TB: one partial-agg count shuffle (strata cardinality
+    * rows), a broadcast quota table, one rank window per stratum — no
+    * global ordering. Output: (idCol, strataCol, weight, priority, rk,
+    * n, quota) rows of the drawn mixture. */
+  def mixtureDraw(df: DataFrame, idCol: String, strataCol: String,
+                  weightCol: Column, targetRows: Long,
+                  salt: String = "graft"): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .withColumn("s", floor(sqrt(col("n").cast("double")) * lit(1000000.0)))
+    val tot = counts.agg(sum(col("s")).as("st"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        least(col("n"), expr(s"(${targetRows}L * s) div st")))
+      .select(col(strataCol), col("n"), col("quota"))
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col("priority").desc, col(idCol))
+    df.select(col(idCol), col(strataCol), weightCol.as("weight"))
+      .withColumn("h30", priorityHash(col(idCol), salt))
+      .withColumn("priority", expr("weight * 1048576L div (h30 + 1L)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq(strataCol))
+      .filter(col("rk") <= col("quota"))
+      .select(col(idCol), col(strataCol), col("weight"), col("priority"),
+        col("rk"), col("n"), col("quota"))
+  }
 }

@@ -385,6 +385,40 @@ object CorpusQueries {
             (PARTITION BY source ORDER BY priority DESC, doc_id)
             AS BIGINT) AS rk FROM pri)
         SELECT doc_id, source, weight, priority, rk FROM r
-        WHERE rk <= 10 ORDER BY doc_id"""))
+        WHERE rk <= 10 ORDER BY doc_id""")),
+
+    // ---- p61: mixture planning end-to-end — temperature quotas (sqrt
+    // temperature, floor-scaled-integer arithmetic: sqrt is IEEE
+    // correctly-rounded in both engines, pow/ln are not) chained into the
+    // p60 per-stratum priority draw in ONE query: plan the mixture, then
+    // materialize it. quota = min(n_s, 200 * floor(sqrt(n_s)*1e6) div
+    // Σ floor(sqrt(n_t)*1e6)); draw = all-integer md5 priorities. --------
+    QueryDef("p61_mixture_draw",
+      (s, d) => Shards.mixtureDraw(
+        T.documents(s, d), "doc_id", "source",
+        (col("n_chars").cast("long") + 1L), targetRows = 200)
+        .orderBy("doc_id"),
+      Some("""
+        WITH base AS (SELECT doc_id, source,
+            CAST(n_chars AS BIGINT) + 1 AS weight FROM documents),
+        cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM base GROUP BY 1),
+        sc AS (SELECT source, n,
+            CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS s
+          FROM cnt),
+        tot AS (SELECT CAST(SUM(s) AS BIGINT) AS st FROM sc),
+        q AS (SELECT source, n, least(n, (200 * s) // st) AS quota
+          FROM sc, tot),
+        pri AS (SELECT doc_id, source, weight,
+            (weight * 1048576) // (((('0x' || substring(
+              md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 2147483648) % 1073741824) + 1) AS priority
+          FROM base),
+        r AS (SELECT *, CAST(ROW_NUMBER() OVER
+            (PARTITION BY source ORDER BY priority DESC, doc_id)
+            AS BIGINT) AS rk FROM pri)
+        SELECT doc_id, r.source, weight, priority, rk, n, quota
+        FROM r JOIN q ON r.source = q.source
+        WHERE rk <= quota ORDER BY doc_id"""))
   )
 }

@@ -44,6 +44,30 @@ class SamplingQuantizeSpec extends SparkSpecBase {
     assert(math.abs(fr1("small") - fr1("big")) < 1e-12, fr1.toString)
   }
 
+  test("mixtureDraw: sqrt-temperature quotas, exact-k per stratum, tiny strata whole") {
+    // skewed strata: 400 big / 100 mid / 4 tiny rows
+    val df = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 500).map(i => (i.toLong, "mid")) ++
+      (501 to 504).map(i => (i.toLong, "tiny"))).toDF("id", "src")
+    val out = Shards.mixtureDraw(df, "id", "src", lit(1L), targetRows = 60)
+    val byS = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // integer quotas: s = floor(sqrt(n)*1e6) -> 20e6 / 10e6 / 2e6, sum 32e6
+    // quota = min(n, 60*s div 32e6) -> 37 / 18 / 3
+    assert(byS == Map("big" -> 37L, "mid" -> 18L, "tiny" -> 3L), byS.toString)
+    // sqrt temperature up-weights small strata: mid gets 18/100, big 37/400
+    assert(18.0 / 100 > 37.0 / 400 * 1.5)
+    // deterministic: same draw twice
+    val again = Shards.mixtureDraw(df, "id", "src", lit(1L), targetRows = 60)
+      .orderBy("id").collect().toSeq
+    assert(again == out.orderBy("id").collect().toSeq)
+    // quota caps at the stratum size when target is large
+    val all = Shards.mixtureDraw(df, "id", "src", lit(1L), targetRows = 5000)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("big" -> 400L, "mid" -> 100L, "tiny" -> 4L), all.toString)
+  }
+
   test("PQ encode + ADC distance: hand-computed tiny example is exact") {
     // 4-dim vectors, m=2 subspaces of 2 dims, k=2 codebook entries
     val cbs: Seq[Seq[Seq[Double]]] = Seq(

@@ -293,4 +293,12 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("block_cosine_pairs"), p.take(3000))
   }
 
+  test("p61 mixture draw: broadcast quota table, per-stratum window, no global sort before the draw") {
+    val df = graft.SparkEntry.queries("p61_mixture_draw")(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000)) // quota side broadcasts
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(3000))
+  }
+
 }
