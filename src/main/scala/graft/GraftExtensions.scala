@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BinRead, BinRfind, BlockCosinePairsExpr, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePieceCountExpr, BpePiecesExpr, EncodingStatsExpr, GopherStatsExpr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
+import graft.functions.{BinRead, BinRfind, BlockCosinePairsExpr, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePieceCountExpr, BpePiecesExpr, CutSpansExpr, EncodingStatsExpr, GopherStatsExpr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, TokenCountsExpr, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -70,6 +70,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenStatsExpr].getName, "token_stats"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TokenStatsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cut_spans"),
+      new ExpressionInfo(classOf[CutSpansExpr].getName, "cut_spans"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CutSpansExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("token_counts"),
+      new ExpressionInfo(classOf[TokenCountsExpr].getName, "token_counts"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TokenCountsExpr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("gopher_stats"),
       new ExpressionInfo(classOf[GopherStatsExpr].getName, "gopher_stats"),

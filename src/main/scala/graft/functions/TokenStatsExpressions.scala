@@ -368,3 +368,186 @@ case class GopherStatsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GopherStatsExpr =
     copy(child = newChild)
 }
+
+/** Remove half-open token-position spans from a token array and rebuild the
+  * document — the array-side form of substring-dedup's "cut the duplicated
+  * stretches" step. The previous relational form re-exploded every token
+  * (one shuffle of the whole corpus), anti-joined the span table, and
+  * re-sorted each document's surviving tokens; this runs map-side on the
+  * already-tokenized row. Spans sort+merge defensively (the islands pass
+  * already emits them disjoint). Returns (text_kept, n_kept). */
+object CutSpans {
+  def run(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+          spans: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val n = toks.numElements()
+    val m = if (spans == null) 0 else spans.numElements()
+    if (m == 0) {
+      var total = 0
+      var i = 0
+      while (i < n) { total += toks.getUTF8String(i).numBytes() + 1; i += 1 }
+      val out = new java.io.ByteArrayOutputStream(math.max(16, total))
+      i = 0
+      while (i < n) {
+        if (i > 0) out.write(' ')
+        val t = toks.getUTF8String(i)
+        out.write(t.getBytes, 0, t.numBytes())
+        i += 1
+      }
+      return new GenericInternalRow(Array[Any](
+        UTF8String.fromBytes(out.toByteArray), n.toLong))
+    }
+    val ss = new Array[Int](m)
+    val es = new Array[Int](m)
+    val order = (0 until m).sortBy(j => spans.getStruct(j, 2).getInt(0))
+    var j = 0
+    while (j < m) {
+      val row = spans.getStruct(order(j), 2)
+      ss(j) = row.getInt(0); es(j) = row.getInt(1)
+      j += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(64)
+    var kept = 0L
+    var si = 0
+    var i = 0
+    while (i < n) {
+      while (si < m && es(si) <= i) si += 1
+      val cut = si < m && i >= ss(si) && i < es(si)
+      if (!cut) {
+        if (kept > 0) out.write(' ')
+        val t = toks.getUTF8String(i)
+        out.write(t.getBytes, 0, t.numBytes())
+        kept += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromBytes(out.toByteArray), kept))
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("text_kept", StringType, nullable = false),
+    StructField("n_kept", LongType, nullable = false)))
+}
+
+case class CutSpansExpr(toks: Expression, spans: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = toks
+  override def right: Expression = spans
+  override def nullable: Boolean = toks.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    (toks.dataType, spans.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(st: StructType, _))
+        if st.length == 2 && st(0).dataType == IntegerType &&
+          st(1).dataType == IntegerType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cut_spans expects (array<string>, array<struct<int,int>>), got $other")
+    }
+  override def dataType: DataType = CutSpans.schema
+  override def prettyName: String = "cut_spans"
+
+  // spans is NULLABLE-tolerant (left-join misses = no cuts), so eval is
+  // hand-rolled rather than nullSafeEval
+  override def eval(input: InternalRow): Any = {
+    val t = toks.eval(input)
+    if (t == null) return null
+    val s = spans.eval(input)
+    CutSpans.run(t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      if (s == null) null
+      else s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tEv = toks.genCode(ctx)
+    val sEv = spans.genCode(ctx)
+    val code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+      new StringContext(
+        s"""
+           |${tEv.code}
+           |boolean ${ev.isNull} = ${tEv.isNull};
+           |org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+           |if (!${ev.isNull}) {
+           |  ${sEv.code}
+           |  ${ev.value} = graft.functions.CutSpans.run(${tEv.value},
+           |    ${sEv.isNull} ? null : ${sEv.value});
+           |}
+           |""".stripMargin)).code()
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CutSpansExpr =
+    copy(toks = newLeft, spans = newRight)
+}
+
+/** Per-document term frequencies in one pass — `array<struct<token, cnt>>`
+  * in first-occurrence order. The map-side TF half of TF-IDF/BM25: the
+  * relational form exploded EVERY token occurrence into a corpus-wide
+  * (doc, token) groupBy shuffle; this collapses each document to its
+  * distinct tokens locally, so only distinct-per-doc rows ever move.
+  * Same tokenization contract as `token_stats`. */
+object TokenCounts {
+  import Tokenize._
+
+  def run(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = u.getBytes
+    val starts = new Array[Int](maxTokens(b))
+    val ends = new Array[Int](maxTokens(b))
+    val nTok = spans(b, starts, ends)
+    val cap = nextPow2(nTok)
+    val mask = cap - 1
+    val slotTok = new Array[Int](cap)
+    java.util.Arrays.fill(slotTok, -1)
+    val slotCnt = new Array[Int](cap)
+    val firstOrder = new Array[Int](nTok) // slots in first-occurrence order
+    var nDistinct = 0
+    var t = 0
+    while (t < nTok) {
+      val s = starts(t); val e = ends(t)
+      var slot = fnv(b, s, e) & mask
+      var done = false
+      while (!done) {
+        val rep = slotTok(slot)
+        if (rep < 0) {
+          slotTok(slot) = t; slotCnt(slot) = 1
+          firstOrder(nDistinct) = slot; nDistinct += 1
+          done = true
+        } else if (bytesEq(b, starts(rep), ends(rep), s, e)) {
+          slotCnt(slot) += 1; done = true
+        } else slot = (slot + 1) & mask
+      }
+      t += 1
+    }
+    val out = new Array[Any](nDistinct)
+    var i = 0
+    while (i < nDistinct) {
+      val slot = firstOrder(i)
+      val rep = slotTok(slot)
+      out(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromBytes(b, starts(rep), ends(rep) - starts(rep)),
+        slotCnt(slot).toLong))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  val elementSchema: StructType = StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false)))
+}
+
+case class TokenCountsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_counts expects string, got $other")
+  }
+  override def dataType: DataType =
+    ArrayType(TokenCounts.elementSchema, containsNull = false)
+  override def prettyName: String = "token_counts"
+  override def nullSafeEval(input: Any): Any =
+    TokenCounts.run(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenCounts.run($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenCountsExpr =
+    copy(child = newChild)
+}

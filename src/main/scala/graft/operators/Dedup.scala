@@ -237,22 +237,21 @@ object Dedup {
       .withColumn("island", sum(col("new_island")).over(byS))
       .groupBy("id", "island").agg(min("s").as("s"), max("e").as("e"))
       .select("id", "s", "e")
-    val tokpos = toks.select(col("id"), posexplode(col("toks"))).toDF("id", "pos", "tok")
-    val kept = tokpos.alias("t").join(merged.alias("m"),
-      col("t.id") === col("m.id") &&
-        col("t.pos") >= col("m.s") && col("t.pos") < col("m.e"),
-      "left_anti")
-    val rebuilt = kept.groupBy("id")
-      .agg(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          e => e.getField("tok")), " ").as("text_kept"),
-        count(lit(1)).as("n_kept"))
-    toks.select(col("id"), size(col("toks")).cast("long").as("n_toks"))
-      .join(rebuilt, Seq("id"), "left")
+    // array-side rebuild: the cut spans per doc (few rows — only docs with
+    // duplicated stretches) group to a small span list and join back onto
+    // the token arrays; the `cut_spans` kernel removes the spans and
+    // rejoins in ONE map-side pass. The previous relational rebuild
+    // re-exploded every token of the corpus (a second full-corpus
+    // shuffle), anti-joined the span table, and re-sorted each document.
+    val spansPerDoc = merged.groupBy("id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    toks.join(spansPerDoc, Seq("id"), "left")
+      .select(col("id"), size(col("toks")).cast("long").as("n_toks"),
+        call_function("cut_spans", col("toks"), col("spans")).as("o"))
       .select(col("id").as(idCol),
-        coalesce(col("text_kept"), lit("")).as("text_kept"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_cut"))
+        col("o.text_kept").as("text_kept"),
+        col("o.n_kept").as("n_kept"),
+        (col("n_toks") - col("o.n_kept")).as("n_cut"))
   }
 
   /** Benchmark decontamination: contaminated corpus documents — those

@@ -245,10 +245,14 @@ object TextOps {
     * (n_total DESC, token) sort). */
   def vocabulary(df: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, countDistinct, explode, lit}
-    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("n_total"), countDistinct(col("id")).as("n_docs"))
+    import org.apache.spark.sql.functions.{col, count, explode, lit, sum}
+    // map-side TF (token_counts kernel): distinct-per-doc rows reach the
+    // shuffle instead of every occurrence, and n_docs needs no
+    // count-distinct (one row per (doc, token) by construction)
+    df.select(col(idCol).as("id"),
+        explode(call_function("token_counts", col(textCol))).as("tc"))
+      .groupBy(col("tc.token").as("token"))
+      .agg(sum(col("tc.cnt")).as("n_total"), count(lit(1)).as("n_docs"))
   }
 
   /** TF-IDF top-k terms per document — the classic keyword-extraction pass
@@ -275,9 +279,15 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val n = docs.agg(count(lit(1)).as("n_corpus"))
+    // map-side TF: the `token_counts` kernel collapses each doc to its
+    // distinct tokens locally, so the corpus-wide (doc, token) groupBy
+    // shuffle disappears and only distinct-per-doc rows reach the df
+    // count and the score join
     val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        explode(call_function("token_counts", col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"),
+        col("tc.cnt").as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
       .withColumn("score",
@@ -670,13 +680,25 @@ object TextOps {
   def duplicationRate(df: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String, n: Int = 5): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
+    // shingles hash to 60-bit ids BEFORE the shuffle (the Dolma recipe):
+    // a 5-gram string is ~40 bytes, its hash 8 — the DF groupBy and the
+    // posting join move 5x fewer bytes. Both engines hash identically
+    // (md5_prefix60 == the oracle's substring(md5)::BIGINT), so any
+    // collision merges the same two shingles on both sides — the gate
+    // stays hash-exact.
     val posts = df.select(col(idCol).as("doc_id"),
-        explode(wordShinglesFromTokens(tokens(col(textCol)), n)).as("sh"))
+        explode(wordShinglesFromTokens(tokens(col(textCol)), n)).as("shs"))
+      .select(col("doc_id"), call_function("md5_prefix60", col("shs")).as("sh"))
+      // persisted: the DF count and the posting join both read the posting
+      // stream — unpersisted, the tokenize+shingle+hash pass runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
     val perDoc = posts.join(dfreq, "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    // posts stays persisted until LRU eviction (unpersisting here would
+    // drop it before the caller evaluates — the lazy-unpersist trap)
     df.select(col(idCol).as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

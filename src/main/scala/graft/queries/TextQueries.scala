@@ -571,7 +571,7 @@ object TextQueries {
             list_distinct(list_transform(range(0, len(tk)-4), i ->
               tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]))
           ELSE [] END AS shs FROM t),
-        posts AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+        posts AS (SELECT doc_id, ('0x' || substring(md5(unnest(shs)), 1, 15))::BIGINT AS sh FROM s),
         dfq AS (SELECT sh, COUNT(*) AS df FROM posts GROUP BY 1),
         d AS (SELECT posts.doc_id, COUNT(*) AS n_grams,
             CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
