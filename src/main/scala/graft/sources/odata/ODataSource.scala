@@ -71,6 +71,7 @@ final case class ODataConf(
     applyPushdown: Boolean = true,
     applyPartial: Boolean = true,
     insertBatchSize: Option[Int] = None,
+    batchFirstPages: Boolean = true,
     serviceRoot: Option[String] = None) {
   def auth: HttpAuth = HttpAuth(bearer, user, password)
 }
@@ -104,6 +105,7 @@ object ODataConf {
       applyPushdown = o.getOrElse("applypushdown", "true").toBoolean,
       applyPartial = o.getOrElse("applypartial", "true").toBoolean,
       insertBatchSize = o.get("insertbatchsize").map(_.toInt),
+      batchFirstPages = o.getOrElse("batchfirstpages", "true").toBoolean,
       serviceRoot = o.get("serviceroot").map(_.stripSuffix("/")))
   }
 }
@@ -748,6 +750,7 @@ final case class ApplyAgg(rawFilter: Option[String], aggStage: String,
   * server-side in parallel, and Spark's final aggregate merges. */
 class ODataApplyScan(conf: ODataConf, meta: ODataMeta, agg: ApplyAgg)
   extends Scan with Batch {
+  @volatile private var preloadCache: Option[(Seq[String], Seq[Option[String]])] = None
   override def readSchema(): StructType = agg.schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -761,10 +764,19 @@ class ODataApplyScan(conf: ODataConf, meta: ODataMeta, agg: ApplyAgg)
         KeysetWindows.planWindows(conf, meta, ord, agg.rawFilter.toSeq, total)
       }
     windows match {
-      case Some(ws) => ws.zipWithIndex.map { case (w, i) =>
-        ODataInputPartition(ODataUrl.parse(meta.entitySetUrl)
-          .withParam("$apply", agg.pipelineWith(Some(w))).render, i): InputPartition
-      }.toArray
+      case Some(ws) =>
+        val urls = ws.map(w => ODataUrl.parse(meta.entitySetUrl)
+          .withParam("$apply", agg.pipelineWith(Some(w))).render)
+        val pages = preloadCache match { // planInputPartitions runs >1x
+          case Some((u, p)) if u == urls => p
+          case _ =>
+            val p = KeysetWindows.preloadFirstPages(conf, meta, urls)
+            preloadCache = Some((urls, p))
+            p
+        }
+        urls.zip(pages).zipWithIndex.map { case ((u, pg), i) =>
+          ODataInputPartition(u, i, pg): InputPartition
+        }.toArray
       case None =>
         // partial with no plannable windows degrades to one partition running
         // the whole pipeline — merging a single complete result is identity
@@ -956,10 +968,24 @@ class ODataScan(conf: ODataConf, meta: ODataMeta, schema: StructType,
     if (conf.skip.getOrElse(0L) + offset.map(_.toLong).getOrElse(0L) > 0) return None
     KeysetWindows.planWindows(conf, meta, ord,
         filterExpr.toSeq ++ runtimeExpr.toSeq, total)
-      .map(_.zipWithIndex.map { case (w, i) =>
-        ODataInputPartition(buildUrl(None, None, None, Some(w)), i): InputPartition
-      }.toArray)
+      .map { ws =>
+        val urls = ws.map(w => buildUrl(None, None, None, Some(w)))
+        // one `$batch` round-trip fetches every window's first page; cached
+        // because Spark calls planInputPartitions more than once per query
+        // (planning + execution) — re-keyed when runtime filters change urls
+        val pages = preloadCache match {
+          case Some((u, p)) if u == urls => p
+          case _ =>
+            val p = KeysetWindows.preloadFirstPages(conf, meta, urls)
+            preloadCache = Some((urls, p))
+            p
+        }
+        urls.zip(pages).zipWithIndex.map { case ((u, pg), i) =>
+          ODataInputPartition(u, i, pg): InputPartition
+        }.toArray
+      }
   }
+  @volatile private var preloadCache: Option[(Seq[String], Seq[Option[String]])] = None
 
   // runtime filter must shape the ranges too, or the $skip/$top windows
   // would be computed over the unfiltered set the pages no longer serve
@@ -1020,6 +1046,36 @@ private[odata] object KeysetWindows {
     val cuts = (1 until nn).map(i => (BigInt(l) + width * i / nn).toLong)
       .filter(c => c > l && c < h).distinct.sorted
     ((l +: cuts) :+ h).sliding(2).map(p => (p(0), p(1))).toSeq
+  }
+
+  /** Fetch the FIRST page of every window URL in ONE `$batch` round-trip
+    * (driver-side, at planning): a keyset scan otherwise pays one
+    * serial-per-partition cold-start GET per window before executors can
+    * stream. v4 JSON batch only (v2 batch is multipart MIME); any failure
+    * — non-200 envelope, missing sub-response, transport error — degrades
+    * that window to its normal per-partition GET. Bounded: at most
+    * `PreloadMaxWindows` first pages are held at the driver (each at most
+    * one server page), and only between planning and task serialization. */
+  private[odata] val PreloadMaxWindows = 64
+  def preloadFirstPages(conf: ODataConf, meta: ODataMeta,
+                        urls: Seq[String]): Seq[Option[String]] = {
+    if (!conf.batchFirstPages || urls.size < 2 ||
+        urls.size > PreloadMaxWindows || meta.version == 2)
+      return urls.map(_ => None)
+    try {
+      val prefer = conf.pageSize
+        .map(n => Map("Prefer" -> s"odata.maxpagesize=$n")).getOrElse(Map.empty)
+      val body = graft.writes.ODataJsonBatch.buildGetBatch(urls, prefer)
+      val resp = HttpCore.shared.request("POST",
+        meta.serviceRoot.stripSuffix("/") + "/$batch",
+        Some((body, "application/json")), auth = conf.auth)
+      if (resp.status != 200) return urls.map(_ => None)
+      val byId = graft.writes.ODataJsonBatch.getResponses(resp.text)
+        .map(r => r._1 -> r).toMap
+      urls.indices.map { i =>
+        byId.get((i + 1).toString).collect { case (_, 200, b) => b }
+      }
+    } catch { case _: Exception => urls.map(_ => None) }
   }
 
   /** Key properties to order/partition by: the explicit `partitionKey`
@@ -1321,7 +1377,9 @@ class ODataCountScan(conf: ODataConf, meta: ODataMeta, filterExpr: Option[String
   }
 }
 
-final case class ODataInputPartition(url: String, index: Int) extends InputPartition
+final case class ODataInputPartition(url: String, index: Int,
+                                     preloaded: Option[String] = None)
+  extends InputPartition
 
 /** Everything shipped to executors must be small + serializable (SURVEY §7.4
   * item 5): URL, schema, auth material. The HTTP client is rebuilt lazily
@@ -1349,21 +1407,32 @@ class ODataPartitionReader(partition: ODataInputPartition, schema: StructType,
   private var pages = 0L
   private var rows = 0L
   private var bytes = 0L
+  // first page delivered at planning via one driver-side `$batch` POST
+  // (keyset-window scans): consume it instead of the first GET
+  private var preloaded: Option[String] = partition.preloaded
 
   override def next(): Boolean = {
-    while (!iter.hasNext && nextUrl.isDefined) fetchPage()
+    while (!iter.hasNext && (nextUrl.isDefined || preloaded.isDefined)) fetchPage()
     if (iter.hasNext) { current = iter.next(); rows += 1; true } else false
   }
 
   private def fetchPage(): Unit = {
-    val url = nextUrl.get
-    val headers = pageSize.map(n => "Prefer" -> s"odata.maxpagesize=$n").toMap
-    val resp = http.get(url, headers = headers, auth = auth, useCache = false)
-    if (resp.status != 200)
-      throw new RuntimeException(s"GET $url -> HTTP ${resp.status}: ${resp.text.take(500)}")
+    val text = preloaded match {
+      case Some(body) =>
+        preloaded = None
+        bytes += body.length
+        body
+      case None =>
+        val url = nextUrl.get
+        val headers = pageSize.map(n => "Prefer" -> s"odata.maxpagesize=$n").toMap
+        val resp = http.get(url, headers = headers, auth = auth, useCache = false)
+        if (resp.status != 200)
+          throw new RuntimeException(s"GET $url -> HTTP ${resp.status}: ${resp.text.take(500)}")
+        bytes += resp.body.length
+        resp.text
+    }
     pages += 1
-    bytes += resp.body.length
-    val page = ODataJson.extractPage(ODataJson.parse(resp.text))
+    val page = ODataJson.extractPage(ODataJson.parse(text))
     iter = page.rows.iterator.map { n =>
       val eff = unwrap.map(ODataJson.unwrapNode(n, _)).getOrElse(n)
       ODataJson.decodeRow(eff, schema)

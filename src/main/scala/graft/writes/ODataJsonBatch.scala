@@ -26,11 +26,16 @@ object ODataJsonBatch {
 
   /** Batch body of GET sub-requests (the READ side: N first pages / probes
     * in one round-trip). `urls` are service-root-relative, ids 1-based. */
-  def buildGetBatch(urls: Seq[String]): String =
+  def buildGetBatch(urls: Seq[String],
+                    extraHeaders: Map[String, String] = Map.empty): String = {
+    val hdrs = (Map("Accept" -> "application/json") ++ extraHeaders)
+      .map { case (k, v) => s"${JsonEncode.str(k)}:${JsonEncode.str(v)}" }
+      .mkString("{", ",", "}")
     urls.zipWithIndex.map { case (u, i) =>
       s"""{"id":"${i + 1}","method":"GET","url":${JsonEncode.str(u)},""" +
-        s""""headers":{"Accept":"application/json"}}"""
+        s""""headers":$hdrs}"""
     }.mkString("""{"requests":[""", ",", "]}")
+  }
 
   /** (id, status, body-as-json-text) per sub-response, in response order —
     * the GET counterpart of [[responseStatuses]]. Missing bodies → "{}". */

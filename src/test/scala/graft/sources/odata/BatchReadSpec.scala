@@ -37,7 +37,7 @@ class BatchReadSpec extends SparkSpecBase {
       assert(stub.batchBodies.size == 1, s"batch bodies: ${stub.batchBodies.size}")
       assert(stub.batchBodies.head.contains("\"method\":\"GET\""))
       val dataRequests = stub.requests.filterNot(r =>
-        r.contains("$metadata") || r.contains("$batch"))
+        r.contains("$metadata") || r.contains("$batch") || r.startsWith("batch:"))
       assert(dataRequests.isEmpty,
         s"per-set GETs escaped the batch:\n${dataRequests.mkString("\n")}")
     } finally stub.stop()

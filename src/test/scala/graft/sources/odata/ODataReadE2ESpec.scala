@@ -751,4 +751,60 @@ class ODataReadE2ESpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(dataReqs.nonEmpty && dataReqs.forall(!_.contains("$filter=")),
       s"cap not respected: $dataReqs")
   }
+  test("keyset windows fetch their first pages in ONE $batch round-trip") {
+    v4.skipStatus = 501 // force the keyset path
+    try {
+      v4.requests.clear(); v4.batchBodies.clear()
+      val df = read(v4, "parallelism" -> "4", "partitionRows" -> "5")
+      val ids = df.collect().map(_.getString(0)).toSeq
+      assert(ids.length == 20 && ids.distinct.length == 20,
+        s"keyset union wrong under batched first pages: $ids")
+      // exactly one $batch POST carried every window's first page
+      assert(v4.batchBodies.size == 1, s"batch POSTs: ${v4.batchBodies.size}")
+      val subGets = v4.requests.filter(_.startsWith("batch:"))
+      assert(subGets.size >= 4 && subGets.forall(_.contains("$filter=")),
+        s"sub-GETs: $subGets")
+      // no INDEPENDENT per-window data GET was needed (stub serves whole
+      // windows in the batched page)
+      val independent = v4.requests.filter(r => !r.startsWith("batch:") &&
+        r.contains("/Customers?") && r.contains("$filter=") &&
+        (r.contains(" gt ") || r.contains(" le ")) && !r.contains("$select="))
+      assert(independent.isEmpty, s"window GETs escaped the batch: $independent")
+    } finally v4.skipStatus = 200
+  }
+
+  test("batchFirstPages=false keeps per-window first-page GETs") {
+    v4.skipStatus = 501
+    try {
+      v4.requests.clear(); v4.batchBodies.clear()
+      val df = read(v4, "parallelism" -> "4", "partitionRows" -> "5",
+        "batchFirstPages" -> "false")
+      assert(df.collect().length == 20)
+      assert(v4.batchBodies.isEmpty, s"unexpected $$batch: ${v4.batchBodies}")
+      val windows = v4.requests.filter(r => r.contains("/Customers?") &&
+        r.contains("$filter=") && !r.contains("$orderby") &&
+        (r.contains(" gt ") || r.contains(" le ")))
+      assert(windows.size >= 4, s"expected per-window GETs, got ${v4.requests}")
+    } finally v4.skipStatus = 200
+  }
+
+  test("partial $apply windows also ride the first-page $batch") {
+    v4.skipStatus = 501
+    try {
+      v4.requests.clear(); v4.batchBodies.clear()
+      val df = read(v4, "parallelism" -> "4", "partitionRows" -> "5")
+        .groupBy("Country").agg(sum("Revenue").as("rev"))
+      val out = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 20 customers, Country = i%3: Germany rows i=0,3,..18; revenue 1000*(i+1)
+      val exp = (0 until 20).groupBy(i => i % 3 match {
+        case 0 => "Germany"; case 1 => "France"; case _ => "Mexico"
+      }).map { case (c, is) => c -> is.map(i => 1000L * (i + 1)).sum }
+      assert(out == exp, s"got $out")
+      assert(v4.batchBodies.nonEmpty, "no $batch for partial $apply windows")
+      val applySubs = v4.requests.filter(r => r.startsWith("batch:") &&
+        r.contains("$apply="))
+      assert(applySubs.nonEmpty, s"no $$apply sub-GETs: ${v4.requests}")
+    } finally v4.skipStatus = 200
+  }
+
 }

@@ -211,6 +211,21 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         batchBodies.synchronized { batchBodies += body }
         val reqs = jsonMapper.readTree(body).get("requests")
+        // sub-request GET urls recorded like top-level requests: specs
+        // assert on the data urls a scan produced regardless of transport
+        (0 until reqs.size).foreach { i =>
+          val r = reqs.get(i)
+          if (r.get("method").asText == "GET") {
+            val u = r.get("url").asText
+            val rel = u.indexOf("://") match {
+              case -1 => u
+              case p  => u.substring(u.indexOf('/', p + 3))
+            }
+            // "batch:" marker: specs matching data urls see them; specs
+            // counting INDEPENDENT round-trips can exclude them
+            requests.synchronized { requests += "batch:" + java.net.URLDecoder.decode(rel, "UTF-8") }
+          }
+        }
         val resps = (0 until reqs.size).map { i =>
           val r = reqs.get(i)
           val id = r.get("id").asText
@@ -225,13 +240,23 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
               case q  => (u.take(q), u.drop(q + 1))
             }
             val sq = parseQuery(rawQ)
-            val page =
-              if (path.split('/').last == "Customers") {
-                val filtered = applyFilter(rows, sq.get("$filter"))
-                val limited = sq.get("$top").map(t => filtered.take(t.toInt)).getOrElse(filtered)
-                limited.map(jsonObj(_, None)).mkString("[", ",", "]")
-              } else "[]"
-            s"""{"id":"$id","status":200,"body":{"value":$page}}"""
+            if (sq.contains("$apply")) {
+              if (applyStatus != 200)
+                s"""{"id":"$id","status":$applyStatus,"body":{}}"""
+              else {
+                val body = applyBody(sq("$apply"), sq.get("$top").map(_.toInt),
+                  sq.get("$orderby"))
+                s"""{"id":"$id","status":200,"body":$body}"""
+              }
+            } else {
+              val page =
+                if (path.split('/').last == "Customers") {
+                  val filtered = applyFilter(rows, sq.get("$filter"))
+                  val limited = sq.get("$top").map(t => filtered.take(t.toInt)).getOrElse(filtered)
+                  limited.map(jsonObj(_, None)).mkString("[", ",", "]")
+                } else "[]"
+              s"""{"id":"$id","status":200,"body":{"value":$page}}"""
+            }
           } else s"""{"id":"$id","status":400,"body":{}}"""
         }
         respond(ex, 200, "application/json",
@@ -417,7 +442,11 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
     * `$orderby`/`$top` evaluate AFTER the pipeline, over the group rows
     * (OData aggregation spec section on system query options). */
   private def serveApply(ex: HttpExchange, apply: String, top: Option[Int],
-                         orderby: Option[String] = None): Unit = {
+                         orderby: Option[String] = None): Unit =
+    respond(ex, 200, "application/json", applyBody(apply, top, orderby))
+
+  private def applyBody(apply: String, top: Option[Int],
+                        orderby: Option[String] = None): String = {
     var data = rows
     var groupCols: Seq[String] = Seq.empty
     var aggSpecs: Seq[(String, String, String)] = Seq.empty // (fn, col, alias)
@@ -505,10 +534,8 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
         }
       }.mkString("{", ",", "}")
     }
-    val body =
-      if (v2) s"""{"d":{"results":${limited.mkString("[", ",", "]")}}}"""
-      else s"""{"value":${limited.mkString("[", ",", "]")}}"""
-    respond(ex, 200, "application/json", body)
+    if (v2) s"""{"d":{"results":${limited.mkString("[", ",", "]")}}}"""
+    else s"""{"value":${limited.mkString("[", ",", "]")}}"""
   }
 
   /** Deterministic orders per customer: customer i has i%3 orders. */
