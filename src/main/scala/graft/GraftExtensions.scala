@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BinRead, BinRfind, BlockCosinePairsExpr, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePieceCountExpr, BpePiecesExpr, CutSpansExpr, EncodingStatsExpr, GopherStatsExpr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, TokenCountsExpr, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
+import graft.functions.{BinRead, BinRfind, BlockCosinePairsExpr, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePieceCountExpr, BpePiecesExpr, CutSpansExpr, EncodingStatsExpr, GopherStatsExpr, GramFps60Expr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, TokenCountsExpr, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -60,6 +60,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordBigramsExpr].getName, "word_bigrams"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordBigramsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("gram_fps60"),
+      new ExpressionInfo(classOf[GramFps60Expr].getName, "gram_fps60"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"gram_fps60 expects a literal k, got $other")
+        }
+        GramFps60Expr(children.head, k)
+      }))
     ext.injectFunction((
       FunctionIdentifier("max_multiplicity"),
       new ExpressionInfo(classOf[MaxMultiplicityExpr].getName, "max_multiplicity"),

@@ -248,6 +248,69 @@ object WordBigrams {
   }
 }
 
+/** Positional word k-gram fingerprints as 60-bit md5 prefixes — element i
+  * = md5_prefix60 of the k tokens starting at token i, space-joined.
+  * One compiled pass; the staged `transform(sequence(...),
+  * i -> md5(concat_ws(...)))` chain it replaces evaluated its lambda
+  * interpreted per position AND shuffled 32-hex strings where this ships
+  * longs (the p51 hashed-posting idiom: the DuckDB oracle mirrors
+  * `('0x'||substring(md5(g),1,15))::BIGINT`, so any collision merges the
+  * same two grams on both sides and the gate stays hash-exact).
+  * n tokens → n−k+1 grams; fewer than k tokens → empty. */
+object GramFps60 {
+  def run(a: org.apache.spark.sql.catalyst.util.ArrayData,
+          k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { tb(i) = a.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      var len = k - 1
+      var j = 0
+      while (j < k) { len += tb(i + j).length; j += 1 }
+      val buf = new Array[Byte](len)
+      var off = 0
+      j = 0
+      while (j < k) {
+        val t = tb(i + j)
+        System.arraycopy(t, 0, buf, off, t.length)
+        off += t.length
+        if (j < k - 1) { buf(off) = ' '.toByte; off += 1 }
+        j += 1
+      }
+      out(i) = Md5Prefix60.hash60(buf)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class GramFps60Expr(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_fps60 expects array<string>, got $other")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_fps60"
+
+  override def nullSafeEval(input: Any): Any =
+    GramFps60.run(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramFps60.run($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramFps60Expr =
+    copy(child = newChild)
+}
+
 case class WordBigramsExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case org.apache.spark.sql.types.ArrayType(StringType, _) =>

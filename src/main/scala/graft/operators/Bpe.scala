@@ -43,15 +43,27 @@ object Bpe {
             minCount: Long = 2L, checkpointEvery: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // corpus pass via the `token_counts` kernel: each doc collapses to its
+    // DISTINCT (word, count) pairs in one compiled scan, so the shuffle
+    // sees distinct-per-doc rows — not a string per corpus token (the same
+    // map-side TF economy as [[TextOps.vocabulary]]/[[TextOps.tfidfTopK]])
     var words = df
-      .select(explode(TextOps.tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(explode(call_function("token_counts", col(textCol))).as("tc"))
+      .filter(length(col("tc.token")) > 0)
+      .groupBy(col("tc.token").as("w")).agg(sum(col("tc.cnt")).as("freq"))
       .select(split(col("w"), "").as("syms"), col("freq"))
       .persist()
-    words.count() // materialize the one corpus-wide pass
 
+    // ONE job per round: the round's pair-count collect is the action that
+    // materializes the (persisted, lazily checkpointed) type table carrying
+    // the previous round's merge — the old separate `next.count()`
+    // materialization job is gone, and so is the corpus-pass `words.count()`
+    // (round 0's collect materializes it). The superseded table unpersists
+    // only AFTER the collect proves its successor is cached, so lineage
+    // never re-runs the tokenize+explode pass. The LAST accepted merge is
+    // recorded but never applied — nothing reads the folded table after it.
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var prev: Option[DataFrame] = None
     var r = 0
     var done = false
     while (r < nMerges && !done) {
@@ -63,20 +75,25 @@ object Bpe {
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1).collect()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = None
       if (top.isEmpty || top.head.getLong(2) < minCount) done = true
       else {
         val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += ((r, a, b, a + b, n))
-        val next = words
-          .select(mergeStep(col("syms"), a, b).as("syms"), col("freq"))
-          .persist()
-        next.count()
-        words.unpersist(blocking = false)
-        words = if ((r + 1) % checkpointEvery == 0) next.localCheckpoint(true) else next
         r += 1
+        if (r < nMerges) {
+          val next = words
+            .select(mergeStep(col("syms"), a, b).as("syms"), col("freq"))
+            .persist()
+          prev = Some(words)
+          // lazy checkpoint: materializes inside the next round's collect
+          words = if (r % checkpointEvery == 0) next.localCheckpoint(false) else next
+        }
       }
     }
     words.unpersist(blocking = false)
+    prev.foreach(_.unpersist(blocking = false))
     merges.result()
       .toDF("rank", "left", "right", "merged", "pair_count")
   }
@@ -102,10 +119,13 @@ object Bpe {
     * per-doc sum. The fold itself is a Catalyst `aggregate` — no UDF. */
   def encodeCounts(df: DataFrame, idCol: String, textCol: String,
                    merges: Seq[(String, String)]): DataFrame = {
+    // `token_counts` kernel: the per-doc TF arrives straight from the scan
+    // — no (id, word) groupBy shuffle over every corpus token
     val perDocWord = df
-      .select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("id", "w").agg(count(lit(1)).as("n"))
+      .select(col(idCol).as("id"),
+        explode(call_function("token_counts", col(textCol))).as("tc"))
+      .filter(length(col("tc.token")) > 0)
+      .select(col("id"), col("tc.token").as("w"), col("tc.cnt").as("n"))
     val flat = merges.flatMap(p => Seq(p._1, p._2))
     // count-only kernel: merge symbols interned to ints once, the fold runs
     // over int arrays — no piece-array materialization per word type

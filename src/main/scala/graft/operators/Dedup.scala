@@ -215,8 +215,14 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val toks = spread(df).select(col(idCol).as("id"),
       TextOps.tokens(col(textCol)).as("toks")).persist(storage)
+    // `gram_fps60` kernel: positional k-gram fingerprints as 60-bit md5
+    // prefixes in one compiled pass — the staged transform(sequence(...))
+    // chain evaluated interpreted per position and shuffled 32-hex strings
+    // where this ships longs (oracle mirrors the substring(md5) cast, so
+    // collisions merge identically on both sides).
     val grams = toks.filter(size(col("toks")) >= k)
-      .select(col("id"), posexplode(TextOps.wordGramFingerprints(col("toks"), k)))
+      .select(col("id"),
+        posexplode(call_function("gram_fps60", col("toks"), lit(k))))
       .toDF("id", "pos", "g")
     val firsts = grams.groupBy("g")
       .agg(min(struct(col("id"), col("pos"))).as("keep"),

@@ -622,26 +622,34 @@ object TextOps {
   def lmBigramScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String,
                     scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, lit, sum}
-    val docs = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
-    val bigrams = docs.select(col("doc_id"),
-        explode(arrays_zip(
-          slice(col("tk"), lit(1), size(col("tk")) - 1).as("w1"),
-          slice(col("tk"), lit(2), size(col("tk")) - 1).as("w2"))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    // corpus vocabulary |V| for the smoothing denominator — exact distinct
-    // (two partial-agg shuffles), a single row broadcast like p44's N.
-    val vocabN = docs.select(explode(col("tk")).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
-    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
-    val c1 = c12.groupBy("w1").agg(sum(col("n12")).as("n1"))
+    import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, lit, substring_index, sum}
+    // ONE corpus bigram pass (the `word_bigrams` kernel emits "w1 w2"
+    // strings in a compiled scan), persisted — the LM-count branch and the
+    // scoring join both read it; the old staged arrays_zip/slice chain ran
+    // the tokenize+explode twice. Tokens are whitespace-split, so the
+    // space-joined bigram string is an unambiguous (w1, w2) key and w1
+    // recovers exactly via substring_index(bg, ' ', 1).
+    val posts = df.select(col(idCol).as("doc_id"),
+        explode(call_function("word_bigrams", tokens(col(textCol)))).as("bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus vocabulary |V| for the smoothing denominator — the
+    // `token_counts` kernel collapses each doc to its distinct tokens
+    // map-side, so the exact distinct sees distinct-per-doc rows.
+    val vocabN = df
+      .select(explode(call_function("token_counts", col(textCol))).as("tc"))
+      .agg(countDistinct(col("tc.token")).as("v"))
+    val c12 = posts.groupBy("bg").agg(count(lit(1)).as("n12"))
+    val c1 = c12
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("n12")).as("n1"))
     // true integer division (`div`): `(n12+1) * scale` can exceed 2^53 on
     // a Zipf-head bigram at corpus scale, where a double-divide-then-cast
     // would round differently than DuckDB's exact `//`.
-    val lm = c12.join(c1, "w1").crossJoin(broadcast(vocabN))
-      .select(col("w1"), col("w2"),
-        expr(s"(n12 + 1L) * ${scale}L div (n1 + v)").as("p"))
-    val perDoc = bigrams.join(lm, Seq("w1", "w2"))
+    val lm = c12
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c1, "w1").crossJoin(broadcast(vocabN))
+      .select(col("bg"), expr(s"(n12 + 1L) * ${scale}L div (n1 + v)").as("p"))
+    val perDoc = posts.join(lm, Seq("bg"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("score_sum"))
     df.select(col(idCol).as("doc_id"))

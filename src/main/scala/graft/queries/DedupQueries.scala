@@ -426,7 +426,8 @@ object DedupQueries {
           FROM d2),
         grams AS (SELECT doc_id,
             unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
-              i -> {'pos': i, 'g': md5(array_to_string(t[i+1:i+8], ' '))}),
+              i -> {'pos': i, 'g': ('0x' || substring(
+                md5(array_to_string(t[i+1:i+8], ' ')), 1, 15))::BIGINT}),
               recursive := true)
           FROM toks),
         ranked AS (SELECT doc_id, pos,

@@ -82,6 +82,24 @@ class TokenStatsKernelSpec extends SparkSpecBase {
       .take(5)
     assert(bad.isEmpty, "quality mismatches:\n" + bad.mkString("\n"))
   }
+  test("gram_fps60 == staged md5-prefix transform chain on fuzz") {
+    val df = fuzz(seed = 97, rows = 4000, maxFrags = 8, " ", "", "\t", "\n", ". ")
+      .toDF("id", "text")
+    for (k <- Seq(1, 2, 8)) {
+      val t = TextOps.tokens($"text")
+      val staged = when(size(t) >= k,
+        transform(sequence(lit(0), size(t) - k),
+          i => conv(substring(md5(concat_ws(" ",
+            (0 until k).map(j => element_at(t, i + j + 1)): _*)), 1, 15), 16, 10)
+            .cast("long")))
+        .otherwise(array().cast("array<long>"))
+      val bad = df.select($"id",
+          call_function("gram_fps60", TextOps.tokens($"text"), lit(k)).as("kern"),
+          staged.as("stag"))
+        .filter(not($"kern" <=> $"stag"))
+      assert(bad.isEmpty, s"k=$k: ${bad.take(3).mkString("; ")}")
+    }
+  }
 }
 
 /** Parity of the GEMM-in-group `block_cosine_pairs` kernel against the
