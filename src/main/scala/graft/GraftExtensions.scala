@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BinRead, BinRfind, BlockCosinePairsExpr, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePieceCountExpr, BpePiecesExpr, CutSpansExpr, EncodingStatsExpr, GopherStatsExpr, GramFps60Expr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, TokenCountsExpr, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
+import graft.functions.{BinRead, BinRfind, BlockCosinePairsExpr, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePieceCountExpr, BpePiecesExpr, CutSpansExpr, EncodingStatsExpr, GopherStatsExpr, GramFps60Expr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, SparseLogitExpr, TokenCountsExpr, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -60,6 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordBigramsExpr].getName, "word_bigrams"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordBigramsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sparse_logit"),
+      new ExpressionInfo(classOf[SparseLogitExpr].getName, "sparse_logit"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SparseLogitExpr(children.head, children(1))))
     ext.injectFunction((
       FunctionIdentifier("gram_fps60"),
       new ExpressionInfo(classOf[GramFps60Expr].getName, "gram_fps60"),

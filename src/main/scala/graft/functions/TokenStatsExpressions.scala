@@ -551,3 +551,71 @@ case class TokenCountsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): TokenCountsExpr =
     copy(child = newChild)
 }
+
+/** Sparse integer dot product for the trained-classifier iterations:
+  * Σ w[f]·x over a per-document `array<struct<f, x>>` feature list against
+  * a dense weight array. Exact BIGINT arithmetic, order-free by
+  * construction (integer adds commute), so the fused map-only scoring pass
+  * is bit-identical to the relational join+groupBy it replaces. NULL
+  * feature lists (left-join misses — docs with no bigrams) score 0. */
+object SparseLogit {
+  def run(fx: org.apache.spark.sql.catalyst.util.ArrayData,
+          w: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    if (fx == null) return 0L
+    var acc = 0L
+    var i = 0
+    val n = fx.numElements()
+    while (i < n) {
+      val row = fx.getStruct(i, 2)
+      acc += w.getLong(row.getLong(0).toInt) * row.getLong(1)
+      i += 1
+    }
+    acc
+  }
+}
+
+case class SparseLogitExpr(fx: Expression, w: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = fx
+  override def right: Expression = w
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    (fx.dataType, w.dataType) match {
+      case (ArrayType(st: StructType, _), ArrayType(LongType, _))
+        if st.length == 2 && st(0).dataType == LongType &&
+          st(1).dataType == LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sparse_logit expects (array<struct<long,long>>, array<long>), got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sparse_logit"
+
+  // fx is NULLABLE-tolerant (left-join misses = no features, z = 0), so
+  // eval is hand-rolled rather than nullSafeEval
+  override def eval(input: InternalRow): Any = {
+    val f = fx.eval(input)
+    SparseLogit.run(
+      if (f == null) null
+      else f.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      w.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fEv = fx.genCode(ctx)
+    val wEv = w.genCode(ctx)
+    val code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+      new StringContext(
+        s"""
+           |${fEv.code}
+           |${wEv.code}
+           |boolean ${ev.isNull} = false;
+           |long ${ev.value} = graft.functions.SparseLogit.run(
+           |  ${fEv.isNull} ? null : ${fEv.value}, ${wEv.value});
+           |""".stripMargin)).code()
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SparseLogitExpr =
+    copy(fx = newLeft, w = newRight)
+}

@@ -24,12 +24,13 @@ import org.apache.spark.sql.functions._
   *    the per-feature gradient is again an exact BIGINT sum, and the
   *    weight update `w −= (grad div N) · η_scaled` is pure integer math.
   *
-  * Shape at 100 TB: the feature table (doc, f, x) is built ONCE (one
-  * explode + partial-agg shuffle) and persisted; each of the (fixed, few)
-  * iterations is one map-only scoring pass (weights are a ≤`buckets`-entry
-  * literal array — broadcast-free) + one per-doc partial-agg sum + one
-  * per-feature partial-agg gradient shuffle. The driver only ever holds
-  * `buckets` longs — metadata scale, the centroids contract.
+  * Shape at 100 TB: the per-doc sparse feature table (doc, label,
+  * array<(f, x)> — ≤`buckets` entries each) is built ONCE (one explode +
+  * two partial-agg shuffles) and persisted; each of the (fixed, few)
+  * iterations is then ONE job — a map-only `sparse_logit` scoring kernel
+  * (weights are a ≤`buckets`-entry literal array — broadcast-free) feeding
+  * a single per-feature partial-agg gradient shuffle. The driver only ever
+  * holds `buckets` longs — metadata scale, the centroids contract.
   */
 object Classifier {
 
@@ -64,47 +65,59 @@ object Classifier {
                    etaScaled: Long = 500L): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       labelCol.as("label"))
-    val feats = bigramFeatures(docs, "doc_id", "text", buckets).persist()
-    val labels = docs.select(col("doc_id"), col("label"))
-    val n = docs.count() // one job; N is part of the update rule
-
-    // weights as a literal array (index f+1) — map-only scoring each pass
-    var w = Array.fill(buckets)(0L)
-    def zPerDoc(): DataFrame = labels
-      .join(feats.select(col("doc_id"),
-          (element_at(typedLit(w.toSeq), col("f").cast("int") + 1) * col("x"))
-            .as("wx")),
+    // ONE row per document carrying its (≤ buckets-entry) sparse feature
+    // list: every iteration's logit is then the map-only `sparse_logit`
+    // kernel over this table — no per-iteration (doc ⋈ feats) join +
+    // per-doc groupBy. The gradient pass explodes the same arrays with the
+    // per-doc error attached, so each GD step is one job with a single
+    // per-feature partial-agg shuffle (the old loop ran two joins and two
+    // shuffles per step). Exactness is untouched: z is the same exact
+    // BIGINT sum (integer adds commute), e the same floored integer.
+    val docFeats = docs.select(col("doc_id"), col("label"))
+      .join(bigramFeatures(docs, "doc_id", "text", buckets)
+          .groupBy("doc_id")
+          .agg(collect_list(struct(col("f"), col("x"))).as("fx")),
         Seq("doc_id"), "left")
-      .groupBy("doc_id")
-      .agg(sum(coalesce(col("wx"), lit(0L))).as("z_sum"),
-        first(col("label")).as("label"))
+      .persist()
+    val n = docFeats.count() // one job; N is part of the update rule
+
+    // weights as an array literal (index f, 0-based) — one codegen source
+    // for every iteration (the array rides the references side, not the
+    // generated code), so Janino compiles the scoring stage once
+    var w = Array.fill(buckets)(0L)
+    def zCol(): Column =
+      call_function("sparse_logit", col("fx"), typedLit(w.toSeq))
 
     for (_ <- 0 until iters) {
-      val grads = zPerDoc()
-        .select(col("doc_id"),
-          floor((sigma(col("z_sum")) -
+      // e is projected BELOW the explode: in one select Spark would place
+      // the scoring expression in the Project above Generate and re-run
+      // the sparse_logit fold once per exploded FEATURE, not per doc
+      val grads = docFeats
+        .select(col("fx"),
+          floor((sigma(zCol()) -
             when(col("label"), lit(1.0)).otherwise(lit(0.0))) * lit(1000000.0))
             .cast("long").as("e"))
-        .join(feats, "doc_id")
-        .groupBy("f").agg(sum(col("e") * col("x")).as("grad"))
+        .select(explode(col("fx")).as("p"), col("e"))
+        .groupBy(col("p.f").as("f")).agg(sum(col("e") * col("p.x")).as("grad"))
         .collect() // bounded: <= buckets rows of metadata
       grads.foreach { r =>
         val f = r.getLong(0).toInt
         w(f) = w(f) - (r.getLong(1) / n) * etaScaled
       }
     }
-    // materialize the final scoring pass BEFORE releasing feats (the
+    // materialize the final scoring pass BEFORE releasing docFeats (the
     // Bpe.train persist-count-unpersist pattern) — unpersisting under a
     // still-lazy `scored` would recompute the whole tokenize+explode+hash
     // feature extraction when the caller finally evaluates it
-    val scored = zPerDoc()
+    val scored = docFeats
+      .select(col("doc_id"), zCol().as("z_sum"), col("label"))
       .select(col("doc_id"), col("z_sum"),
         sigma(col("z_sum")).as("prob"), col("label"),
         (col("z_sum") >= 0L).as("predicted"),
         ((col("z_sum") >= 0L) === col("label")).as("correct"))
       .persist()
     scored.count()
-    feats.unpersist(blocking = false)
+    docFeats.unpersist(blocking = false)
     scored
   }
 }
