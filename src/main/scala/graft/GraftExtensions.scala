@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BinRead, BinRfind, BlockCosinePairsExpr, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePieceCountExpr, BpePiecesExpr, CutSpansExpr, EncodingStatsExpr, GopherStatsExpr, GramFps60Expr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, SparseLogitExpr, TokenCountsExpr, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
+import graft.functions.{BigramLogitExpr, BinRead, BinRfind, BlockCosinePairsExpr, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePieceCountExpr, BpePiecesExpr, CutSpansExpr, EncodingStatsExpr, GopherStatsExpr, GramFps60Expr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, SparseLogitExpr, TokenCountsExpr, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -60,6 +60,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordBigramsExpr].getName, "word_bigrams"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordBigramsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bigram_logit"),
+      new ExpressionInfo(classOf[BigramLogitExpr].getName, "bigram_logit"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val b = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"bigram_logit expects a literal bucket count, got $other")
+        }
+        BigramLogitExpr(children.head, children(1), b)
+      }))
     ext.injectFunction((
       FunctionIdentifier("sparse_logit"),
       new ExpressionInfo(classOf[SparseLogitExpr].getName, "sparse_logit"),

@@ -619,3 +619,64 @@ case class SparseLogitExpr(fx: Expression, w: Expression)
       newLeft: Expression, newRight: Expression): SparseLogitExpr =
     copy(fx = newLeft, w = newRight)
 }
+
+/** Per-row classifier logit straight from the token array: Σ over adjacent
+  * word bigrams of w[md5_prefix60("w1 w2") mod buckets] — the exact z the
+  * batch classifier computes from its (f, x) feature table (each bigram
+  * OCCURRENCE contributes its bucket weight once; grouping into counts
+  * first is the same integer sum). One compiled pass, no intermediate
+  * bigram/feature arrays — this is what lets the STATELESS streaming twin
+  * score each arriving document as a single scalar expression under
+  * pinned trained weights. */
+object BigramLogit {
+  private val Space = ' '.toByte
+  def run(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+          w: org.apache.spark.sql.catalyst.util.ArrayData,
+          buckets: Int): Long = {
+    val n = toks.numElements()
+    if (n < 2) return 0L
+    var acc = 0L
+    var prev = toks.getUTF8String(0).getBytes
+    var i = 1
+    while (i < n) {
+      val cur = toks.getUTF8String(i).getBytes
+      val buf = new Array[Byte](prev.length + 1 + cur.length)
+      System.arraycopy(prev, 0, buf, 0, prev.length)
+      buf(prev.length) = Space
+      System.arraycopy(cur, 0, buf, prev.length + 1, cur.length)
+      val f = java.lang.Math.floorMod(Md5Prefix60.hash60(buf), buckets.toLong)
+      acc += w.getLong(f.toInt)
+      prev = cur
+      i += 1
+    }
+    acc
+  }
+}
+
+case class BigramLogitExpr(toks: Expression, w: Expression, buckets: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = toks
+  override def right: Expression = w
+  override def checkInputDataTypes(): TypeCheckResult =
+    (toks.dataType, w.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bigram_logit expects (array<string>, array<long>), got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bigram_logit"
+
+  override def nullSafeEval(t: Any, wv: Any): Any =
+    BigramLogit.run(
+      t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      wv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], buckets)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, wv) =>
+      s"graft.functions.BigramLogit.run($t, $wv, $buckets)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BigramLogitExpr =
+    copy(toks = newLeft, w = newRight)
+}

@@ -60,6 +60,55 @@ object Classifier {
     * is integer-armed (z_sum >= 0 ⇔ prob >= 0.5). `etaScaled` is the
     * learning rate in 1e-9 weight units per 1e-6 error unit (500 ⇔ η=0.5).
     */
+  /** Train only, returning the weight vector (1e-9 units, index = bucket)
+    * — the artifact the STATELESS streaming scoring twin pins before the
+    * stream starts ([[graft.streaming.StreamingDedup.classifierScoreStream]]),
+    * and what a real pipeline persists as "the quality model". Identical
+    * loop to [[trainScoreLr]] (same integer math, same iteration count →
+    * bit-identical weights). */
+  def trainWeights(df: DataFrame, idCol: String, textCol: String,
+                   labelCol: Column, buckets: Int = 256, iters: Int = 5,
+                   etaScaled: Long = 500L): Array[Long] = {
+    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      labelCol.as("label"))
+    val docFeats = docs.select(col("doc_id"), col("label"))
+      .join(bigramFeatures(docs, "doc_id", "text", buckets)
+          .groupBy("doc_id")
+          .agg(collect_list(struct(col("f"), col("x"))).as("fx")),
+        Seq("doc_id"), "left")
+      .persist()
+    val n = docFeats.count()
+    val w = runGd(docFeats, n, buckets, iters, etaScaled)
+    docFeats.unpersist(blocking = false)
+    w
+  }
+
+  /** The GD loop over a persisted (doc_id, label, fx) table — shared by
+    * [[trainWeights]] and [[trainScoreLr]] so the two can never drift. */
+  private def runGd(docFeats: DataFrame, n: Long, buckets: Int, iters: Int,
+                    etaScaled: Long): Array[Long] = {
+    val w = Array.fill(buckets)(0L)
+    for (_ <- 0 until iters) {
+      // e is projected BELOW the explode: in one select Spark would place
+      // the scoring expression in the Project above Generate and re-run
+      // the sparse_logit fold once per exploded FEATURE, not per doc
+      val grads = docFeats
+        .select(col("fx"),
+          floor((sigma(call_function("sparse_logit", col("fx"),
+              typedLit(w.toSeq))) -
+            when(col("label"), lit(1.0)).otherwise(lit(0.0))) * lit(1000000.0))
+            .cast("long").as("e"))
+        .select(explode(col("fx")).as("p"), col("e"))
+        .groupBy(col("p.f").as("f")).agg(sum(col("e") * col("p.x")).as("grad"))
+        .collect() // bounded: <= buckets rows of metadata
+      grads.foreach { r =>
+        val f = r.getLong(0).toInt
+        w(f) = w(f) - (r.getLong(1) / n) * etaScaled
+      }
+    }
+    w
+  }
+
   def trainScoreLr(df: DataFrame, idCol: String, textCol: String,
                    labelCol: Column, buckets: Int = 256, iters: Int = 5,
                    etaScaled: Long = 500L): DataFrame = {
@@ -84,27 +133,9 @@ object Classifier {
     // weights as an array literal (index f, 0-based) — one codegen source
     // for every iteration (the array rides the references side, not the
     // generated code), so Janino compiles the scoring stage once
-    var w = Array.fill(buckets)(0L)
+    val w = runGd(docFeats, n, buckets, iters, etaScaled)
     def zCol(): Column =
       call_function("sparse_logit", col("fx"), typedLit(w.toSeq))
-
-    for (_ <- 0 until iters) {
-      // e is projected BELOW the explode: in one select Spark would place
-      // the scoring expression in the Project above Generate and re-run
-      // the sparse_logit fold once per exploded FEATURE, not per doc
-      val grads = docFeats
-        .select(col("fx"),
-          floor((sigma(zCol()) -
-            when(col("label"), lit(1.0)).otherwise(lit(0.0))) * lit(1000000.0))
-            .cast("long").as("e"))
-        .select(explode(col("fx")).as("p"), col("e"))
-        .groupBy(col("p.f").as("f")).agg(sum(col("e") * col("p.x")).as("grad"))
-        .collect() // bounded: <= buckets rows of metadata
-      grads.foreach { r =>
-        val f = r.getLong(0).toInt
-        w(f) = w(f) - (r.getLong(1) / n) * etaScaled
-      }
-    }
     // materialize the final scoring pass BEFORE releasing docFeats (the
     // Bpe.train persist-count-unpersist pattern) — unpersisting under a
     // still-lazy `scored` would recompute the whole tokenize+explode+hash

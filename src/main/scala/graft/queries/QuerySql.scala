@@ -21,15 +21,18 @@ private[queries] object QuerySql {
               - least(CAST(len(regexp_replace($text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
                         / CAST(greatest(len($text), 1) AS DOUBLE) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)"""
 
-  /** p57's full training loop unrolled to SQL — `iters` fixed-point GD
-    * steps of [[graft.operators.Classifier.trainScoreLr]], exactly
-    * mirrored: integer z/grad sums, the rational fast sigmoid in the same
-    * literal op order, truncating integer division in the update. */
-  def lrOracle(plantedDocs: String, iters: Int, buckets: Int,
-               etaScaled: Long): String = {
-    def sig(z: String): String =
-      s"0.5 + 0.5 * (CAST($z AS DOUBLE) / 1000000000.0)" +
-        s" / (1.0 + abs(CAST($z AS DOUBLE) / 1000000000.0))"
+  /** The rational fast sigmoid in p57's exact literal op order. */
+  def lrSig(z: String): String =
+    s"0.5 + 0.5 * (CAST($z AS DOUBLE) / 1000000000.0)" +
+      s" / (1.0 + abs(CAST($z AS DOUBLE) / 1000000000.0))"
+
+  /** The CTE body of the unrolled training loop — `docs` through
+    * `z$iters` (per-doc final logits), no WITH / final SELECT, so
+    * composites (p62's classifier-gated sample) can chain more stages
+    * onto the identical training chain p57 hash-proves. */
+  def lrCtes(plantedDocs: String, iters: Int, buckets: Int,
+             etaScaled: Long): String = {
+    def sig(z: String): String = lrSig(z)
     val steps = (0 until iters).map { t =>
       val wUpd =
         if (t == 0) s"SELECT f, -(grad // n) * $etaScaled AS w FROM g0 CROSS JOIN nn"
@@ -47,8 +50,7 @@ private[queries] object QuerySql {
             FROM feats JOIN w${t + 1} USING (f)) fx USING (doc_id)
           GROUP BY 1, 2)"""
     }.mkString(",\n        ")
-    s"""
-        WITH docs AS ($plantedDocs),
+    s"""docs AS ($plantedDocs),
         t AS (SELECT doc_id, label, $ToksSql AS tk FROM docs),
         feats AS (SELECT doc_id, f, COUNT(*) AS x FROM (
             SELECT doc_id,
@@ -60,11 +62,20 @@ private[queries] object QuerySql {
           GROUP BY 1, 2),
         nn AS (SELECT COUNT(*) AS n FROM docs),
         z0 AS (SELECT doc_id, label, CAST(0 AS BIGINT) AS z_sum FROM t),
-        $steps
-        SELECT doc_id, z_sum, ${sig("z_sum")} AS prob, label,
+        $steps"""
+  }
+
+  /** p57's full training loop unrolled to SQL — `iters` fixed-point GD
+    * steps of [[graft.operators.Classifier.trainScoreLr]], exactly
+    * mirrored: integer z/grad sums, the rational fast sigmoid in the same
+    * literal op order, truncating integer division in the update. */
+  def lrOracle(plantedDocs: String, iters: Int, buckets: Int,
+               etaScaled: Long): String =
+    s"""
+        WITH ${lrCtes(plantedDocs, iters, buckets, etaScaled)}
+        SELECT doc_id, z_sum, ${lrSig("z_sum")} AS prob, label,
           z_sum >= 0 AS predicted, (z_sum >= 0) = label AS correct
         FROM z$iters ORDER BY doc_id"""
-  }
 
   def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x,y) -> x+y)"

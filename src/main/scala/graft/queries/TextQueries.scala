@@ -697,6 +697,45 @@ object TextQueries {
         val merges = Bpe.train(docs, "text", nMerges = 10)
         Bpe.encodeWithTrained(docs, "doc_id", "text", merges).orderBy("doc_id")
       },
-      Some(bpeEncodeOracle(10)))
+      Some(bpeEncodeOracle(10))),
+
+    // ---- p62: classifier-gated priority sampling — the FineWeb-Edu
+    // pipeline shape end-to-end in ONE query: train the p57 logistic
+    // quality filter (5 engine-exact GD steps), keep the docs it predicts
+    // positive, and draw an exact-k weighted sample with confidence
+    // (z_sum+1) as the weight through the p53 all-integer md5-seeded
+    // priority. The oracle chains the identical unrolled training CTEs
+    // (QuerySql.lrCtes — the very chain p57 hash-proves) into the
+    // priority draw, so training, gating, and sampling are ALL
+    // hash-compared in one row set. ---------------------------------------
+    QueryDef("p62_classifier_sample",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" qz mark qz mark qz mark")))
+            .otherwise(col("text")).as("text"),
+          (pmod(col("doc_id"), lit(3)) === 0).as("y"))
+        val scored = Classifier.trainScoreLr(docs, "doc_id", "text", col("y"),
+          buckets = 256, iters = 5)
+        val kept = scored.filter(col("predicted"))
+          .select(col("doc_id"), (col("z_sum") + 1L).as("wt"))
+        Shards.prioritySample(kept, "doc_id", col("wt"), k = 100)
+      },
+      Some(s"""
+        WITH ${lrCtes(
+          """SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' qz mark qz mark qz mark'
+                  ELSE text END AS text,
+             doc_id % 3 = 0 AS label
+           FROM documents""",
+          iters = 5, buckets = 256, etaScaled = 500L)},
+        kept AS (SELECT doc_id, z_sum + 1 AS weight FROM z5 WHERE z_sum >= 0),
+        pri AS (SELECT doc_id, weight,
+            (weight * 1048576) // (((('0x' || substring(
+              md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 2147483648) % 1073741824) + 1) AS priority
+          FROM kept)
+        SELECT doc_id, weight, priority FROM pri
+        ORDER BY priority DESC, doc_id LIMIT 100"""))
   )
 }

@@ -119,6 +119,30 @@ object StreamingDedup {
       .filter(col("max_test_sim") < minSim)
   }
 
+  /** Streaming quality-classifier scoring — the streaming twin of
+    * [[graft.operators.Classifier.trainScoreLr]]'s scoring half: every
+    * arriving document is scored under PINNED trained weights
+    * ([[graft.operators.Classifier.trainWeights]] — trained on a reference
+    * corpus before the stream starts, the frozen-model contract of every
+    * deployed quality filter). COMPLETELY STATELESS: the logit is the one
+    * compiled `bigram_logit` kernel pass (weights ride as an expression
+    * literal, Σ w[md5_prefix60(bigram) mod buckets] — each bigram
+    * occurrence contributes its bucket weight once, exactly the batch
+    * side's integer z), so there is no state store and the gate composes
+    * before any stateful stage. Adds `z_sum`/`prob`/`predicted`; rows
+    * with z_sum < minZ drop. */
+  def classifierScoreStream(docs: DataFrame, textCol: String,
+                            weights: Seq[Long], minZ: Long = 0L): DataFrame = {
+    import graft.operators.TextOps
+    val z = call_function("bigram_logit", TextOps.tokens(col(textCol)),
+      typedLit(weights), lit(weights.size))
+    val zd = col("z_sum").cast("double") / lit(1.0e9)
+    docs.withColumn("z_sum", z)
+      .withColumn("prob", lit(0.5) + lit(0.5) * zd / (lit(1.0) + abs(zd)))
+      .withColumn("predicted", col("z_sum") >= lit(0L))
+      .filter(col("z_sum") >= lit(minZ))
+  }
+
   /** Streaming NEAR-duplicate dedup — the streaming twin of
     * `Dedup.dedupNear`, at candidate level: a document is kept iff NONE of
     * its MinHash-LSH band keys was claimed by an earlier document within the

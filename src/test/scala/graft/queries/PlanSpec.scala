@@ -301,4 +301,13 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(3000))
   }
 
+  test("p62 classifier-gated sample: literal weights, exact-k draw is TakeOrdered") {
+    val p = plan("p62_classifier_sample")
+    // trained weights ride as literals into the final scoring pass (no
+    // weight-table join) and the priority draw is a top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
 }

@@ -136,6 +136,55 @@ class StreamingDedupSpec extends SparkSpecBase {
         s"onlyBatch=${(batchKept -- kept).take(5)}")
   }
 
+  test("streaming classifier scoring matches batch z_sum under pinned weights") {
+    import spark.implicits._
+    // the p57 planted-marker corpus: train batch-side, pin the weights
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" qz mark qz mark qz mark")))
+          .otherwise(col("text")).as("text"),
+        (pmod(col("doc_id"), lit(3)) === 0).as("y"))
+    val w = graft.operators.Classifier.trainWeights(
+      docs, "doc_id", "text", col("y"), buckets = 64, iters = 3)
+    val batch = graft.operators.Classifier.trainScoreLr(
+        docs, "doc_id", "text", col("y"), buckets = 64, iters = 3)
+      .select("doc_id", "z_sum", "predicted")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+    val base = docs.select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0),
+        new Timestamp(1700000000000L + r.getLong(0) * 1000L), r.getString(1)))
+      .toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamingDedup.classifierScoreStream(
+        mem.toDF(), "text", w.toSeq, minZ = Long.MinValue)
+      .writeStream.format("memory").queryName("clf_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(base: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("clf_out").select("doc_id", "z_sum", "predicted")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(streamed.size == base.size, "stateless scorer must emit every row")
+    val diverged = batch.collect {
+      case (id, bz) if streamed(id)._1 != bz._1 => (id, bz, streamed(id))
+    }
+    assert(diverged.isEmpty, s"z divergence: ${diverged.take(5)}")
+    assert(batch.forall { case (id, bz) => streamed(id)._2 == bz._2 })
+    // and the default gate keeps exactly the predicted-positive docs
+    val mem2 = MemoryStream[Doc]
+    val q2 = StreamingDedup.classifierScoreStream(mem2.toDF(), "text", w.toSeq)
+      .writeStream.format("memory").queryName("clf_kept")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem2.addData(base: _*); q2.processAllAvailable()
+    q2.stop()
+    val kept = spark.table("clf_kept").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == batch.collect { case (id, (_, p)) if p => id }.toSet)
+  }
+
   case class Vec(vec_id: Long, ts: Timestamp, embedding: Seq[Float])
 
   test("streaming embedding decontamination drops pinned-eval look-alikes") {
