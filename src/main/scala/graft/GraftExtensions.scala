@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BigramLogitExpr, BinRead, BinRfind, BlockCosinePairsExpr, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePieceCountExpr, BpePiecesExpr, CutSpansExpr, EncodingStatsExpr, GopherStatsExpr, GramFps60Expr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, SparseLogitExpr, TokenCountsExpr, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
+import graft.functions.{ArgMaxLastExpr, BigramLogitExpr, BinRead, BinRfind, BlockCosinePairsExpr, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePieceCountExpr, BpePiecesExpr, CutSpansExpr, EncodingStatsExpr, GopherStatsExpr, GramFps60Expr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, SparseLogitExpr, TokenCountsExpr, TopCellsExpr, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -234,6 +234,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BloomContains(children(0), children(1), k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("arg_max_last"),
+      new ExpressionInfo(classOf[ArgMaxLastExpr].getName, "arg_max_last"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArgMaxLastExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("top_cells"),
+      new ExpressionInfo(classOf[TopCellsExpr].getName, "top_cells"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopCellsExpr(children(0), intLit("top_cells")(children(1)))))
     ext.injectFunction((
       FunctionIdentifier("mat_vec"),
       new ExpressionInfo(classOf[MatVec].getName, "mat_vec"),

@@ -347,3 +347,105 @@ case class BlockCosinePairsExpr(child: Expression, minSim: Double)
   override protected def withNewChildInternal(newChild: Expression): BlockCosinePairsExpr =
     copy(child = newChild)
 }
+
+/** Argmax over array<double> with ties resolved to the HIGHEST index — the
+  * exact semantics of `array_max(array(struct(sim, cid), ...)).getField("cid")`
+  * (struct max compares sim first, then cid, so equal sims pick the higher
+  * cid). Double comparison mirrors Spark SQL ordering: -0.0 == 0.0, NaN
+  * greater than everything. One kernel call replaces the nCentroids-struct
+  * expression tree every IVF/SemDeDup cell assignment used to build — the
+  * tree was codegen-able but its size (16 structs × vec_dot) dominated the
+  * per-row cost and the per-stage Janino compile. Empty input → -1 (never
+  * occurs: centroid sets are non-empty literals). */
+object ArgMaxLast {
+  def run(a: ArrayData): Int = {
+    val n = a.numElements()
+    var best = java.lang.Double.NEGATIVE_INFINITY
+    var bi = -1
+    var i = 0
+    while (i < n) {
+      val v = a.getDouble(i)
+      // v >= best with Spark semantics: > or == (covers -0.0 == 0.0); NaN
+      // wins over non-NaN and ties with NaN keep the later index
+      if (v > best || v == best || (java.lang.Double.isNaN(v) &&
+            (java.lang.Double.isNaN(best) || !(best > v)))) {
+        best = v; bi = i
+      }
+      i += 1
+    }
+    bi
+  }
+}
+
+case class ArgMaxLastExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"arg_max_last expects array<double>, got $other")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "arg_max_last"
+  override def nullSafeEval(a: Any): Any =
+    ArgMaxLast.run(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArgMaxLast.run($c)")
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxLastExpr =
+    copy(child = newChild)
+}
+
+/** Top-n indices of array<double> ordered by (value DESC, index DESC) — the
+  * exact semantics of `slice(reverse(array_sort(array(struct(sim, cid)...))),
+  * 1, n)` projected to cid: array_sort ascends by (sim, cid), reverse gives
+  * sim DESC then cid DESC. Same Spark double ordering as [[ArgMaxLast]]
+  * (NaN greatest, -0.0 == 0.0). Selection loop — n (nProbe) is small and
+  * the input length is nCentroids. */
+object TopCells {
+  private def before(v: Double, i: Int, bv: Double, bi: Int): Boolean = {
+    // (v, i) orders before (bv, bi) under value DESC, index DESC
+    if (java.lang.Double.isNaN(v)) !java.lang.Double.isNaN(bv) || i > bi
+    else if (java.lang.Double.isNaN(bv)) false
+    else if (v > bv) true
+    else if (v == bv) i > bi
+    else false
+  }
+  def run(a: ArrayData, n: Int): ArrayData = {
+    val len = a.numElements()
+    val k = math.min(n, len)
+    if (k <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Int])
+    val idx = new Array[Int](k)
+    val vals = new Array[Double](k)
+    var size = 0
+    var i = 0
+    while (i < len) {
+      val v = a.getDouble(i)
+      if (size < k || before(v, i, vals(size - 1), idx(size - 1))) {
+        var p = if (size < k) size else k - 1
+        while (p > 0 && before(v, i, vals(p - 1), idx(p - 1))) {
+          vals(p) = vals(p - 1); idx(p) = idx(p - 1); p -= 1
+        }
+        vals(p) = v; idx(p) = i
+        if (size < k) size += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(idx)
+  }
+}
+
+case class TopCellsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_cells expects array<double>, got $other")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "top_cells"
+  override def nullSafeEval(a: Any): Any =
+    TopCells.run(a.asInstanceOf[ArrayData], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TopCells.run($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): TopCellsExpr =
+    copy(child = newChild)
+}

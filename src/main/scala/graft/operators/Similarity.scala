@@ -154,7 +154,7 @@ object Similarity {
     try {
       for (_ <- 0 until iters) {
         val sums = unit
-          .select(array_max(cellSimsFor(cents)(col("u"))).getField("cid").as("cell"),
+          .select(argMaxCell(cellSimsFor(cents)(col("u"))).as("cell"),
             posexplode(col("u")))
           .groupBy("cell", "pos").agg(sum("col").as("s"))
           .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
@@ -205,7 +205,7 @@ object Similarity {
       var covered = false
       while (r <= rounds && !covered) {
         val withCost = unit.select(col("id"), col("u"),
-          (lit(1.0) - array_max(cellSimsFor(cand)(col("u"))).getField("sim"))
+          (lit(1.0) - array_max(cellSimsFor(cand)(col("u"))))
             .as("cost"))
         val phi = withCost.agg(sum(col("cost"))).head().getDouble(0)
         if (phi <= 0) covered = true
@@ -224,7 +224,7 @@ object Similarity {
       }
       // weight candidates by attraction, reduce to k driver-side
       val wRows = unit
-        .select(array_max(cellSimsFor(cand)(col("u"))).getField("cid").as("cid"))
+        .select(argMaxCell(cellSimsFor(cand)(col("u"))).as("cid"))
         .groupBy("cid").agg(count(lit(1)).as("n")).collect()
       val weights = Array.fill(cand.size)(0L)
       wRows.foreach(row => weights(row.getInt(0)) = row.getLong(1))
@@ -295,10 +295,25 @@ object Similarity {
   }
 
   /** array<struct<sim,cid>> of similarities to every centroid. */
+  /** Per-centroid dot products as ONE `mat_vec` kernel call: sims[i] =
+    * cᵢ · v, index = cid. Replaces the old nCentroids-struct expression
+    * tree (16 structs × vec_dot per row): the fold per centroid row is the
+    * same strict left-to-right sum, so every derived quantity — argmax
+    * cell ([[graft.functions.ArgMaxLast]], ties → higher cid like the old
+    * struct max), max sim, probe order ([[graft.functions.TopCells]], sim
+    * DESC cid DESC like reverse(array_sort)) — is bit-identical; only the
+    * per-row constant factor and the Janino compile of the giant tree go
+    * away. */
   private def cellSimsFor(centroids: Seq[Seq[Double]])(v: Column): Column =
-    array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(call_function("vec_dot", v, typedLit(c)).as("sim"), lit(i).as("cid"))
-    }: _*)
+    call_function("mat_vec", typedLit(centroids), v)
+
+  /** argmax cid over [[cellSimsFor]] sims (ties → higher cid). */
+  private def argMaxCell(sims: Column): Column =
+    call_function("arg_max_last", sims)
+
+  /** Top-`n` probe cids over [[cellSimsFor]] sims (sim DESC, cid DESC). */
+  private def topCells(sims: Column, n: Int): Column =
+    call_function("top_cells", sims, lit(n))
 
   /** Public centroid derivation for callers that need the cell model OUTSIDE
     * a single operator call — e.g. the streaming SemDeDup twin, which must
@@ -322,7 +337,7 @@ object Similarity {
     * Spark's array_max struct order and the oracle's ORDER BY sim DESC,
     * cid DESC). Map-side only: centroids are expression literals. */
   def cellAssign(v: Column, centroids: Seq[Seq[Double]]): Column =
-    array_max(cellSimsFor(centroids)(v)).getField("cid")
+    argMaxCell(cellSimsFor(centroids)(v))
 
   def ivfTopK(corpus: DataFrame, corpusId: String, queries: DataFrame,
               queryId: String, vecCol: String, k: Int,
@@ -334,11 +349,10 @@ object Similarity {
     def cellSims(v: Column): Column = cellSimsFor(centroids)(v)
 
     val corpusCells = withNorm(corpus, corpusId, vecCol)
-      .withColumn("cell", array_max(cellSims(col("v"))).getField("cid"))
+      .withColumn("cell", argMaxCell(cellSims(col("v"))))
     val queryProbes = withNorm(queries, queryId, vecCol)
       .select(col(queryId).as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        explode(slice(reverse(array_sort(cellSims(col("v")))), 1, nProbe)).as("pr"))
-      .select(col("q_id"), col("qv"), col("qn"), col("pr.cid").as("cell"))
+        explode(topCells(cellSims(col("v")), nProbe)).as("cell"))
 
     val cand = corpusCells.join(queryProbes, "cell")
     val sims = cand.withColumn("sim",
@@ -629,7 +643,7 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
     withNorm(corpus, corpusId, vecCol)
       .withColumn("cell",
-        array_max(cellSimsFor(centroids)(col("v"))).getField("cid"))
+        argMaxCell(cellSimsFor(centroids)(col("v"))))
       .withColumnRenamed(corpusId, "id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
@@ -644,9 +658,7 @@ object Similarity {
     val centroids = loadCentroids(spark, path)
     val queryProbes = withNorm(queries, queryId, vecCol)
       .select(col(queryId).as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        explode(slice(reverse(array_sort(cellSimsFor(centroids)(col("v")))),
-          1, nProbe)).as("pr"))
-      .select(col("q_id"), col("qv"), col("qn"), col("pr.cid").as("cell"))
+        explode(topCells(cellSimsFor(centroids)(col("v")), nProbe)).as("cell"))
     val probedCells = queryProbes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq // bounded by nCentroids
     val cells = spark.read.parquet(s"$path/cells")
@@ -775,7 +787,7 @@ object Similarity {
     // cell assignment FIRST: residual codebooks must train on r = v̂ − s(cell)
     val base = withNorm(corpus, corpusId, vecCol)
       .withColumn("cell",
-        array_max(cellSimsFor(centroids)(col("v"))).getField("cid"))
+        argMaxCell(cellSimsFor(centroids)(col("v"))))
       .withColumn("u", transform(col("v"), _ / col("nrm")))
     // per-cell MEAN of the unit members — the L2-optimal shift. One small
     // partial-agg pass; driver holds only nCentroids × dim doubles (bounded
@@ -901,18 +913,16 @@ object Similarity {
     candidateBudget match {
       case None =>
         q.select(col("q_id"), col("qv"), col("qn"),
-            explode(slice(reverse(array_sort(cellSimsFor(centroids)(col("qv")))),
-              1, nProbe)).as("pr"))
-          .select(col("q_id"), col("qv"), col("qn"), col("pr.cid").as("cell"))
+            explode(topCells(cellSimsFor(centroids)(col("qv")), nProbe)).as("cell"))
       case Some(budget) =>
         val counts = typedLit(cellCounts)
         val wP = Window.partitionBy("q_id").orderBy("pos")
           .rowsBetween(Window.unboundedPreceding, -1)
         q.select(col("q_id"), col("qv"), col("qn"),
-            posexplode(slice(reverse(array_sort(cellSimsFor(centroids)(col("qv")))),
-              1, math.max(1, maxProbe))))
+            posexplode(topCells(cellSimsFor(centroids)(col("qv")),
+              math.max(1, maxProbe))))
           .select(col("q_id"), col("qv"), col("qn"), col("pos"),
-            col("col").getField("cid").as("cell"))
+            col("col").as("cell"))
           .withColumn("cum", sum(element_at(counts, col("cell") + 1)).over(wP))
           .filter(col("pos") === 0 || coalesce(col("cum"), lit(0L)) < budget)
           .drop("pos", "cum")
