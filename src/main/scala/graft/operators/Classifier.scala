@@ -37,7 +37,8 @@ object Classifier {
   /** Hashed-bigram feature counts: (doc_id, f, x). */
   private def bigramFeatures(df: DataFrame, idCol: String, textCol: String,
                              buckets: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("tk"))
+    graft.operators.spread(df)
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("tk"))
       .select(col("doc_id"), explode(arrays_zip(
         slice(col("tk"), lit(1), size(col("tk")) - 1).as("w1"),
         slice(col("tk"), lit(2), size(col("tk")) - 1).as("w2"))).as("bg"))

@@ -77,7 +77,10 @@ object TextQueries {
     // multilingual text is measured in LangIdNgramSpec; this gate pins the
     // scores AND the decision on every document. ---------------------------
     QueryDef("p42_langid_ngram",
-      (s, d) => T.documents(s, d)
+      // spread: one cheap round-robin of the raw text (bench-SF parquet is
+      // 1-2 splits) so the compiled gram_score scan uses every core; a no-op
+      // at corpus scale where the scan already has enough splits
+      (s, d) => graft.operators.spread(T.documents(s, d))
         .select(col("doc_id"), TextOps.langIdNgram(col("text")).as("lg"))
         .select(col("doc_id"), col("lg.s_en").as("s_en"), col("lg.s_de").as("s_de"),
           col("lg.s_fr").as("s_fr"), col("lg.s_es").as("s_es"),
@@ -87,7 +90,7 @@ object TextQueries {
 
     // ---- p10: winnowing fingerprints (rolling-hash mirror in DuckDB) -------
     QueryDef("p10_winnowing",
-      (s, d) => T.documents(s, d)
+      (s, d) => graft.operators.spread(T.documents(s, d))
         .select(col("doc_id"), TextOps.winnowFingerprints(col("text")).as("fps"))
         .select(col("doc_id"),
           size(col("fps")).cast("long").as("n_fps"),
@@ -239,7 +242,8 @@ object TextQueries {
     // partial aggregation, so quality sums go through DECIMAL(18,12) (exact,
     // order-independent) and divide back to double — hash-stable. ----------
     QueryDef("p34_corpus_report",
-      (s, d) => T.documents(s, d).select(col("doc_id"), col("source"),
+      (s, d) => graft.operators.spread(T.documents(s, d))
+        .select(col("doc_id"), col("source"),
           TextOps.qualityScore(col("text")).as("q"),
           TextOps.dupTokenFrac(TextOps.tokens(col("text"))).as("dupf"),
           TextOps.top2gramFrac(TextOps.tokens(col("text"))).as("topg"),

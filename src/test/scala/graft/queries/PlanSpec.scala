@@ -217,9 +217,10 @@ class PlanSpec extends SparkSpecBase {
 
   test("p49 cluster sample: map-only assignment, one rank-window pass") {
     val p = plan("p49_cluster_sample")
-    // assignment is centroid literals in projection (vec_dot kernel), the
-    // only work after it is the per-cell rank window; no joins at all
-    assert(p.contains("vec_dot"), p.take(2000))
+    // assignment is centroid literals in projection (one mat_vec +
+    // arg_max_last kernel pass), the only work after it is the per-cell
+    // rank window; no joins at all
+    assert(p.contains("arg_max_last(mat_vec("), p.take(2000))
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
     assert(!p.contains("Join"), p.take(2000))
   }
