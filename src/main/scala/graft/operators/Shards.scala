@@ -105,6 +105,44 @@ object Shards {
       sum(col(tokensCol)).over(w) - col(tokensCol), lit(budget)))
   }
 
+  /** Context-window SEQUENCE packing — "concatenate documents in order, cut
+    * every `ctx` tokens": the step that turns a curated corpus into the
+    * fixed-length training sequences a pretraining loader consumes
+    * (sequences cross document boundaries; a long document spans several
+    * sequences). Emits one row per (document, sequence) SPAN:
+    * input columns + `seq_id` (ctx-token sequence number within the
+    * partition) + `span_start` (token offset of the span INSIDE the
+    * document) + `span_len` — enough to materialize every sequence by
+    * slicing its member documents. Zero-token documents vanish (they
+    * contribute no span) but still hold their place in the offset sum.
+    *
+    * Exactness: offsets are an integer cumulative sum in (partCol,
+    * orderCol) order; span bounds are integer div/least/greatest — no
+    * doubles anywhere, so the layout is engine-exact.
+    *
+    * Shape at 100 TB: same as [[packShards]] — ONE window partitioned by
+    * partCol (each partition cumsums independently in parallel; feed a
+    * bounded partition key — a source/date bucket or packShards' own
+    * shard_id — never a constant), then a MAP-ONLY explode of each doc's
+    * covered sequence range (≤ 1 + tk/ctx rows per doc; total output is
+    * ~corpus_tokens/ctx spans, the training set itself). */
+  def packSequences(df: DataFrame, partCol: String, orderCol: String,
+                    tokensCol: String, ctx: Long): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("tok_start", sum(col(tokensCol)).over(w) - col(tokensCol))
+      .filter(col(tokensCol) > 0)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"tok_start div ${ctx}L"),
+        expr(s"(tok_start + $tokensCol - 1L) div ${ctx}L"))))
+      .withColumn("span_start",
+        greatest(col("seq_id") * ctx - col("tok_start"), lit(0L)))
+      .withColumn("span_len",
+        least((col("seq_id") + lit(1L)) * ctx - col("tok_start"),
+          col(tokensCol)) - col("span_start"))
+      .drop("tok_start")
+  }
+
   /** Weighted sample without replacement via PRIORITY SAMPLING (Duffield,
     * Lund & Thorup, JACM'07): each row gets priority `w/u` for a uniform
     * u ∈ (0,1]; the k largest priorities are the sample. Inclusion odds are

@@ -419,6 +419,36 @@ object CorpusQueries {
             AS BIGINT) AS rk FROM pri)
         SELECT doc_id, r.source, weight, priority, rk, n, quota
         FROM r JOIN q ON r.source = q.source
-        WHERE rk <= quota ORDER BY doc_id"""))
+        WHERE rk <= quota ORDER BY doc_id""")),
+
+    // ---- p63: context-window sequence packing — concat docs in (source,
+    // doc_id) order, cut every 512 tokens, emit one row per (doc, sequence)
+    // span (the GPT/Megatron pretraining data layout: which slice of which
+    // document lands in which fixed-length training sequence). Integer
+    // cumsum + div only — engine-exact. ------------------------------------
+    QueryDef("p63_pack_sequences",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk"))
+        Shards.packSequences(docs, "source", "doc_id", "tk", ctx = 512L)
+          .orderBy("source", "seq_id", "doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, source, CAST(len($ToksSql) AS BIGINT) AS tk
+          FROM documents),
+        w AS (SELECT doc_id, source, tk,
+            -- DuckDB SUM(BIGINT) widens to HUGEINT; pull back for range()
+            CAST(SUM(tk) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - tk AS BIGINT) AS tok_start
+          FROM t),
+        sp AS (SELECT doc_id, source, tk, tok_start,
+            unnest(range(tok_start // 512,
+                         (tok_start + tk - 1) // 512 + 1)) AS seq_id
+          FROM w WHERE tk > 0)
+        SELECT doc_id, source, tk, seq_id,
+          greatest(seq_id * 512 - tok_start, 0) AS span_start,
+          least((seq_id + 1) * 512 - tok_start, tk)
+            - greatest(seq_id * 512 - tok_start, 0) AS span_len
+        FROM sp ORDER BY source, seq_id, doc_id"""))
   )
 }

@@ -392,4 +392,38 @@ class ShardsSpec extends SparkSpecBase {
       assert(toks.sum - toks.last < budget)
     }
   }
+
+  test("packSequences: spans tile every sequence exactly and cover each doc") {
+    val ctx = 100L
+    val docs = Seq(
+      ("s1", 1L, 30L), ("s1", 2L, 0L), ("s1", 3L, 250L), ("s1", 4L, 20L),
+      ("s2", 5L, 100L), ("s2", 6L, 1L))
+      .toDF("source", "doc_id", "tk")
+    val out = Shards.packSequences(docs, "source", "doc_id", "tk", ctx)
+      .select("source", "doc_id", "tk", "seq_id", "span_start", "span_len")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // zero-token doc emits nothing
+    assert(!out.exists(_._2 == 2L))
+    // per doc: spans are contiguous from 0 and sum to tk
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val spans = rows.sortBy(_._4).map(r => (r._5, r._6))
+      assert(spans.head._1 == 0L)
+      spans.toSeq.sliding(2).foreach {
+        case Seq((s0, l0), (s1, _)) => assert(s0 + l0 == s1); case _ => }
+      assert(spans.map(_._2).sum == rows.head._3)
+    }
+    // per (partition, sequence): spans fill exactly ctx tokens, except the
+    // final (partial) sequence of each partition which holds the remainder
+    val totals = Map("s1" -> 300L, "s2" -> 101L)
+    out.groupBy(r => (r._1, r._4)).foreach { case ((src, seq), rows) =>
+      val filled = rows.map(_._6).sum
+      val lastSeq = (totals(src) - 1) / ctx
+      if (seq < lastSeq) assert(filled == ctx, s"$src seq $seq: $filled")
+      else assert(filled == totals(src) - lastSeq * ctx)
+    }
+    // doc 3 (250 toks starting at offset 30) crosses two boundaries
+    assert(out.count(_._2 == 3L) == 3)
+  }
 }

@@ -302,6 +302,13 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(3000))
   }
 
+  test("p63 sequence packing: one partitioned window + map-only explode, no joins") {
+    val p = plan("p63_pack_sequences")
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("Generate"), p.take(3000)) // the per-doc span explode
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("p62 classifier-gated sample: literal weights, exact-k draw is TakeOrdered") {
     val p = plan("p62_classifier_sample")
     // trained weights ride as literals into the final scoring pass (no
