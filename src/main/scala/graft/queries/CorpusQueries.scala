@@ -449,6 +449,58 @@ object CorpusQueries {
           greatest(seq_id * 512 - tok_start, 0) AS span_start,
           least((seq_id + 1) * 512 - tok_start, tk)
             - greatest(seq_id * 512 - tok_start, 0) AS span_len
+        FROM sp ORDER BY source, seq_id, doc_id""")),
+
+    // ---- p64: MULTIMODAL sequence packing — each doc's budget is its text
+    // tokens PLUS the ViT patch grid of its attached image (ceil(w/14) ×
+    // ceil(h/14), the vision-transformer patch count an interleaved
+    // image-text loader reserves), then the p63 concat-and-cut layout at
+    // ctx=2048. Decode dims come from the stub codec (real mapPartitions
+    // plumbing, deterministic fake decode — the documented multimodal
+    // contract), which the oracle re-derives byte-for-byte like p14.
+    // Patch math is all-integer ((w+13) div 14). -------------------------
+    QueryDef("p64_pack_multimodal",
+      (s, d) => {
+        val media = Multimodal.attachBinary(
+          T.documents(s, d).select("doc_id", "source", "text"), "text", "image")
+        val costed = Multimodal.decodeMeta(media, "content")
+          .select(col("doc_id"), col("source"),
+            (TextOps.tokenCount(col("text")).cast("long") +
+              expr("(CAST(decoded_width AS BIGINT) + 13L) div 14L") *
+              expr("(CAST(decoded_height AS BIGINT) + 13L) div 14L"))
+              .as("tk"))
+        Shards.packSequences(costed, "source", "doc_id", "tk", ctx = 2048L)
+          .orderBy("source", "seq_id", "doc_id")
+      },
+      Some(s"""
+        WITH b AS (SELECT doc_id, source, text, hex(encode(text)) AS hx,
+            octet_length(encode(text)) AS olen
+          FROM documents),
+        ch AS (SELECT doc_id, source, text,
+            list_transform(range(0, olen),
+              i -> ('0x' || substring(hx, 2*i+1, 2))::BIGINT) AS bytes
+          FROM b),
+        h AS (SELECT doc_id, source, text,
+            list_reduce(list_prepend(CAST(17 AS BIGINT), bytes),
+              (a, c) -> (a*31 + c) % 1000003) AS hv
+          FROM ch),
+        t AS (SELECT doc_id, source,
+            CAST(len($ToksSql) AS BIGINT)
+              + (((hv % 1920) + 14) // 14)
+                * ((((hv // 1920) % 1080) + 14) // 14) AS tk
+          FROM h),
+        w AS (SELECT doc_id, source, tk,
+            CAST(SUM(tk) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - tk AS BIGINT) AS tok_start
+          FROM t),
+        sp AS (SELECT doc_id, source, tk, tok_start,
+            unnest(range(tok_start // 2048,
+                         (tok_start + tk - 1) // 2048 + 1)) AS seq_id
+          FROM w WHERE tk > 0)
+        SELECT doc_id, source, tk, seq_id,
+          greatest(seq_id * 2048 - tok_start, 0) AS span_start,
+          least((seq_id + 1) * 2048 - tok_start, tk)
+            - greatest(seq_id * 2048 - tok_start, 0) AS span_len
         FROM sp ORDER BY source, seq_id, doc_id"""))
   )
 }

@@ -309,6 +309,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("p64 multimodal packing: decode feeds one window + explode, no joins") {
+    val p = plan("p64_pack_multimodal")
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("Generate"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("p62 classifier-gated sample: literal weights, exact-k draw is TakeOrdered") {
     val p = plan("p62_classifier_sample")
     // trained weights ride as literals into the final scoring pass (no
