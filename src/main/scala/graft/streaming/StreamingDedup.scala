@@ -143,6 +143,63 @@ object StreamingDedup {
       .filter(col("z_sum") >= lit(minZ))
   }
 
+  final case class PackIn(part: String, id: Long, ts: Timestamp, tk: Long)
+  final case class PackSpan(part: String, doc_id: Long, ts: Timestamp,
+                            tk: Long, seq_id: Long, span_start: Long,
+                            span_len: Long)
+  final case class PackState(offset: Long)
+
+  /** Streaming sequence packing — the streaming twin of
+    * [[graft.operators.Shards.packSequences]]: documents arriving on a
+    * partition key are concatenated in arrival order and cut into
+    * fixed-`ctx`-token training sequences, emitting the same
+    * (doc, sequence) span rows the batch layout produces. State is ONE
+    * Long per partition key (the running token offset) — bounded by the
+    * partition-key cardinality, never by stream length, so there is no
+    * watermark and no timeout: a shard packer runs for the stream's life
+    * and sequence ids keep monotonically growing across micro-batches
+    * (checkpoint restart resumes the offset).
+    *
+    * Ordering contract: batch packs in (partCol, orderCol) order; a stream
+    * packs in ARRIVAL order — within one micro-batch group invocation rows
+    * process in (ts, id) order, so feeding the batch input in its batch
+    * order reproduces the batch layout exactly (parity spec). Zero-token
+    * documents emit nothing but hold their place in the offset sum, like
+    * the batch twin. */
+  def packSequencesStream(docs: DataFrame, partCol: String, idCol: String,
+                          tsCol: String, tokensCol: String,
+                          ctx: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(partCol).cast("string").as("part"),
+        col(idCol).cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(tokensCol).cast("long").as("tk"))
+      .as[PackIn]
+      .groupByKey(_.part)
+      .flatMapGroupsWithState[PackState, PackSpan](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (part: String, rows: Iterator[PackIn], state: GroupState[PackState]) =>
+          var off = state.getOption.map(_.offset).getOrElse(0L)
+          val out = Seq.newBuilder[PackSpan]
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.id)).foreach { r =>
+            if (r.tk > 0) {
+              var s = off / ctx
+              val s1 = (off + r.tk - 1) / ctx
+              while (s <= s1) {
+                val start = math.max(s * ctx - off, 0L)
+                val len = math.min((s + 1) * ctx - off, r.tk) - start
+                out += PackSpan(part, r.id, r.ts, r.tk, s, start, len)
+                s += 1
+              }
+            }
+            off += r.tk
+          }
+          state.update(PackState(off))
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Streaming NEAR-duplicate dedup — the streaming twin of
     * `Dedup.dedupNear`, at candidate level: a document is kept iff NONE of
     * its MinHash-LSH band keys was claimed by an earlier document within the

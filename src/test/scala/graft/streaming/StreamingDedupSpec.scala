@@ -136,6 +136,50 @@ class StreamingDedupSpec extends SparkSpecBase {
         s"onlyBatch=${(batchKept -- kept).take(5)}")
   }
 
+  case class PackDoc(source: String, doc_id: Long, ts: Timestamp, tk: Long)
+
+  test("streaming sequence packing matches the batch layout and persists offsets") {
+    import spark.implicits._
+    // batch input ordered by (source, doc_id): ts encodes that order so the
+    // stream's (ts, id) intra-batch sort reproduces the batch layout
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(col("source"), col("doc_id"),
+        graft.operators.TextOps.tokenCount(col("text")).cast("long").as("tk"))
+      .orderBy("source", "doc_id").collect()
+      .zipWithIndex.map { case (r, i) =>
+        PackDoc(r.getString(0), r.getLong(1),
+          new Timestamp(1700000000000L + i * 1000L), r.getLong(2)) }.toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PackDoc]
+    val q = StreamingDedup.packSequencesStream(
+        mem.toDF(), "source", "doc_id", "ts", "tk", ctx = 512L)
+      .writeStream.format("memory").queryName("pack_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // split MID-SOURCE so the second micro-batch must resume offsets
+    val (b1, b2) = docs.splitAt(docs.size / 2 + 3)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("pack_out")
+      .select("part", "doc_id", "seq_id", "span_start", "span_len")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val batchDf = docs.map(d => (d.source, d.doc_id, d.tk))
+      .toDF("source", "doc_id", "tk")
+    val batch = graft.operators.Shards
+      .packSequences(batchDf, "source", "doc_id", "tk", ctx = 512L)
+      .select("source", "doc_id", "seq_id", "span_start", "span_len")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"layout divergence: onlyStream=${(streamed -- batch).take(5)} " +
+        s"onlyBatch=${(batch -- streamed).take(5)}")
+  }
+
   test("streaming classifier scoring matches batch z_sum under pinned weights") {
     import spark.implicits._
     // the p57 planted-marker corpus: train batch-side, pin the weights
