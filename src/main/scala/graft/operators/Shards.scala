@@ -237,4 +237,38 @@ object Shards {
       .select(col(idCol), col(strataCol), col("weight"), col("priority"),
         col("rk"), col("n"), col("quota"))
   }
+
+  /** Deterministic SPAN-CORRUPTION plan — the mask layout a T5/UL2-style
+    * denoising objective needs per document: ~`noisePermille`/1000 of the
+    * tokens covered by `meanSpan`-length spans, one row per span
+    * (span_ix, span_start, span_len). Where the published recipes draw
+    * spans randomly (and must merge overlaps), this plan is a pure
+    * function of (id, salt): the document divides into n_spans equal
+    * token segments (n_spans = tk·noisePermille div (1000·meanSpan)) and
+    * each segment places ONE span at an md5-jittered offset — spans can
+    * never overlap by construction, every placement is reproducible
+    * across runs/engines (the [[splitBucket]] determinism contract), and
+    * the corruption rate is exact: 3·(tk div 20) tokens at the defaults.
+    * Segments shorter than meanSpan (degenerate parameters) emit nothing.
+    *
+    * Shape at 100 TB: MAP-ONLY — an explode of ≤ tk·noise/(1000·span)
+    * rows per doc, integer div/mod arithmetic, no shuffle anywhere. */
+  def spanCorruptionPlan(df: DataFrame, idCol: String, tokensCol: String,
+                         noisePermille: Long = 150L, meanSpan: Long = 3L,
+                         salt: String = "graft"): DataFrame = {
+    df.withColumn("n_spans",
+        expr(s"CAST($tokensCol AS BIGINT) * ${noisePermille}L div ${1000L * meanSpan}L"))
+      .filter(col("n_spans") > 0)
+      .withColumn("span_ix", explode(sequence(lit(0L), col("n_spans") - 1)))
+      .withColumn("seg_start", expr(s"span_ix * CAST($tokensCol AS BIGINT) div n_spans"))
+      .withColumn("seg_len",
+        expr(s"(span_ix + 1L) * CAST($tokensCol AS BIGINT) div n_spans") - col("seg_start"))
+      .filter(col("seg_len") >= meanSpan)
+      .withColumn("span_start", col("seg_start") +
+        pmod(Dedup.mdHash31(concat(lit(salt), col(idCol).cast("string"),
+          lit("_"), col("span_ix").cast("string"))),
+          col("seg_len") - lit(meanSpan) + 1L))
+      .withColumn("span_len", lit(meanSpan))
+      .drop("seg_start", "seg_len")
+  }
 }

@@ -501,6 +501,36 @@ object CorpusQueries {
           greatest(seq_id * 2048 - tok_start, 0) AS span_start,
           least((seq_id + 1) * 2048 - tok_start, tk)
             - greatest(seq_id * 2048 - tok_start, 0) AS span_len
-        FROM sp ORDER BY source, seq_id, doc_id"""))
+        FROM sp ORDER BY source, seq_id, doc_id""")),
+
+    // ---- p65: deterministic span-corruption plan — the T5/UL2 denoising
+    // mask layout (~15% of tokens in 3-token spans), placed by segmented
+    // md5 jitter so spans never overlap and every placement is a pure
+    // function of (doc_id, salt). Map-only; all-integer div/mod. ----------
+    QueryDef("p65_span_corruption",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk"))
+        Shards.spanCorruptionPlan(docs, "doc_id", "tk")
+          .orderBy("doc_id", "span_ix")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS tk
+          FROM documents),
+        n AS (SELECT doc_id, tk, tk * 150 // 3000 AS n_spans
+          FROM t WHERE tk * 150 // 3000 > 0),
+        sp AS (SELECT doc_id, tk, n_spans,
+            unnest(range(0, n_spans)) AS span_ix FROM n),
+        seg AS (SELECT doc_id, tk, n_spans, span_ix,
+            span_ix * tk // n_spans AS seg_start,
+            (span_ix + 1) * tk // n_spans - span_ix * tk // n_spans AS seg_len
+          FROM sp)
+        SELECT doc_id, tk, n_spans, span_ix,
+          seg_start + ((('0x' || substring(md5('graft'
+              || CAST(doc_id AS VARCHAR) || '_'
+              || CAST(span_ix AS VARCHAR)), 1, 15))::BIGINT
+            % 2147483648) % (seg_len - 2)) AS span_start,
+          CAST(3 AS BIGINT) AS span_len
+        FROM seg WHERE seg_len >= 3 ORDER BY doc_id, span_ix"""))
   )
 }

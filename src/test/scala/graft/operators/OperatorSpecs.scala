@@ -426,4 +426,33 @@ class ShardsSpec extends SparkSpecBase {
     // doc 3 (250 toks starting at offset 30) crosses two boundaries
     assert(out.count(_._2 == 3L) == 3)
   }
+
+  test("spanCorruptionPlan: spans in bounds, non-overlapping, exact rate") {
+    val docs = Seq((1L, 100L), (2L, 19L), (3L, 20L), (4L, 1000L), (5L, 0L))
+      .toDF("doc_id", "tk")
+    val out = Shards.spanCorruptionPlan(docs, "doc_id", "tk")
+      .select("doc_id", "tk", "n_spans", "span_ix", "span_start", "span_len")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // n_spans = tk*150 div 3000 = tk div 20; below 20 tokens -> no rows
+    assert(!out.exists(r => r._1 == 2L || r._1 == 5L))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val tk = rows.head._2
+      assert(rows.length == (tk / 20).toInt)
+      rows.foreach { r =>
+        assert(r._6 == 3L && r._5 >= 0 && r._5 + 3 <= tk, r) }
+      // non-overlap: sorted span starts are >= 3 apart
+      rows.map(_._5).sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a >= 3, s"overlap at $a,$b"); case _ => }
+    }
+    // determinism: a different salt moves spans, same salt reproduces
+    val again = Shards.spanCorruptionPlan(docs, "doc_id", "tk")
+      .select("doc_id", "span_ix", "span_start").collect().toSeq
+    val other = Shards.spanCorruptionPlan(docs, "doc_id", "tk", salt = "x")
+      .select("doc_id", "span_ix", "span_start").collect().toSeq
+    assert(again.toSet == Shards.spanCorruptionPlan(docs, "doc_id", "tk")
+      .select("doc_id", "span_ix", "span_start").collect().toSet)
+    assert(again.toSet != other.toSet)
+  }
 }

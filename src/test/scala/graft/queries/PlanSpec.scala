@@ -316,6 +316,12 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("p65 span corruption: map-only explode, no joins, no aggregates") {
+    val p = plan("p65_span_corruption")
+    assert(p.contains("Generate"), p.take(3000))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("p62 classifier-gated sample: literal weights, exact-k draw is TakeOrdered") {
     val p = plan("p62_classifier_sample")
     // trained weights ride as literals into the final scoring pass (no
