@@ -63,15 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("bigram_logit"),
       new ExpressionInfo(classOf[BigramLogitExpr].getName, "bigram_logit"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        val b = children(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"bigram_logit expects a literal bucket count, got $other")
-        }
-        BigramLogitExpr(children.head, children(1), b)
-      }))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BigramLogitExpr(children.head, children(1),
+          intLit("bigram_logit")(children(2)))))
     ext.injectFunction((
       FunctionIdentifier("sparse_logit"),
       new ExpressionInfo(classOf[SparseLogitExpr].getName, "sparse_logit"),

@@ -55,29 +55,35 @@ object Classifier {
     lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
   }
 
-  /** Train `iters` full-batch steps and score every document.
-    * `labelCol` is the boolean training target. Output per doc:
-    * (doc_id, z_sum BIGINT, prob, label, predicted, correct) — `predicted`
-    * is integer-armed (z_sum >= 0 ⇔ prob >= 0.5). `etaScaled` is the
-    * learning rate in 1e-9 weight units per 1e-6 error unit (500 ⇔ η=0.5).
-    */
+  /** Per-doc sparse feature table (doc_id, label, fx) — built ONCE and
+    * persisted, shared by [[trainWeights]] and [[trainScoreLr]] so the
+    * bit-identical-weights contract covers feature CONSTRUCTION as well as
+    * the GD loop. `fx` coalesces to an EMPTY array for documents with
+    * fewer than two tokens (no bigrams): their logit is then the exact 0
+    * that the oracle's COALESCE(SUM(..), 0) and the streaming
+    * `bigram_logit` kernel compute — a NULL fx would instead score such
+    * docs NULL and silently drop them from any predicted-gated output. */
+  private def featureTable(docs: DataFrame, buckets: Int): DataFrame =
+    docs.select(col("doc_id"), col("label"))
+      .join(bigramFeatures(docs, "doc_id", "text", buckets)
+          .groupBy("doc_id")
+          .agg(collect_list(struct(col("f"), col("x"))).as("fx")),
+        Seq("doc_id"), "left")
+      .withColumn("fx", coalesce(col("fx"),
+        expr("CAST(array() AS array<struct<f:bigint,x:bigint>>)")))
+
   /** Train only, returning the weight vector (1e-9 units, index = bucket)
     * — the artifact the STATELESS streaming scoring twin pins before the
     * stream starts ([[graft.streaming.StreamingDedup.classifierScoreStream]]),
     * and what a real pipeline persists as "the quality model". Identical
-    * loop to [[trainScoreLr]] (same integer math, same iteration count →
-    * bit-identical weights). */
+    * loop to [[trainScoreLr]] (same feature table, same integer math, same
+    * iteration count → bit-identical weights). */
   def trainWeights(df: DataFrame, idCol: String, textCol: String,
                    labelCol: Column, buckets: Int = 256, iters: Int = 5,
                    etaScaled: Long = 500L): Array[Long] = {
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       labelCol.as("label"))
-    val docFeats = docs.select(col("doc_id"), col("label"))
-      .join(bigramFeatures(docs, "doc_id", "text", buckets)
-          .groupBy("doc_id")
-          .agg(collect_list(struct(col("f"), col("x"))).as("fx")),
-        Seq("doc_id"), "left")
-      .persist()
+    val docFeats = featureTable(docs, buckets).persist()
     val n = docFeats.count()
     val w = runGd(docFeats, n, buckets, iters, etaScaled)
     docFeats.unpersist(blocking = false)
@@ -110,6 +116,12 @@ object Classifier {
     w
   }
 
+  /** Train `iters` full-batch steps and score every document.
+    * `labelCol` is the boolean training target. Output per doc:
+    * (doc_id, z_sum BIGINT, prob, label, predicted, correct) — `predicted`
+    * is integer-armed (z_sum >= 0 ⇔ prob >= 0.5). `etaScaled` is the
+    * learning rate in 1e-9 weight units per 1e-6 error unit (500 ⇔ η=0.5).
+    */
   def trainScoreLr(df: DataFrame, idCol: String, textCol: String,
                    labelCol: Column, buckets: Int = 256, iters: Int = 5,
                    etaScaled: Long = 500L): DataFrame = {
@@ -123,12 +135,7 @@ object Classifier {
     // per-feature partial-agg shuffle (the old loop ran two joins and two
     // shuffles per step). Exactness is untouched: z is the same exact
     // BIGINT sum (integer adds commute), e the same floored integer.
-    val docFeats = docs.select(col("doc_id"), col("label"))
-      .join(bigramFeatures(docs, "doc_id", "text", buckets)
-          .groupBy("doc_id")
-          .agg(collect_list(struct(col("f"), col("x"))).as("fx")),
-        Seq("doc_id"), "left")
-      .persist()
+    val docFeats = featureTable(docs, buckets).persist()
     val n = docFeats.count() // one job; N is part of the update rule
 
     // weights as an array literal (index f, 0-based) — one codegen source

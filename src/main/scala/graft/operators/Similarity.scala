@@ -294,7 +294,6 @@ object Similarity {
     cents
   }
 
-  /** array<struct<sim,cid>> of similarities to every centroid. */
   /** Per-centroid dot products as ONE `mat_vec` kernel call: sims[i] =
     * cᵢ · v, index = cid. Replaces the old nCentroids-struct expression
     * tree (16 structs × vec_dot per row): the fold per centroid row is the

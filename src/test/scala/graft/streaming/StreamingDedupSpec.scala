@@ -182,13 +182,19 @@ class StreamingDedupSpec extends SparkSpecBase {
 
   test("streaming classifier scoring matches batch z_sum under pinned weights") {
     import spark.implicits._
-    // the p57 planted-marker corpus: train batch-side, pin the weights
+    // the p57 planted-marker corpus PLUS featureless docs (< 2 tokens, no
+    // bigrams): batch must score them z_sum = 0 (empty-fx coalesce), the
+    // exact value the stream's bigram_logit kernel returns — a NULL on the
+    // batch side would silently drop them from any predicted-gated output
+    val shorties = Seq((100001L, "", false), (100002L, "one", false))
+      .toDF("doc_id", "text", "y")
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
       .select(col("doc_id"),
         when(pmod(col("doc_id"), lit(3)) === 0,
           concat(col("text"), lit(" qz mark qz mark qz mark")))
           .otherwise(col("text")).as("text"),
         (pmod(col("doc_id"), lit(3)) === 0).as("y"))
+      .unionByName(shorties)
     val w = graft.operators.Classifier.trainWeights(
       docs, "doc_id", "text", col("y"), buckets = 64, iters = 3)
     val batch = graft.operators.Classifier.trainScoreLr(
