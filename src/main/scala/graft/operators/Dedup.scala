@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -32,6 +33,32 @@ object Dedup {
   def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** INCREMENTAL SNAPSHOT dedup — the "crawl N+1 against the accumulated
+    * corpus" operation every periodically-refreshed corpus needs: keep a
+    * snapshot row iff (a) its content fingerprint does not already exist in
+    * the corpus, and (b) it is the first (min-id) holder of that fingerprint
+    * within the snapshot itself. Returns the surviving snapshot rows with
+    * their `fp` attached (so the caller can append them to the corpus
+    * fingerprint table, which is how the corpus side stays a compact
+    * fingerprint-only table across snapshots rather than a re-hash of all
+    * prior text).
+    *
+    * Shape at 100 TB: the corpus side is the accumulated FINGERPRINT table
+    * (16-byte rows, not documents); both the within-snapshot min-id window
+    * and the left-anti join hash-partition on `fp`, so AQE plans them as
+    * one co-partitioned shuffle of the snapshot plus one of the fingerprint
+    * table — no quadratic work, no driver state, and the result is a pure
+    * function of content, stable under re-partitioning. */
+  def snapshotDedup(snapshot: DataFrame, corpusFps: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val snapFp = snapshot.withColumn("fp", TextOps.fingerprint(col(textCol)))
+    val w = Window.partitionBy("fp").orderBy(col(idCol))
+    snapFp
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
   }
 
   /** Per-document distinct word n-gram shingle sets: (id, shingles).

@@ -238,6 +238,43 @@ object Shards {
         col("rk"), col("n"), col("quota"))
   }
 
+  /** Deterministic FILL-IN-THE-MIDDLE split plan — the FIM transform of
+    * code/infilling pretraining (Bavarian et al. 2022, "Efficient Training
+    * of Language Models to Fill in the Middle"): a `fimPermille`/1000
+    * fraction of documents is split at two uniform token cuts into
+    * (prefix, middle, suffix), half of those in PSM order and half SPM;
+    * the rest stay plain autoregressive. Where the recipe draws its cuts
+    * from an RNG, this plan derives everything from md5 of (salt, id) —
+    * the [[splitBucket]] determinism contract: re-runs, re-partitionings,
+    * and the DuckDB oracle all place identical cuts. Cut points are two
+    * independent uniforms over [0, tk] sorted (least/greatest), exactly
+    * the published recipe's `sorted(rng.randint(0, len, 2))`. Output: one
+    * row per input doc — (idCol, tk, fim_mode 'psm'|'spm'|'ar', prefix_len,
+    * middle_len, suffix_len); zero-length pieces are legal, as in the
+    * paper (empty middle still trains the sentinel layout).
+    *
+    * Shape at 100 TB: MAP-ONLY — three md5 evaluations and integer
+    * min/max per row, no shuffle, no RNG state. */
+  def fimSplitPlan(df: DataFrame, idCol: String, tokensCol: String,
+                   fimPermille: Long = 900L, spmPermille: Long = 500L,
+                   salt: String = "graft"): DataFrame = {
+    val tk = col(tokensCol).cast("long")
+    val cutA = pmod(Dedup.mdHash31(
+      concat(lit(salt), col(idCol).cast("string"), lit("_c1"))), tk + 1L)
+    val cutB = pmod(Dedup.mdHash31(
+      concat(lit(salt), col(idCol).cast("string"), lit("_c2"))), tk + 1L)
+    val isFim = splitBucket(col(idCol), salt + "fim") < fimPermille
+    val isSpm = splitBucket(col(idCol), salt + "spm") < spmPermille
+    df.withColumn("cut1", when(isFim, least(cutA, cutB)).otherwise(tk))
+      .withColumn("cut2", when(isFim, greatest(cutA, cutB)).otherwise(tk))
+      .withColumn("fim_mode",
+        when(!isFim, lit("ar")).when(isSpm, lit("spm")).otherwise(lit("psm")))
+      .withColumn("prefix_len", col("cut1"))
+      .withColumn("middle_len", col("cut2") - col("cut1"))
+      .withColumn("suffix_len", tk - col("cut2"))
+      .drop("cut1", "cut2")
+  }
+
   /** Deterministic SPAN-CORRUPTION plan — the mask layout a T5/UL2-style
     * denoising objective needs per document: ~`noisePermille`/1000 of the
     * tokens covered by `meanSpan`-length spans, one row per span

@@ -62,6 +62,34 @@ object Similarity {
       .select(col("q_id"), col(corpusId).as("id"), col("sim"), col("rnk"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive/retrieval training data: for each
+    * query vector, the k most-similar corpus vectors whose `labelCol`
+    * DIFFERS from the query's — the highest-scoring wrong answers, which is
+    * what a triplet/InfoNCE loss learns most from (the dense-retriever
+    * recipe: mine top-ranked non-positives as negatives). Same scale
+    * contract as [[knnBruteForce]]: the query side must be broadcast-size,
+    * the corpus streams map-only, and the one shuffle is the per-query rank
+    * window. Output: (q_id, q_label, id, label, sim, rnk). */
+  def hardNegatives(corpus: DataFrame, corpusId: String, queries: DataFrame,
+                    queryId: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val c = spread(corpus)
+      .select(col(corpusId), col(labelCol), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val q = broadcast(queries
+      .select(col(queryId).as("q_id"), col(labelCol).as("q_label"),
+        toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv"))))
+    val sims = c.crossJoin(q)
+      .filter(col(labelCol) =!= col("q_label"))
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(corpusId))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("q_label"), col(corpusId).as("id"),
+        col(labelCol), col("sim"), col("rnk"))
+  }
+
   /** Exact cosine near-duplicate pairs within a blocking key (e.g. a coarse
     * cluster/label/partition-date): quadratic only inside each block, and the
     * block join is an ordinary shuffled equi-join — the standard exact

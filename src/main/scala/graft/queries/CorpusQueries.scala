@@ -531,6 +531,83 @@ object CorpusQueries {
               || CAST(span_ix AS VARCHAR)), 1, 15))::BIGINT
             % 2147483648) % (seg_len - 2)) AS span_start,
           CAST(3 AS BIGINT) AS span_len
-        FROM seg WHERE seg_len >= 3 ORDER BY doc_id, span_ix"""))
+        FROM seg WHERE seg_len >= 3 ORDER BY doc_id, span_ix""")),
+
+    // ---- p66: deterministic fill-in-the-middle split plan — the FIM
+    // transform (Bavarian et al. 2022): 90% of docs get two md5-jittered
+    // token cuts into (prefix, middle, suffix), half PSM / half SPM order;
+    // the rest stay autoregressive. Map-only, all-integer; the oracle
+    // mirrors the three md5 draws exactly. ---------------------------------
+    QueryDef("p66_fim_split",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk"))
+        Shards.fimSplitPlan(docs, "doc_id", "tk").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS tk
+          FROM documents),
+        h AS (SELECT doc_id, tk,
+            (('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)
+              || '_c1'), 1, 15))::BIGINT % 2147483648) % (tk + 1) AS ca,
+            (('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)
+              || '_c2'), 1, 15))::BIGINT % 2147483648) % (tk + 1) AS cb,
+            (('0x' || substring(md5('graftfim' || CAST(doc_id AS VARCHAR)),
+              1, 15))::BIGINT % 2147483648) % 1000 < 900 AS isfim,
+            (('0x' || substring(md5('graftspm' || CAST(doc_id AS VARCHAR)),
+              1, 15))::BIGINT % 2147483648) % 1000 < 500 AS isspm
+          FROM t),
+        c AS (SELECT doc_id, tk,
+            CASE WHEN isfim THEN least(ca, cb) ELSE tk END AS cut1,
+            CASE WHEN isfim THEN greatest(ca, cb) ELSE tk END AS cut2,
+            CASE WHEN NOT isfim THEN 'ar' WHEN isspm THEN 'spm'
+                 ELSE 'psm' END AS fim_mode
+          FROM h)
+        SELECT doc_id, tk, fim_mode, cut1 AS prefix_len,
+          cut2 - cut1 AS middle_len, tk - cut2 AS suffix_len
+        FROM c ORDER BY doc_id""")),
+
+    // ---- p68: corpus card — the per-(source, lang) datasheet a corpus
+    // release ships (and the first report a 100 TB curation run produces):
+    // doc/token/char totals, distinct-content count, short-doc count, and
+    // an integer-scaled quality sum, ROLLED UP to per-source and corpus
+    // grand totals in the same pass. Quality doubles are floor-scaled to
+    // BIGINT per row BEFORE summing, so every aggregate is order-free and
+    // engine-exact. One partial-agg rollup shuffle; grouping-set expansion
+    // is map-side. ---------------------------------------------------------
+    QueryDef("p68_corpus_card",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("source"),
+          col("lang"), col("text"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk"))
+        docs
+          .withColumn("q6",
+            floor(TextOps.qualityScore(col("text")) * lit(1000000.0))
+              .cast("long"))
+          .withColumn("fp", TextOps.fingerprint(col("text")))
+          .rollup("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tk")).as("n_tokens"),
+            sum(length(col("text")).cast("long")).as("n_chars"),
+            countDistinct(col("fp")).as("n_unique"),
+            sum(when(col("tk") < 20, 1L).otherwise(0L)).as("n_short"),
+            sum(col("q6")).as("q6_sum"))
+          .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, source, lang, text,
+            CAST(len($ToksSql) AS BIGINT) AS tk,
+            CAST(floor((${qualitySql(ToksSql, "text")}) * 1000000.0)
+              AS BIGINT) AS q6,
+            md5(text) AS fp
+          FROM documents)
+        SELECT source, lang, COUNT(*) AS n_docs,
+          CAST(SUM(tk) AS BIGINT) AS n_tokens,
+          CAST(SUM(CAST(len(text) AS BIGINT)) AS BIGINT) AS n_chars,
+          COUNT(DISTINCT fp) AS n_unique,
+          CAST(SUM(CASE WHEN tk < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+          CAST(SUM(q6) AS BIGINT) AS q6_sum
+        FROM t GROUP BY ROLLUP(source, lang)
+        ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST"""))
   )
 }

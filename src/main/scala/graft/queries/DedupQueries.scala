@@ -603,6 +603,34 @@ object DedupQueries {
           FROM inter
           JOIN sizes sa ON id_a = sa.doc_id
           JOIN sizes sb ON id_b = sb.doc_id)
-        WHERE containment >= 0.9 ORDER BY id_a, id_b"""))
+        WHERE containment >= 0.9 ORDER BY id_a, id_b""")),
+
+    // ---- p67: incremental snapshot dedup — "crawl N+1 vs the accumulated
+    // corpus": src0 plays the new snapshot, every other source the existing
+    // corpus (as its fingerprint table). Survivors are first-in-snapshot
+    // AND unseen-in-corpus; one fp window + one anti-join, both hash-
+    // partitioned on fp. ----------------------------------------------------
+    QueryDef("p67_snapshot_dedup",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val snap = docs.filter(col("source") === "src0")
+          .select("doc_id", "text")
+        val corpusFps = docs.filter(col("source") =!= "src0")
+          .select(TextOps.fingerprint(col("text")).as("fp"))
+        Dedup.snapshotDedup(snap, corpusFps, "doc_id", "text")
+          .select("doc_id", "fp").orderBy("doc_id")
+      },
+      Some("""
+        WITH snap AS (SELECT doc_id, md5(text) AS fp
+          FROM documents WHERE source = 'src0'),
+        corpus AS (SELECT DISTINCT md5(text) AS fp
+          FROM documents WHERE source <> 'src0'),
+        keep0 AS (SELECT doc_id, fp FROM (
+            SELECT doc_id, fp,
+              ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM snap) WHERE rn = 1)
+        SELECT doc_id, fp FROM keep0
+        WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.fp = keep0.fp)
+        ORDER BY doc_id"""))
   )
 }

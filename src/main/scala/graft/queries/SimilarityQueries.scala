@@ -359,6 +359,34 @@ object SimilarityQueries {
             CAST(SUM(contrib) AS BIGINT) AS rrf_sum FROM u GROUP BY 1)
         SELECT doc_id, n_lists, rrf_sum,
           CAST(rrf_sum AS DOUBLE) / 1000000.0 AS rrf
-        FROM f ORDER BY rrf_sum DESC, doc_id LIMIT 20"""))
+        FROM f ORDER BY rrf_sum DESC, doc_id LIMIT 20""")),
+
+    // ---- p69: hard-negative mining — for each query vector, the top-k
+    // most-similar vectors with a DIFFERENT label (the contrastive-training
+    // negatives a dense-retriever recipe mines). Same broadcast-query +
+    // rank-window shape as p07; the label-mismatch filter runs before
+    // the dot product, map-side. --------------------------------------------
+    QueryDef("p69_hard_negatives",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.hardNegatives(e, "vec_id", e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "label", k = 10)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM e),
+        sims AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+            c.vec_id AS vec_id, c.label AS label,
+            ${dotSql("c.v", "q.v")} / (c.nrm * q.nrm) AS sim
+          FROM n c, n q WHERE q.vec_id < 5 AND c.label <> q.label)
+        SELECT q_id, q_label, vec_id, label, sim, rnk FROM (
+          SELECT q_id, q_label, vec_id, label, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC,
+              vec_id) AS INTEGER) AS rnk
+          FROM sims)
+        WHERE rnk <= 10 ORDER BY q_id, rnk"""))
   )
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Correctness specs for the late round-8 operators: the FIM split plan,
+  * incremental snapshot dedup, and hard-negative mining. */
+class Round8ExtrasSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---- fimSplitPlan -------------------------------------------------------
+
+  test("fimSplitPlan: pieces partition the doc, modes follow the hash deal") {
+    val docs = (0L until 400L).map(i => (i, 10L + i % 90)).toDF("doc_id", "tk")
+    val out = Shards.fimSplitPlan(docs, "doc_id", "tk")
+      .select("doc_id", "tk", "fim_mode", "prefix_len", "middle_len",
+        "suffix_len")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length == 400)
+    out.foreach { case (id, tk, mode, p, m, sfx) =>
+      assert(p >= 0 && m >= 0 && sfx >= 0, s"doc $id negative piece")
+      assert(p + m + sfx == tk, s"doc $id pieces don't sum to tk")
+      if (mode == "ar") assert(p == tk && m == 0 && sfx == 0, s"doc $id ar")
+      assert(Set("ar", "psm", "spm").contains(mode))
+    }
+    // the 900-permille FIM deal holds roughly (md5-uniform over 400 docs)
+    val nFim = out.count(_._3 != "ar")
+    assert(nFim > 300 && nFim < 400, s"fim count $nFim")
+    // and PSM/SPM split the FIM mass both ways
+    assert(out.exists(_._3 == "psm") && out.exists(_._3 == "spm"))
+  }
+
+  test("fimSplitPlan: deterministic per salt, tiny docs stay legal") {
+    val docs = Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 1000L))
+      .toDF("doc_id", "tk")
+    val a = Shards.fimSplitPlan(docs, "doc_id", "tk").collect().toSet
+    val b = Shards.fimSplitPlan(docs, "doc_id", "tk").collect().toSet
+    assert(a == b)
+    // tk=0: all three pieces are 0 regardless of mode
+    val z = Shards.fimSplitPlan(docs, "doc_id", "tk")
+      .filter($"doc_id" === 1L).select("prefix_len", "middle_len", "suffix_len")
+      .as[(Long, Long, Long)].head()
+    assert(z == ((0L, 0L, 0L)))
+    // a different salt re-deals at least one cut among the 4 docs
+    val c = Shards.fimSplitPlan(docs, "doc_id", "tk", salt = "other")
+      .collect().toSet
+    assert(a != c)
+  }
+
+  test("fimSplitPlan: fimPermille=0 is pure AR, 1000 is pure FIM") {
+    val docs = (0L until 50L).map(i => (i, 100L)).toDF("doc_id", "tk")
+    val ar = Shards.fimSplitPlan(docs, "doc_id", "tk", fimPermille = 0L)
+    assert(ar.filter($"fim_mode" =!= "ar").count() == 0)
+    val fim = Shards.fimSplitPlan(docs, "doc_id", "tk", fimPermille = 1000L)
+    assert(fim.filter($"fim_mode" === "ar").count() == 0)
+  }
+
+  // ---- snapshotDedup ------------------------------------------------------
+
+  test("snapshotDedup: drops corpus-seen and keeps first-in-snapshot") {
+    val snap = Seq(
+      (10L, "alpha"), (11L, "alpha"),   // in-snapshot dup: keep 10
+      (12L, "beta"),                    // already in corpus: drop
+      (13L, "gamma"),                   // fresh: keep
+      (14L, "delta"), (15L, "delta")    // in-snapshot dup of a fresh text
+    ).toDF("doc_id", "text")
+    val corpusFps = Seq("beta", "zeta").toDF("t")
+      .select(TextOps.fingerprint($"t").as("fp"))
+    val out = Dedup.snapshotDedup(snap, corpusFps, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(10L, 13L, 14L))
+  }
+
+  test("snapshotDedup: surviving fps appended to the corpus close the loop") {
+    val snap1 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val corpus0 = Seq.empty[String].toDF("fp")
+    val kept1 = Dedup.snapshotDedup(snap1, corpus0, "doc_id", "text")
+    assert(kept1.count() == 2)
+    // next snapshot re-crawls "a": the appended fingerprints reject it
+    val corpus1 = corpus0.unionByName(kept1.select("fp"))
+    val snap2 = Seq((3L, "a"), (4L, "c")).toDF("doc_id", "text")
+    val kept2 = Dedup.snapshotDedup(snap2, corpus1, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept2 == Seq(4L))
+  }
+
+  // ---- hardNegatives ------------------------------------------------------
+
+  test("hardNegatives: top-k nearest with a different label, exact ranks") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val out = Similarity.hardNegatives(emb, "vec_id", queries, "vec_id",
+      "embedding", "label", k = 5)
+      .select("q_id", "q_label", "id", "label", "sim", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getInt(5)))
+    assert(out.length == 15)
+    out.foreach { case (_, ql, _, l, _, _) => assert(l != ql) }
+    // against brute-force kNN with the label filter applied afterwards:
+    // the mined negatives are exactly the top-5 of the label-filtered list
+    val qLabels = queries.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    val knn = Similarity.knnBruteForce(emb, "vec_id", queries, "vec_id",
+      "embedding", k = Int.MaxValue)
+      .join(emb.select($"vec_id".as("id"), $"label"), Seq("id"))
+      .select("q_id", "id", "label", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val expected = knn.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.filter(_._3 != qLabels(q)).sortBy(r => (-r._4, r._2)).take(5)
+        .map(r => (q, r._2)).toSeq
+    }.toSet
+    assert(out.map(r => (r._1, r._3)).toSet == expected)
+  }
+}

@@ -322,6 +322,33 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(3000))
   }
 
+  test("p66 FIM split: map-only — no joins, no aggregates, no window") {
+    val p = plan("p66_fim_split")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("Window"), p.take(3000))
+  }
+
+  test("p67 snapshot dedup: one fp window + left-anti join, no cartesian") {
+    val p = plan("p67_snapshot_dedup")
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("p68 corpus card: one expand + hash aggregate rollup, no joins") {
+    val p = plan("p68_corpus_card")
+    assert(p.contains("Expand"), p.take(3000)) // rollup grouping sets
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("p69 hard negatives: query side broadcast, label filter before ranking") {
+    val p = plan("p69_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("vec_dot") && p.contains("vec_norm"), p.take(3000))
+  }
+
   test("p62 classifier-gated sample: literal weights, exact-k draw is TakeOrdered") {
     val p = plan("p62_classifier_sample")
     // trained weights ride as literals into the final scoring pass (no
