@@ -51,6 +51,25 @@ object StreamingDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming twin of [[graft.operators.Dedup.snapshotDedup]] — continuous
+    * snapshot ingest against an accumulated corpus: rows whose content
+    * fingerprint already exists in the (static) corpus fingerprint table
+    * are dropped by a stream-static LEFT-ANTI join, and the
+    * within-snapshot first-wins rule is the bounded watermark state of
+    * [[dedupExactStream]]. The anti join runs BEFORE the stateful
+    * operator, so corpus-seen rows never enter the state store — on a
+    * recrawl-heavy stream (the common case: most of crawl N+1 was already
+    * in the corpus) state holds only the genuinely-new fingerprints.
+    * Survivors carry `fp`, ready to append to the corpus table for the
+    * next snapshot — the same close-the-loop contract as the batch twin. */
+  def snapshotDedupStream(snap: DataFrame, corpusFps: DataFrame,
+                          tsCol: String, textCol: String,
+                          watermark: String): DataFrame =
+    snap.withColumn("fp", md5(col(textCol)))
+      .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Streaming curation pipeline — the streaming twin of the batch cleaning
     * composition (the p17/p46 shape): encoding-artifact gate
     * ([[graft.operators.TextOps.encodingArtifacts]] `looks_clean`) +

@@ -50,6 +50,46 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(keptFps.length == docs.size)
   }
 
+  test("streaming snapshot dedup: corpus-seen dropped pre-state, batch parity") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"), col("source"))
+      .collect().map(r => (Doc(r.getLong(0),
+        new Timestamp(1700000000000L + r.getLong(0) * 1000L), r.getString(1)),
+        r.getString(2)))
+    // snapshot = src0 docs (plus one injected in-snapshot dup); corpus =
+    // fingerprints of everything else plus a copy of one snapshot text
+    val snapDocs = docs.filter(_._2 == "src0").map(_._1)
+    val inDup = snapDocs.head.copy(doc_id = 800001L,
+      ts = new Timestamp(snapDocs.head.ts.getTime + 5000L))
+    val corpusTexts = (docs.filter(_._2 != "src0").map(_._1.text) :+
+      snapDocs(1).text).toSeq
+    val corpusFps = corpusTexts.toDF("t").select(md5(col("t")).as("fp"))
+      .distinct().cache()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamingDedup.snapshotDedupStream(mem.toDF(), corpusFps,
+      "ts", "text", "10 minutes")
+      .writeStream.format("memory").queryName("snap_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val all = (snapDocs :+ inDup).sortBy(_.ts.getTime)
+    val (b1, b2) = all.splitAt(all.size / 2)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("snap_out").select("doc_id").as[Long]
+      .collect().toSet
+    val batch = graft.operators.Dedup.snapshotDedup(
+      (snapDocs :+ inDup).toSeq.map(d => (d.doc_id, d.text))
+        .toDF("doc_id", "text"), corpusFps,
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(kept == batch, s"stream $kept vs batch $batch")
+    // the corpus-seen text and the in-snapshot dup are both gone
+    assert(!kept.contains(snapDocs(1).doc_id) && !kept.contains(800001L))
+  }
+
   test("streaming curation: encoding + quality gates before dedup, batch parity") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
