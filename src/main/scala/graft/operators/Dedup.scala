@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -46,18 +45,18 @@ object Dedup {
     * prior text).
     *
     * Shape at 100 TB: the corpus side is the accumulated FINGERPRINT table
-    * (16-byte rows, not documents); both the within-snapshot min-id window
-    * and the left-anti join hash-partition on `fp`, so AQE plans them as
-    * one co-partitioned shuffle of the snapshot plus one of the fingerprint
-    * table — no quadratic work, no driver state, and the result is a pure
-    * function of content, stable under re-partitioning. */
+    * (16-byte rows, not documents); everything hash-partitions on `fp`.
+    * The within-snapshot winner is the PARTIAL-AGGREGATABLE `min(id)`
+    * pattern of [[dedupExact]] — a hot fingerprint (a crawl where half the
+    * pages are the same cookie banner) collapses map-side before the
+    * shuffle, where a rank window would drag every copy into one task.
+    * No quadratic work, no driver state; the result is a pure function of
+    * content, stable under re-partitioning. */
   def snapshotDedup(snapshot: DataFrame, corpusFps: DataFrame,
                     idCol: String, textCol: String): DataFrame = {
     val snapFp = snapshot.withColumn("fp", TextOps.fingerprint(col(textCol)))
-    val w = Window.partitionBy("fp").orderBy(col(idCol))
-    snapFp
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    val keep = snapFp.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    snapFp.join(keep, Seq("fp", idCol), "left_semi")
       .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
   }
 

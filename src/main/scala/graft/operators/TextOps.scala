@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -170,6 +170,31 @@ object TextOps {
     * than n words (and NULL token arrays) produce an empty set. */
   def wordShinglesFromTokens(toks: Column, n: Int): Column =
     call_function("word_shingles", toks, lit(n))
+
+  /** Corpus-wide REPEATED n-gram mining — the boilerplate/memorization
+    * audit of corpus curation: the topK word n-grams by DOCUMENT frequency
+    * (cookie banners, license headers, scraped-template footers — the spans
+    * a model would memorize verbatim), each with an example document.
+    * Distinct-per-doc shingles, so a gram repeated inside one document
+    * counts once — document frequency, the boilerplate signal, not raw
+    * occurrence count.
+    *
+    * Shape at 100 TB: the shingle kernel emits each doc's distinct grams in
+    * one compiled scan (map-only); the gram counts are ONE partial-agg
+    * shuffle (Zipf-head grams pre-sum map-side), and the topK is
+    * TakeOrdered — per-partition heap-k, a k-row driver merge, no global
+    * sort. `minDocs` prunes the singleton tail before the limit. */
+  def repeatedNgrams(df: DataFrame, idCol: String, textCol: String, n: Int,
+                     minDocs: Long, topK: Int): DataFrame =
+    spread(df).select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"),
+        explode(wordShinglesFromTokens(col("toks"), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("example_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(topK)
 
   /** The pre-kernel HOF formulation of [[wordShinglesFromTokens]], kept as
     * the parity reference: `WordShinglesSpec` asserts the native

@@ -740,6 +740,24 @@ object TextQueries {
               % 2147483648) % 1073741824) + 1) AS priority
           FROM kept)
         SELECT doc_id, weight, priority FROM pri
-        ORDER BY priority DESC, doc_id LIMIT 100"""))
+        ORDER BY priority DESC, doc_id LIMIT 100""")),
+
+    // ---- p70: corpus-wide repeated n-gram mining — the boilerplate /
+    // memorization audit: top word 3-grams by document frequency with an
+    // example doc each. Distinct-per-doc shingles from the word_shingles
+    // kernel; one partial-agg shuffle + TakeOrdered top-k. ------------------
+    QueryDef("p70_repeated_ngrams",
+      (s, d) => TextOps.repeatedNgrams(T.documents(s, d), "doc_id", "text",
+        n = 3, minDocs = 2L, topK = 100),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+        sets AS (SELECT doc_id,
+            list_distinct(list_transform(range(0, len(tk)-2),
+              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shs
+          FROM t WHERE len(tk) >= 3),
+        g AS (SELECT unnest(shs) AS gram, doc_id FROM sets)
+        SELECT gram, COUNT(*) AS n_docs, MIN(doc_id) AS example_doc
+        FROM g GROUP BY 1 HAVING COUNT(*) >= 2
+        ORDER BY n_docs DESC, gram LIMIT 100"""))
   )
 }

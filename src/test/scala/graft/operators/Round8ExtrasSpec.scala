@@ -86,6 +86,30 @@ class Round8ExtrasSpec extends SparkSpecBase {
     assert(kept2 == Seq(4L))
   }
 
+  // ---- repeatedNgrams -----------------------------------------------------
+
+  test("repeatedNgrams: document frequency, not occurrences; min-id example") {
+    val docs = Seq(
+      (1L, "the cookie banner says accept the cookie banner says"),
+      (2L, "x the cookie banner says y"),
+      (3L, "the cookie banner says"),
+      (4L, "completely unrelated words here"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val out = TextOps.repeatedNgrams(docs, "doc_id", "text",
+      n = 3, minDocs = 2L, topK = 10)
+      .select("gram", "n_docs", "example_doc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "the cookie banner" appears twice inside doc 1 but counts once per doc
+    val top = out.find(_._1 == "the cookie banner").get
+    assert(top._2 == 3L && top._3 == 1L)
+    assert(out.find(_._1 == "cookie banner says").get._2 == 3L)
+    // singleton grams (doc 4's) are pruned by minDocs
+    assert(!out.exists(_._1.contains("unrelated")))
+    // ranking: n_docs desc, gram asc
+    assert(out.sortBy(r => (-r._2, r._1)).toSeq == out.toSeq)
+  }
+
   // ---- hardNegatives ------------------------------------------------------
 
   test("hardNegatives: top-k nearest with a different label, exact ranks") {

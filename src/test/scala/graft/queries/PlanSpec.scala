@@ -328,11 +328,12 @@ class PlanSpec extends SparkSpecBase {
       !p.contains("Window"), p.take(3000))
   }
 
-  test("p67 snapshot dedup: one fp window + left-anti join, no cartesian") {
+  test("p67 snapshot dedup: partial-agg min-id winner + left-anti join, no window") {
     val p = plan("p67_snapshot_dedup")
-    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000)) // hot-fp-safe winner
     assert(p.contains("LeftAnti"), p.take(3000))
-    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(3000))
   }
 
   test("p68 corpus card: one expand + hash aggregate rollup, no joins") {
@@ -347,6 +348,13 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p.take(3000))
     assert(p.contains("vec_dot") && p.contains("vec_norm"), p.take(3000))
+  }
+
+  test("p70 repeated ngrams: one partial-agg gram shuffle, top-k is TakeOrdered") {
+    val p = plan("p70_repeated_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
   }
 
   test("p62 classifier-gated sample: literal weights, exact-k draw is TakeOrdered") {
