@@ -159,4 +159,57 @@ object Classifier {
     docFeats.unpersist(blocking = false)
     scored
   }
+
+  /** Classifier EVALUATION report — the "is this filter good enough to
+    * gate a corpus" check that belongs between training (p57) and gating
+    * (p62): one row with the confusion counts at the z >= 0 decision
+    * threshold and the ROC AUC of the score, computed EXACTLY at a fixed
+    * logit-bin granularity so it is engine-reproducible (no float rank
+    * statistics, no sampling).
+    *
+    * AUC: scores are binned by truncating integer division of the exact
+    * BIGINT logit (`z_sum div binWidth`, clamped to ±(binCap+1) — monotone
+    * in z, identical truncation semantics in Spark and DuckDB), then the
+    * Mann-Whitney statistic with average-rank tie handling AT BIN
+    * GRANULARITY is the all-integer sum U2 = Σ_b pos_b·(2·cumneg_<b +
+    * neg_b); auc = U2 / (2·nPos·nNeg) is the single double division.
+    * Pairs split by a bin boundary count exactly; ties inside a bin take
+    * the standard half credit — the binned AUC underestimates the
+    * continuous one by at most the per-bin tie mass, and `binWidth` is a
+    * knob (2^22 logit units ≈ 0.004 sigmoid units at z≈0).
+    *
+    * Shape at 100 TB: the per-bin counts are ONE partial-agg shuffle of
+    * ≤ 2·binCap+3 rows; the cumulative-negatives window runs over that
+    * bounded bin table (≤4k rows — metadata scale, explicitly NOT a
+    * global window over documents), and the confusion counts are one
+    * order-free aggregate over the scored table. Output (one row):
+    * (n_pos, n_neg, tp, fp, tn, fn, u2, auc). */
+  def evalReport(scored: DataFrame, binWidth: Long = 4194304L,
+                 binCap: Long = 2047L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = scored
+      .select(greatest(lit(-binCap - 1L), least(lit(binCap),
+        expr(s"z_sum div ${binWidth}L"))).as("bin"), col("label"))
+      .groupBy("bin")
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("neg"))
+    // bounded single-partition window: input is the ≤(2·binCap+3)-row bin
+    // table, never the corpus
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    val u = bins
+      .withColumn("cumneg", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .agg(sum(col("pos") * (lit(2L) * col("cumneg") + col("neg"))).as("u2"),
+        sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+    val conf = scored.agg(
+      sum(when(col("label") && col("predicted"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("label") && col("predicted"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("label") && !col("predicted"), 1L).otherwise(0L)).as("tn"),
+      sum(when(col("label") && !col("predicted"), 1L).otherwise(0L)).as("fn"))
+    conf.crossJoin(broadcast(u))
+      .select(col("n_pos"), col("n_neg"), col("tp"), col("fp"), col("tn"),
+        col("fn"), col("u2"),
+        (col("u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))
+  }
 }

@@ -758,6 +758,55 @@ object TextQueries {
         g AS (SELECT unnest(shs) AS gram, doc_id FROM sets)
         SELECT gram, COUNT(*) AS n_docs, MIN(doc_id) AS example_doc
         FROM g GROUP BY 1 HAVING COUNT(*) >= 2
-        ORDER BY n_docs DESC, gram LIMIT 100"""))
+        ORDER BY n_docs DESC, gram LIMIT 100""")),
+
+    // ---- p71: classifier EVALUATION report — confusion counts at the
+    // z>=0 threshold plus exact binned-logit ROC AUC (all-integer
+    // Mann-Whitney with average-rank ties at bin granularity; one final
+    // double division) over p57's bit-reproducible training chain. The
+    // missing check between training (p57) and gating (p62). -------------
+    QueryDef("p71_classifier_eval",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" qz mark qz mark qz mark")))
+            .otherwise(col("text")).as("text"),
+          (pmod(col("doc_id"), lit(3)) === 0).as("y"))
+        val scored = Classifier.trainScoreLr(docs, "doc_id", "text", col("y"),
+          buckets = 256, iters = 5)
+        Classifier.evalReport(scored)
+      },
+      Some(s"""
+        WITH ${lrCtes(
+          """SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text || ' qz mark qz mark qz mark'
+                    ELSE text END AS text,
+               doc_id % 3 = 0 AS label
+             FROM documents""", iters = 5, buckets = 256, etaScaled = 500L)},
+        b AS (SELECT greatest(-2048, least(2047, z_sum // 4194304)) AS bin,
+            CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+            CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS neg
+          FROM z5 GROUP BY 1),
+        c AS (SELECT bin, pos, neg,
+            COALESCE(CAST(SUM(neg) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+              0) AS cumneg FROM b),
+        u AS (SELECT CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS u2,
+            CAST(SUM(pos) AS BIGINT) AS n_pos,
+            CAST(SUM(neg) AS BIGINT) AS n_neg FROM c),
+        cf AS (SELECT
+            CAST(SUM(CASE WHEN label AND z_sum >= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN NOT label AND z_sum >= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+            CAST(SUM(CASE WHEN NOT label AND z_sum < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn,
+            CAST(SUM(CASE WHEN label AND z_sum < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn
+          FROM z5)
+        SELECT n_pos, n_neg, tp, fp, tn, fn, u2,
+          CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE)
+            * CAST(n_neg AS DOUBLE)) AS auc
+        FROM cf CROSS JOIN u"""))
   )
 }

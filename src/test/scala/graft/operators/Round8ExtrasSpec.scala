@@ -110,6 +110,35 @@ class Round8ExtrasSpec extends SparkSpecBase {
     assert(out.sortBy(r => (-r._2, r._1)).toSeq == out.toSeq)
   }
 
+  // ---- evalReport ---------------------------------------------------------
+
+  test("evalReport: hand-checked AUC, tie half-credit, confusion counts") {
+    // scores far apart → each lands in its own logit bin (binWidth 2^22):
+    // pos z = {3,1}·2^30, neg z = {2,-1}·2^30. Pairwise: (3>2),(3>-1),
+    // (1<2 miss),(1>-1) → AUC = 3/4. Threshold z>=0: tp=2 fp=1 tn=1 fn=0.
+    val g = 1L << 30
+    val scored = Seq(
+      (1L, 3L * g, true), (2L, 1L * g, true),
+      (3L, 2L * g, false), (4L, -1L * g, false))
+      .toDF("doc_id", "z_sum", "label")
+      .withColumn("predicted", $"z_sum" >= 0L)
+    val r = Classifier.evalReport(scored).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)           // n_pos, n_neg
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((2L, 1L, 1L, 0L)))                                    // tp fp tn fn
+    assert(r.getDouble(7) == 0.75, r)
+    // ties: a pos and a neg in the SAME bin take half credit → AUC 0.5
+    val tied = Seq((1L, 5L, true), (2L, 7L, false))
+      .toDF("doc_id", "z_sum", "label")
+      .withColumn("predicted", $"z_sum" >= 0L)
+    assert(Classifier.evalReport(tied).collect().head.getDouble(7) == 0.5)
+    // perfect separation → AUC 1.0
+    val sep = Seq((1L, 10L * g, true), (2L, -10L * g, false))
+      .toDF("doc_id", "z_sum", "label")
+      .withColumn("predicted", $"z_sum" >= 0L)
+    assert(Classifier.evalReport(sep).collect().head.getDouble(7) == 1.0)
+  }
+
   // ---- hardNegatives ------------------------------------------------------
 
   test("hardNegatives: top-k nearest with a different label, exact ranks") {

@@ -357,6 +357,15 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("p71 classifier eval: partial-agg bins feed the bounded AUC window") {
+    val p = plan("p71_classifier_eval")
+    // the window input is the post-aggregate bin table, never the corpus:
+    // a HashAggregate (the bin counts) must sit BELOW the Window subtree
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.indexOf("HashAggregate", p.indexOf("Window")) > 0, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("p62 classifier-gated sample: literal weights, exact-k draw is TakeOrdered") {
     val p = plan("p62_classifier_sample")
     // trained weights ride as literals into the final scoring pass (no
