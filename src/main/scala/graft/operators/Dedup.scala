@@ -60,6 +60,60 @@ object Dedup {
       .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
   }
 
+  /** Incremental NEAR-dup snapshot dedup — the fuzzy twin of
+    * [[snapshotDedup]]: a snapshot row is dropped when ANY corpus document
+    * shares a MinHash-LSH band bucket with it and exact-verifies Jaccard
+    * >= `minJaccard` (same signature family, band layout, and verify rule
+    * as [[minhashLshPairs]], so recall/precision behave identically).
+    * Documents shorter than `n` tokens have no shingles and always
+    * survive, like the batch pair generators.
+    *
+    * Where [[decontaminate]] BROADCASTS its reference side (eval
+    * benchmarks — tiny), here the reference side is the accumulated
+    * CORPUS — far too big to broadcast — so the cross-match is the LSH
+    * shape: both sides' band rows meet in a bucket equi-join, candidates
+    * verify against the shingle sets, and the snapshot anti-joins the hit
+    * list. At 100 TB the corpus side's banded signatures + shingle sets
+    * are the artifact an accumulated corpus maintains incrementally
+    * (append survivors' rows after each snapshot) rather than re-derived
+    * from text; this operator derives them from `corpus` text for the
+    * self-contained form. Skew: pass `maxBucket` to engage the same
+    * whole-bucket drop guard as the pair generators. */
+  def snapshotDedupNear(snapshot: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String, n: Int = 3,
+                        minJaccard: Double = 0.5, k: Int = 64,
+                        bands: Int = 16, maxBucket: Option[Long] = None,
+                        storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val snapSets = shingleSets(snapshot, idCol, textCol, n).persist(storage)
+    val corpSets = shingleSets(corpus, idCol, textCol, n).persist(storage)
+    def bandRows(sets: DataFrame): DataFrame = {
+      val rows = minhashSigTable(sets, k).select(col("id"),
+        posexplode(bandKeys(col("sig"), k, bands))).toDF("id", "band", "bh")
+      maxBucket match {
+        case Some(cap) =>
+          val sizes = rows.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+          rows.join(sizes.filter(col("bn") <= cap), Seq("band", "bh"))
+            .select("id", "band", "bh")
+        case None => rows
+      }
+    }
+    val cand = bandRows(snapSets).as("s")
+      .join(bandRows(corpSets).as("c"),
+        col("s.band") === col("c.band") && col("s.bh") === col("c.bh"))
+      .select(col("s.id").as("id_s"), col("c.id").as("id_c"))
+      .distinct()
+    val hits = cand
+      .join(snapSets.select(col("id").as("id_s"), col("shingles").as("sh_s")), "id_s")
+      .join(corpSets.select(col("id").as("id_c"), col("shingles").as("sh_c")), "id_c")
+      .withColumn("inter", size(array_intersect(col("sh_s"), col("sh_c"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_s")).cast("long") + size(col("sh_c")).cast("long") - col("inter"))
+      .filter(col("inter") / col("uni") >= minJaccard)
+      .select(col("id_s").as(idCol)).distinct()
+    snapshot.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Per-document distinct word n-gram shingle sets: (id, shingles).
     * Tokens are staged as a column so the shingle kernel and the length
     * filter share one `split()` subtree however the projections collapse. */

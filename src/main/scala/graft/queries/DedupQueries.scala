@@ -631,6 +631,57 @@ object DedupQueries {
             FROM snap) WHERE rn = 1)
         SELECT doc_id, fp FROM keep0
         WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.fp = keep0.fp)
+        ORDER BY doc_id""")),
+
+    // ---- p72: incremental NEAR-dup snapshot dedup — p67's fuzzy twin:
+    // src0 plays the new snapshot, the rest the accumulated corpus; a
+    // snapshot doc is dropped when any corpus doc shares a MinHash band
+    // bucket and exact-verifies Jaccard >= 0.5. The corpus side is too big
+    // to broadcast (unlike p23's benchmark side), so the cross-match is
+    // the banded-bucket equi-join shape. Oracle: p05's signature CTEs
+    // re-derived per side + the anti join. ---------------------------------
+    QueryDef("p72_snapshot_dedup_near",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        Dedup.snapshotDedupNear(
+          docs.filter(col("source") === "src0").select("doc_id", "text"),
+          docs.filter(col("source") =!= "src0").select("doc_id", "text"),
+          "doc_id", "text", n = 3, minJaccard = 0.5)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, source, $ToksSql AS tk FROM documents),
+        sets AS (SELECT doc_id, source,
+            list_distinct(list_transform(range(0, len(tk)-2),
+              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shs
+          FROM t WHERE len(tk) >= 3),
+        posts AS (SELECT doc_id, source, unnest(shs) AS sh FROM sets),
+        fps AS (SELECT doc_id, source,
+            ('0x' || substring(md5(sh), 1, 15))::BIGINT % 2147483648 AS f
+          FROM posts),
+        comp AS (SELECT doc_id, source, i,
+            MIN((((2654435769 * (2*i + 1)) % 2147483645 + 1) * f
+                 + ((3266489917 * (i + 1)) % 2147483647)) % 2147483647) AS h
+          FROM fps CROSS JOIN range(64) r(i) GROUP BY doc_id, source, i),
+        sigs AS (SELECT doc_id, source, list(h ORDER BY i) AS sig
+          FROM comp GROUP BY doc_id, source),
+        bands AS (SELECT doc_id, source, b AS band,
+            array_to_string(sig[b*4 + 1 : b*4 + 4], ',') AS bh
+          FROM sigs CROSS JOIN range(16) rb(b)),
+        cand AS (SELECT DISTINCT s.doc_id AS id_s, c.doc_id AS id_c
+          FROM bands s JOIN bands c
+            ON s.band = c.band AND s.bh = c.bh
+          WHERE s.source = 'src0' AND c.source <> 'src0'),
+        hits AS (SELECT DISTINCT id_s FROM cand
+          JOIN sets ss ON id_s = ss.doc_id
+          JOIN sets sc ON id_c = sc.doc_id
+          WHERE CAST(len(list_intersect(ss.shs, sc.shs)) AS BIGINT)
+              / (CAST(len(ss.shs) AS BIGINT) + CAST(len(sc.shs) AS BIGINT)
+                 - CAST(len(list_intersect(ss.shs, sc.shs)) AS BIGINT))
+            >= 0.5)
+        SELECT doc_id FROM documents
+        WHERE source = 'src0'
+          AND doc_id NOT IN (SELECT id_s FROM hits)
         ORDER BY doc_id"""))
   )
 }

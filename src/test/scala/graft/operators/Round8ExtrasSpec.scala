@@ -110,6 +110,29 @@ class Round8ExtrasSpec extends SparkSpecBase {
     assert(out.sortBy(r => (-r._2, r._1)).toSeq == out.toSeq)
   }
 
+  // ---- snapshotDedupNear --------------------------------------------------
+
+  test("snapshotDedupNear: drops corpus near-dups and exact dups, keeps fresh") {
+    val corpus = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text").filter($"doc_id" < 100)
+    // snapshot: a near-dup of corpus doc 0 (last 2 words dropped), an exact
+    // copy of corpus doc 1, a fresh unrelated doc, and a too-short doc
+    val nearText = corpus.filter($"doc_id" === 0)
+      .select(expr("array_join(slice(split(text, ' '), 1, " +
+        "size(split(text, ' ')) - 2), ' ')")).as[String].head()
+    val exactText = corpus.filter($"doc_id" === 1)
+      .select("text").as[String].head()
+    val snap = Seq(
+      (1000L, nearText),
+      (1001L, exactText),
+      (1002L, "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh"),
+      (1003L, "xy zz")).toDF("doc_id", "text")
+    val kept = Dedup.snapshotDedupNear(snap, corpus, "doc_id", "text",
+      n = 3, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1002L, 1003L), kept)
+  }
+
   // ---- evalReport ---------------------------------------------------------
 
   test("evalReport: hand-checked AUC, tie half-credit, confusion counts") {

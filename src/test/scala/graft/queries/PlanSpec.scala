@@ -366,6 +366,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("p72 near-dup snapshot dedup: bucket equi-joins + anti join, no product") {
+    val p = plan("p72_snapshot_dedup_near")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("p62 classifier-gated sample: literal weights, exact-k draw is TakeOrdered") {
     val p = plan("p62_classifier_sample")
     // trained weights ride as literals into the final scoring pass (no
