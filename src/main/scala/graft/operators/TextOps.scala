@@ -171,6 +171,24 @@ object TextOps {
   def wordShinglesFromTokens(toks: Column, n: Int): Column =
     call_function("word_shingles", toks, lit(n))
 
+  /** Curation-filter ABLATION report — the "what would config B drop that
+    * config A keeps" comparison a curation iteration runs before committing
+    * to a new filter recipe: every gate-combination's document and token
+    * mass per stratum, from ONE corpus pass. `gates` are named boolean
+    * columns (filter variants over a shared stats projection — build them
+    * off one `gopher_stats`/`token_stats` call so the per-byte scan runs
+    * once, not once per variant).
+    *
+    * Shape at 100 TB: the flags are map-only; the only shuffle is one
+    * partial-agg groupBy over (strata × 2^|gates|) keys — report-sized.
+    * Output: (strataCol, gate flags..., n_docs, n_tokens). */
+  def filterAblation(df: DataFrame, strataCol: String,
+                     gates: Seq[(String, Column)], tokens: Column): DataFrame =
+    df.select(col(strataCol) +: gates.map { case (n, c) => c.as(n) } :+
+        tokens.cast("long").as("tk"): _*)
+      .groupBy(col(strataCol) +: gates.map(g => col(g._1)): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"))
+
   /** Corpus-wide REPEATED n-gram mining — the boilerplate/memorization
     * audit of corpus curation: the topK word n-grams by DOCUMENT frequency
     * (cookie banners, license headers, scraped-template footers — the spans

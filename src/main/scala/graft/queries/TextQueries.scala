@@ -807,6 +807,83 @@ object TextQueries {
         SELECT n_pos, n_neg, tp, fp, tn, fn, u2,
           CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE)
             * CAST(n_neg AS DOUBLE)) AS auc
-        FROM cf CROSS JOIN u"""))
+        FROM cf CROSS JOIN u""")),
+
+    // ---- p73: filter ablation A/B — the full Gopher recipe (keep_a) vs a
+    // relaxed variant (keep_b: minWords 20, no alpha/stopword rules, no
+    // bullet cap) over ONE gopher_stats scan, counted per (source, keep_a,
+    // keep_b) with token mass — the recipe-comparison report a curation
+    // iteration reads before switching configs. -----------------------------
+    QueryDef("p73_filter_ablation",
+      (s, d) => {
+        val stats = T.documents(s, d).select(col("source"),
+          call_function("gopher_stats", col("text")).as("g"))
+          .select(col("source"),
+            col("g.n_words").as("n_words"),
+            col("g.n_word_chars").as("n_word_chars"),
+            col("g.n_lines").as("n_lines"),
+            col("g.n_bullet").as("n_bullet"),
+            col("g.n_ellipsis_end").as("n_ellipsis_end"),
+            col("g.n_symbols").as("n_symbols"),
+            col("g.n_alpha_words").as("n_alpha_words"),
+            col("g.n_stopwords").as("n_stopwords"))
+        val keepA =
+          col("n_words") >= 50 && col("n_words") <= 100000 &&
+            lit(3) * col("n_words") <= col("n_word_chars") &&
+            col("n_word_chars") <= lit(10) * col("n_words") &&
+            lit(10) * col("n_symbols") <= col("n_words") &&
+            lit(10) * col("n_bullet") <= lit(9) * col("n_lines") &&
+            lit(10) * col("n_ellipsis_end") <= lit(3) * col("n_lines") &&
+            lit(5) * col("n_alpha_words") >= lit(4) * col("n_words") &&
+            col("n_stopwords") >= 2
+        val keepB =
+          col("n_words") >= 20 && col("n_words") <= 100000 &&
+            lit(3) * col("n_words") <= col("n_word_chars") &&
+            col("n_word_chars") <= lit(10) * col("n_words") &&
+            lit(10) * col("n_symbols") <= col("n_words") &&
+            lit(10) * col("n_ellipsis_end") <= lit(3) * col("n_lines")
+        TextOps.filterAblation(stats, "source",
+          Seq("keep_a" -> keepA, "keep_b" -> keepB), col("n_words"))
+          .orderBy("source", "keep_a", "keep_b")
+      },
+      Some(s"""
+        WITH t AS (SELECT source, text, $ToksSql AS tk,
+            list_transform(string_split(text, chr(10)), l -> trim(l)) AS ln
+          FROM documents),
+        c AS (SELECT source,
+            CAST(len(tk) AS BIGINT) AS n_words,
+            CAST(list_reduce(list_transform(tk, x -> len(x)),
+              (a,b) -> a+b) AS BIGINT) AS n_word_chars,
+            CAST(len(ln) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(ln, l ->
+              l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS BIGINT) AS n_bullet,
+            CAST(len(list_filter(ln, l ->
+              l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS n_ellipsis_end,
+            CAST((len(text) - len(replace(text, '#', '')))
+              + ((len(text) - len(replace(text, '...', ''))) // 3)
+              AS BIGINT) AS n_symbols,
+            CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha_words,
+            CAST(len(list_intersect(list_distinct(list_transform(tk,
+              x -> lower(x))),
+              ['the','be','to','of','and','that','have','with']))
+              AS BIGINT) AS n_stopwords
+          FROM t),
+        f AS (SELECT source, n_words,
+            (n_words >= 50 AND n_words <= 100000
+             AND 3*n_words <= n_word_chars AND n_word_chars <= 10*n_words
+             AND 10*n_symbols <= n_words
+             AND 10*n_bullet <= 9*n_lines
+             AND 10*n_ellipsis_end <= 3*n_lines
+             AND 5*n_alpha_words >= 4*n_words
+             AND n_stopwords >= 2) AS keep_a,
+            (n_words >= 20 AND n_words <= 100000
+             AND 3*n_words <= n_word_chars AND n_word_chars <= 10*n_words
+             AND 10*n_symbols <= n_words
+             AND 10*n_ellipsis_end <= 3*n_lines) AS keep_b
+          FROM c)
+        SELECT source, keep_a, keep_b, COUNT(*) AS n_docs,
+          CAST(SUM(n_words) AS BIGINT) AS n_tokens
+        FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 }

@@ -133,6 +133,26 @@ class Round8ExtrasSpec extends SparkSpecBase {
     assert(kept == Seq(1002L, 1003L), kept)
   }
 
+  // ---- filterAblation -----------------------------------------------------
+
+  test("filterAblation: combo masses partition the corpus per stratum") {
+    val docs = Seq(
+      ("s1", 100L, true, true), ("s1", 50L, true, false),
+      ("s1", 10L, false, false), ("s2", 7L, false, true),
+      ("s2", 3L, false, true))
+      .toDF("src", "tk", "a", "b")
+    val out = TextOps.filterAblation(docs, "src",
+      Seq("keep_a" -> $"a", "keep_b" -> $"b"), $"tk")
+      .collect().map(r => ((r.getString(0), r.getBoolean(1), r.getBoolean(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("s1", true, true)) == ((1L, 100L)))
+    assert(out(("s1", true, false)) == ((1L, 50L)))
+    assert(out(("s1", false, false)) == ((1L, 10L)))
+    assert(out(("s2", false, true)) == ((2L, 10L)))
+    // every doc lands in exactly one combo row
+    assert(out.values.map(_._1).sum == 5L)
+  }
+
   // ---- evalReport ---------------------------------------------------------
 
   test("evalReport: hand-checked AUC, tie half-credit, confusion counts") {

@@ -373,6 +373,15 @@ class PlanSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("p73 filter ablation: ONE gopher_stats scan feeds both variants, one agg shuffle") {
+    val p = plan("p73_filter_ablation")
+    // the two filter configs must share one kernel evaluation — a per-variant
+    // re-scan would double the per-byte cost of every added config
+    assert("gopher_stats".r.findAllIn(p).size == 1, p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("p62 classifier-gated sample: literal weights, exact-k draw is TakeOrdered") {
     val p = plan("p62_classifier_sample")
     // trained weights ride as literals into the final scoring pass (no
