@@ -70,6 +70,27 @@ object StreamingDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming CORPUS CARD — the ingest-monitoring twin of the batch
+    * per-source datasheet (p68): tumbling event-time windows of per-source
+    * doc/token/short-doc counts, the live view a 100 TB ingest pipeline
+    * watches to catch a source going bad (token mass collapsing, short-doc
+    * share spiking) while the crawl is still running. All aggregates are
+    * order-free integer sums, so a closed window's row equals the batch
+    * groupBy over the same slice (parity spec). State: one small count
+    * buffer per (window, source) — bounded by the watermark, sources ×
+    * windows-in-flight rows, no per-doc state. */
+  def corpusCardStream(docs: DataFrame, tsCol: String, srcCol: String,
+                       textCol: String, watermark: String,
+                       windowDur: String): DataFrame = {
+    import graft.operators.TextOps
+    val tk = TextOps.tokenCount(col(textCol)).cast("long")
+    docs.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tk).as("n_tokens"),
+        sum(when(tk < 20L, 1L).otherwise(0L)).as("n_short"))
+  }
+
   /** Streaming curation pipeline — the streaming twin of the batch cleaning
     * composition (the p17/p46 shape): encoding-artifact gate
     * ([[graft.operators.TextOps.encodingArtifacts]] `looks_clean`) +

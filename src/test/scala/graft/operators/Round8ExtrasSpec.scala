@@ -133,6 +133,26 @@ class Round8ExtrasSpec extends SparkSpecBase {
     assert(kept == Seq(1002L, 1003L), kept)
   }
 
+  test("snapshotDedupNear: maxBucket cap drops hot buckets whole (p32 contract)") {
+    // a boilerplate cluster: 40 corpus copies of one text put its band
+    // buckets far over the cap; the capped run must NOT match the snapshot
+    // twin against them (the bucket is dropped whole), while the uncapped
+    // run drops it
+    val boiler = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"
+    val corpus = (0L until 40L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val snap = Seq((1000L, boiler),
+      (1001L, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.snapshotDedupNear(snap, corpus, "doc_id", "text",
+      n = 3, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(uncapped == Seq(1001L), uncapped)
+    val capped = Dedup.snapshotDedupNear(snap, corpus, "doc_id", "text",
+      n = 3, minJaccard = 0.5, maxBucket = Some(10L))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(capped == Seq(1000L, 1001L), capped)
+  }
+
   // ---- filterAblation -----------------------------------------------------
 
   test("filterAblation: combo masses partition the corpus per stratum") {

@@ -90,6 +90,49 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(!kept.contains(snapDocs(1).doc_id) && !kept.contains(800001L))
   }
 
+  test("streaming corpus card: windowed per-source stats match batch groupBy") {
+    import spark.implicits._
+    case class SDoc(doc_id: Long, ts: Timestamp, source: String, text: String)
+    val base = 1700000000000L
+    val rows = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map { r =>
+        // spread docs across two 1-minute windows by id parity
+        val t = base + (r.getLong(0) % 2) * 60000L + (r.getLong(0) % 7) * 100L
+        (r.getLong(0), new Timestamp(t), r.getString(1), r.getString(2))
+      }.toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, String)]
+    val stream = StreamingDedup.corpusCardStream(
+      mem.toDF().toDF("doc_id", "ts", "source", "text"),
+      "ts", "source", "text", watermark = "1 minute", windowDur = "1 minute")
+    val q = stream.writeStream.format("memory").queryName("card_out")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("card_out")
+      .select(col("window.start").cast("long").as("w"), col("source"),
+        col("n_docs"), col("n_tokens"), col("n_short"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val exp = rows.toDF("doc_id", "ts", "source", "text")
+      .groupBy(window(col("ts"), "1 minute"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.operators.TextOps.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"),
+        sum(when(graft.operators.TextOps.tokenCount(col("text")) < 20, 1L)
+          .otherwise(0L)).as("n_short"))
+      .select(col("window.start").cast("long").as("w"), col("source"),
+        col("n_docs"), col("n_tokens"), col("n_short"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == exp, s"${got.size} stream rows vs ${exp.size} batch rows")
+  }
+
   test("streaming curation: encoding + quality gates before dedup, batch parity") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
