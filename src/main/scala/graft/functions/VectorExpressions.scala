@@ -286,9 +286,17 @@ object BlockCosinePairs {
       ids(i) = row.getLong(0)
       nrms(i) = row.getDouble(2)
       val v = row.getArray(1)
-      val dd = math.min(d, v.numElements())
+      // uniform dimensionality is a hard precondition: silently truncating
+      // longer vectors / zero-padding shorter ones would make the sims
+      // diverge from the staged per-pair vec_dot form on ragged input while
+      // still LOOKING like valid cosines — fail loudly instead
+      if (v.numElements() != d)
+        throw new IllegalArgumentException(
+          s"block_cosine_pairs: ragged block — vector ${ids(i)} has dim " +
+            s"${v.numElements()}, block dim is $d (all vectors in a block " +
+            "must share one dimensionality)")
       var j = 0
-      while (j < dd) { m(i * d + j) = v.getDouble(j); j += 1 }
+      while (j < d) { m(i * d + j) = v.getDouble(j); j += 1 }
       i += 1
     }
     val out = new scala.collection.mutable.ArrayBuffer[Any]()

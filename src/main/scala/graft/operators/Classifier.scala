@@ -147,15 +147,18 @@ object Classifier {
     // materialize the final scoring pass BEFORE releasing docFeats (the
     // Bpe.train persist-count-unpersist pattern) — unpersisting under a
     // still-lazy `scored` would recompute the whole tokenize+explode+hash
-    // feature extraction when the caller finally evaluates it
+    // feature extraction when the caller finally evaluates it. The
+    // materialization is an eager LOCAL CHECKPOINT, not persist+count
+    // (r8 review): a persist pins a session-lifetime CacheManager entry per
+    // invocation, where checkpoint blocks free with the returned DataFrame
+    // (ContextCleaner) once the caller drops it.
     val scored = docFeats
       .select(col("doc_id"), zCol().as("z_sum"), col("label"))
       .select(col("doc_id"), col("z_sum"),
         sigma(col("z_sum")).as("prob"), col("label"),
         (col("z_sum") >= 0L).as("predicted"),
         ((col("z_sum") >= 0L) === col("label")).as("correct"))
-      .persist()
-    scored.count()
+      .localCheckpoint(true)
     docFeats.unpersist(blocking = false)
     scored
   }

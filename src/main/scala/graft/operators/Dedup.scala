@@ -17,6 +17,14 @@ import org.apache.spark.storage.StorageLevel
   *    candidates are only generated inside buckets, then verified exactly;
   *  - SimHash bands the 64-bit signature into 16-bit chunks (pigeonhole: any
   *    pair within Hamming distance 3 shares at least one of 4 chunks).
+  *
+  * Persist lifecycle: the pair generators cache intermediates (shingle sets,
+  * signatures, capped postings) through [[CacheScope.persistTracked]]. In a
+  * one-shot session that is plain `persist` (released at exit). A LONG-LIVED
+  * session should wrap calls in `CacheScope.releasing { ... }`, which
+  * materializes the result and unpersists every intermediate — see
+  * [[CacheScope]] for the contract ([[graft.operators.CacheLifecycleSpec]]
+  * gates it).
   */
 object Dedup {
 
@@ -87,6 +95,12 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val snapSets = shingleSets(snapshot, idCol, textCol, n).persist(storage)
     val corpSets = shingleSets(corpus, idCol, textCol, n).persist(storage)
+    // both sets unpersist below once the hit list is materialized — this
+    // operator (unlike the lazy pair generators) has a natural completion
+    // point: the hit list is tiny (snapshot ids only), so checkpointing it
+    // eagerly costs one small materialization and releases the shingle-set
+    // blocks BEFORE returning (r8 review: repeated snapshot calls in a
+    // long-lived ingest session accumulated both sets per call)
     def bandRows(sets: DataFrame): DataFrame = {
       val rows = minhashSigTable(sets, k).select(col("id"),
         posexplode(bandKeys(col("sig"), k, bands))).toDF("id", "band", "bh")
@@ -111,6 +125,9 @@ object Dedup {
         size(col("sh_s")).cast("long") + size(col("sh_c")).cast("long") - col("inter"))
       .filter(col("inter") / col("uni") >= minJaccard)
       .select(col("id_s").as(idCol)).distinct()
+      .localCheckpoint(true) // materialize-then-unpersist (Bpe.train pattern)
+    snapSets.unpersist(blocking = false)
+    corpSets.unpersist(blocking = false)
     snapshot.join(hits, Seq(idCol), "left_anti")
   }
 
@@ -181,13 +198,13 @@ object Dedup {
   private def pairIntersections(df: DataFrame, idCol: String, textCol: String,
                                 n: Int, maxDocFreq: Option[Long],
                                 storage: StorageLevel): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n).persist(storage)
+    val sets = CacheScope.persistTracked(shingleSets(df, idCol, textCol, n), storage)
     val posts0 = sets.select(col("id"), explode(col("shingles")).as("sh"))
     val posts = maxDocFreq match {
       case Some(cap) =>
         val hot = posts0.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("sh")
-        posts0.join(hot, Seq("sh"), "left_anti").persist(storage)
+        CacheScope.persistTracked(posts0.join(hot, Seq("sh"), "left_anti"), storage)
       case None => posts0
     }
     val sizes = maxDocFreq match {
@@ -294,7 +311,7 @@ object Dedup {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val toks = spread(df).select(col(idCol).as("id"),
-      TextOps.tokens(col(textCol)).as("toks")).persist(storage)
+      TextOps.tokens(col(textCol)).as("toks")).transform(t => CacheScope.persistTracked(t, storage))
     // `gram_fps60` kernel: positional k-gram fingerprints as 60-bit md5
     // prefixes in one compiled pass — the staged transform(sequence(...))
     // chain evaluated interpreted per position and shuffled 32-hex strings
@@ -527,8 +544,8 @@ object Dedup {
     // for self-joins on aggregated subtrees). k longs per doc for sig; the
     // shingle sets are the heavy one — pass DISK_ONLY at corpus scale (see
     // jaccardPairs).
-    val sets = shingleSets(df, idCol, textCol, n).persist(storage)
-    val sig = minhashSigTable(sets, k).persist(storage)
+    val sets = CacheScope.persistTracked(shingleSets(df, idCol, textCol, n), storage)
+    val sig = CacheScope.persistTracked(minhashSigTable(sets, k), storage)
     val bandRows0 = sig.select(col("id"),
       posexplode(bandKeys(col("sig"), k, bands))).toDF("id", "band", "bh")
     // LSH bucket skew guard: a bucket of m docs emits ~m^2/2 candidate pairs
@@ -586,7 +603,7 @@ object Dedup {
                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // persisted for the same self-join double-evaluation reason as in
     // minhashLshPairs; one long per doc
-    val sigs = simhashSigTable(df, idCol, textCol).persist(storage)
+    val sigs = CacheScope.persistTracked(simhashSigTable(df, idCol, textCol), storage)
     val chunks = sigs.select(col("id"), col("sig"), explode(
       transform(sequence(lit(0), lit(3)),
         c => struct(c.as("ci"),

@@ -222,9 +222,17 @@ object Shards {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
       .withColumn("s", floor(sqrt(col("n").cast("double")) * lit(1000000.0)))
     val tot = counts.agg(sum(col("s")).as("st"))
+    // quota product staged through DECIMAL(38,0): at the 100 TB design
+    // point `targetRows * s` overflows BIGINT (s = floor(sqrt(n)*1e6) ~ 1e11
+    // for a 1e10-row stratum; targetRows ~ 1e9 → ~1e20 > 2^63), which would
+    // yield NEGATIVE quotas that silently drop whole strata. Decimal
+    // multiply/int-divide are exact to 38 digits in both engines, and the
+    // result is a true quota (≤ targetRows), so the Long cast never wraps.
     val quotas = counts.crossJoin(broadcast(tot))
       .withColumn("quota",
-        least(col("n"), expr(s"(${targetRows}L * s) div st")))
+        least(col("n"),
+          expr(s"(CAST(${targetRows} AS DECIMAL(38,0)) * s) div st")
+            .cast("long")))
       .select(col(strataCol), col("n"), col("quota"))
     val w = Window.partitionBy(strataCol)
       .orderBy(col("priority").desc, col(idCol))

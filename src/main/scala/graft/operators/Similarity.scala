@@ -226,7 +226,7 @@ object Similarity {
     val unit = withNorm(corpus, corpusId, vecCol)
       .filter(col("nrm") > 0)
       .select(col(corpusId).as("id"), transform(col("v"), x => x / col("nrm")).as("u"))
-      .persist(storage)
+      .transform(t => CacheScope.persistTracked(t, storage))
     try {
       var cand: Seq[Seq[Double]] = ivfCentroids(corpus, corpusId, vecCol, 1)
       var r = 1
@@ -421,12 +421,12 @@ object Similarity {
     val cells = withNorm(df, idCol, vecCol)
       .select(col(idCol).as("id"), col("v"), col("nrm"),
         cellAssign(col("v"), centroids).as("cell"))
-      .persist(storage)
+      .transform(t => CacheScope.persistTracked(t, storage))
     val capped = maxCell match {
       case Some(cap) =>
         val big = cells.groupBy("cell").agg(count(lit(1)).as("cn"))
           .filter(col("cn") > cap).select("cell")
-        cells.join(big, Seq("cell"), "left_anti").persist(storage)
+        CacheScope.persistTracked(cells.join(big, Seq("cell"), "left_anti"), storage)
       case None => cells
     }
     capped.as("a").join(capped.as("b"),
@@ -545,7 +545,7 @@ object Similarity {
       case Some(cap) =>
         val sizes = keys0.groupBy("t", "bk").agg(count(lit(1)).as("bn"))
         keys0.join(sizes.filter(col("bn") <= cap), Seq("t", "bk"))
-          .select("id", "t", "bk").persist(storage)
+          .select("id", "t", "bk").transform(t => CacheScope.persistTracked(t, storage))
       case None => keys0
     }
     val cand = keys.as("a").join(keys.as("b"),
@@ -877,7 +877,7 @@ object Similarity {
         case Some(src) =>
           loadLocalRotations(spark, src, centroids.length, centroids.head.length)
         case None =>
-          val pinned = preRot.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val pinned = CacheScope.persistTracked(preRot)
           val d = centroids.head.length
           val eye = Seq.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
           val rots = (0 until centroids.length).map { c =>

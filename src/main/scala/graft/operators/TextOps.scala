@@ -674,7 +674,7 @@ object TextOps {
     // recovers exactly via substring_index(bg, ' ', 1).
     val posts = df.select(col(idCol).as("doc_id"),
         explode(call_function("word_bigrams", tokens(col(textCol)))).as("bg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked(_))
     // corpus vocabulary |V| for the smoothing denominator — the
     // `token_counts` kernel collapses each doc to its distinct tokens
     // map-side, so the exact distinct sees distinct-per-doc rows.
@@ -742,7 +742,7 @@ object TextOps {
       .select(col("doc_id"), call_function("md5_prefix60", col("shs")).as("sh"))
       // persisted: the DF count and the posting join both read the posting
       // stream — unpersisted, the tokenize+shingle+hash pass runs twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked(_))
     val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
     val perDoc = posts.join(dfreq, "sh")
       .groupBy("doc_id")
@@ -858,7 +858,7 @@ object TextOps {
           lit(buckets.toLong)).as("f"))
       // referenced twice (bucket counts AND the per-doc join): persisted so
       // the explode+hash pass runs once, not once per branch
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked(_))
     val counts = feats.groupBy("f").agg(
       count(lit(1)).as("r_f"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("t_f"))

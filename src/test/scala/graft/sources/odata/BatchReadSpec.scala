@@ -26,6 +26,35 @@ class BatchReadSpec extends SparkSpecBase {
     } finally stub.stop()
   }
 
+  test("batched keyset first pages carry nextLinks that readers follow via GET") {
+    // ADVICE r8: the stub used to serve each batched window's FULL result as
+    // the "first page", so the production path — a preloaded page whose
+    // nextLink the partition reader must then follow with a plain GET —
+    // never ran end-to-end. With `Prefer: odata.maxpagesize=2` honored in
+    // the batch path, every 5-row keyset window needs 2+ continuation GETs.
+    val stub = new ODataStub(v2 = false).start()
+    stub.skipStatus = 501 // force the keyset-window path
+    try {
+      val df = spark.read.format("odata")
+        .option("url", stub.serviceUrl + "/Customers")
+        .option("parallelism", "4").option("partitionRows", "5")
+        .option("pagesize", "2")
+        .load()
+      val ids = df.collect().map(_.getString(0)).toSeq
+      assert(ids.length == 20 && ids.distinct.length == 20,
+        s"keyset union wrong under paged batch first pages: $ids")
+      // the windows' first pages arrived via ONE $batch...
+      assert(stub.batchBodies.exists(_.contains("odata.maxpagesize=2")),
+        s"no maxpagesize Prefer in batch bodies: ${stub.batchBodies}")
+      // ...and every window continued via __page GETs (NOT batch: entries)
+      val contGets = stub.requests.filter(r =>
+        !r.startsWith("batch:") && r.contains("/Customers?") &&
+          r.contains("__page="))
+      assert(contGets.nonEmpty,
+        s"no nextLink continuation GETs followed the preloaded pages:\n${stub.requests.mkString("\n")}")
+    } finally stub.stop()
+  }
+
   test("odataPeek samples every entity set in one $batch round-trip") {
     val stub = new ODataStub(v2 = false).start()
     try {

@@ -248,15 +248,37 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
                   sq.get("$orderby"))
                 s"""{"id":"$id","status":200,"body":$body}"""
               }
-            } else {
-              val page =
-                if (path.split('/').last == "Customers") {
-                  val filtered = applyFilter(rows, sq.get("$filter"))
-                  val limited = sq.get("$top").map(t => filtered.take(t.toInt)).getOrElse(filtered)
-                  limited.map(jsonObj(_, None)).mkString("[", ",", "]")
-                } else "[]"
-              s"""{"id":"$id","status":200,"body":{"value":$page}}"""
-            }
+            } else if (path.split('/').last == "Customers") {
+              // honor the sub-request's `Prefer: odata.maxpagesize` (ADVICE
+              // r8): serve only the first page and a nextLink, so the
+              // production preloaded-page + follow-up-GET continuation is
+              // exercised end-to-end. Shaping (filter/order/skip) is shared
+              // with serveRows, so the continuation slices the same sequence.
+              val mps = preferPageSize(
+                Option(r.get("headers")).flatMap(h => Option(h.get("Prefer")))
+                  .map(_.asText))
+              val data = shapeRows(sq)
+              val explicitTop = sq.get("$top").map(_.toInt)
+              val limited = explicitTop.map(data.take).getOrElse(data)
+              val (slice, more) = mps match {
+                case Some(m) if explicitTop.isEmpty && limited.size > m =>
+                  (limited.take(m), true)
+                case _ => (limited, false)
+              }
+              val select = sq.get("$select").map(_.split(',').map(_.trim).toSeq)
+              val items = slice.map(jsonObj(_, select)).mkString("[", ",", "]")
+              val next =
+                if (!more) None
+                else {
+                  val keep = sq.filter { case (k, _) => k.startsWith("$") }
+                    .map { case (k, v) =>
+                      s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }
+                  Some(s"$serviceUrl/Customers?${(keep ++ Seq("__page=1")).mkString("&")}")
+                }
+              val body = s"""{"value":$items${next.map(l =>
+                s""","@odata.nextLink":"$l"""").getOrElse("")}}"""
+              s"""{"id":"$id","status":200,"body":$body}"""
+            } else s"""{"id":"$id","status":200,"body":{"value":[]}}"""
           } else s"""{"id":"$id","status":400,"body":{}}"""
         }
         respond(ex, 200, "application/json",
@@ -378,15 +400,17 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
     respond(ex, 200, "application/json", body)
   }
 
-  private def serveRows(ex: HttpExchange, q: Map[String, String]): Unit = {
-    if (q.contains("$skip") && skipStatus != 200) {
-      respond(ex, skipStatus, "text/plain", "$skip not supported"); return
-    }
-    if (q.contains("$apply")) {
-      if (applyStatus != 200) respond(ex, applyStatus, "text/plain", "$apply not supported")
-      else serveApply(ex, q("$apply"), q.get("$top").map(_.toInt), q.get("$orderby"))
-      return
-    }
+  /** `Prefer: odata.maxpagesize=N` → N (the page size a client ASKED for —
+    * real services honor it; the stub does too so preloaded-first-page +
+    * nextLink continuation is drivable end-to-end). */
+  private def preferPageSize(prefer: Option[String]): Option[Int] =
+    prefer.flatMap("odata\\.maxpagesize=(\\d+)".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt)
+
+  /** Shared row shaping ($filter + $orderby + $skip) — used by BOTH the
+    * top-level GET and the `$batch` sub-request path, so a batched first
+    * page and its nextLink continuation slice one consistent sequence. */
+  private def shapeRows(q: Map[String, String]): Seq[Map[String, Any]] = {
     var data = applyFilter(rows, q.get("$filter"))
     q.get("$orderby").foreach { ob =>
       val keys = ob.split(',').map(_.trim).map { part =>
@@ -408,14 +432,32 @@ class ODataStub(v2: Boolean, pageSize: Int = 5) {
       data = data.sorted(ord)
     }
     q.get("$skip").map(_.toInt).foreach(n => data = data.drop(n))
+    data
+  }
+
+  private def serveRows(ex: HttpExchange, q: Map[String, String]): Unit = {
+    if (q.contains("$skip") && skipStatus != 200) {
+      respond(ex, skipStatus, "text/plain", "$skip not supported"); return
+    }
+    if (q.contains("$apply")) {
+      if (applyStatus != 200) respond(ex, applyStatus, "text/plain", "$apply not supported")
+      else serveApply(ex, q("$apply"), q.get("$top").map(_.toInt), q.get("$orderby"))
+      return
+    }
+    var data = shapeRows(q)
     val explicitTop = q.get("$top").map(_.toInt)
     explicitTop.foreach(n => data = data.take(n))
-    // nextLink pagination for unlimited scans
+    // nextLink pagination for unlimited scans; a requested
+    // `Prefer: odata.maxpagesize` overrides the stub's default page size
+    // (what real services do — and what makes a batched first page and its
+    // follow-up GETs slice the same sequence at the same granularity)
+    val psz = preferPageSize(Option(ex.getRequestHeaders.getFirst("Prefer")))
+      .getOrElse(pageSize)
     val page = q.getOrElse("__page", "0").toInt
     val (slice, hasMore) =
       if (explicitTop.isDefined) (data, false)
-      else (data.slice(page * pageSize, (page + 1) * pageSize),
-        data.size > (page + 1) * pageSize)
+      else (data.slice(page * psz, (page + 1) * psz),
+        data.size > (page + 1) * psz)
     val select = q.get("$select").map(_.split(',').map(_.trim).toSeq)
     val expandRaw = q.getOrElse("$expand", "")
     val expand = expandRaw.contains("Orders")
