@@ -696,11 +696,8 @@ object TextQueries {
     // back through per-doc word counts (QuerySql.bpeEncodeOracle); also
     // spec'd vs a reference JVM BPE in PipelineExtrasSpec. ---------------
     QueryDef("p58_bpe_encode",
-      (s, d) => {
-        val docs = T.documents(s, d)
-        val merges = Bpe.train(docs, "text", nMerges = 10)
-        Bpe.encodeWithTrained(docs, "doc_id", "text", merges).orderBy("doc_id")
-      },
+      (s, d) => Bpe.trainEncodeCounts(T.documents(s, d), "doc_id", "text",
+        nMerges = 10).orderBy("doc_id"),
       Some(bpeEncodeOracle(10))),
 
     // ---- p62: classifier-gated priority sampling — the FineWeb-Edu

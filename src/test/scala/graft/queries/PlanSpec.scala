@@ -262,14 +262,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
-  test("p57 classifier scoring: weights are literals, aggregates partial") {
+  test("p57 classifier scoring: eager checkpoint result, no cache pin") {
+    // r9: trainScoreLr materializes its scored output through an EAGER
+    // localCheckpoint (persist-lifecycle contract — no session-lifetime
+    // CacheManager entry), so the returned plan is a checkpoint scan; the
+    // scoring pipeline's shape (literal weights, partial aggregates,
+    // TakeOrdered draw) is asserted on p62, which runs the same
+    // featureTable + sparse_logit path lazily
     val p = plan("p57_quality_classifier")
-    // the weight vector rides as an array literal (no weight-table join —
-    // the only joins are doc_id equi-joins of two corpus-sized sides,
-    // which SHOULD shuffle); logit and verdict are hash aggregates
-    assert(p.contains("HashAggregate"), p.take(2000))
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    assert(!p.contains("InMemoryTableScan"), p.take(2000))
   }
 
   test("p60 stratified sample: map-only priorities, one per-stratum window, no joins") {
@@ -389,6 +391,20 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("p58 BPE encode (r9 composite): map-side piece fold, one agg, no joins") {
+    val p = plan("p58_bpe_encode")
+    // the short-merge-list tier folds per (doc, word) row and aggregates by
+    // doc — the old type-table join chain (distinct + posting shuffle by w
+    // + final left join) must be gone
+    assert(p.contains("bpe_piece_count"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    // ONE corpus tokenize: train shares the composite's token_counts scan
+    // (the persisted per-doc table), so the executed plan of the encode
+    // side carries a cache read, not a second kernel scan
+    assert(p.contains("InMemoryTableScan") || "token_counts".r.findAllIn(p).size <= 1,
+      p.take(3000))
   }
 
 }
