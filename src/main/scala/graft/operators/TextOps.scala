@@ -665,40 +665,75 @@ object TextOps {
   def lmBigramScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String,
                     scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, lit, substring_index, sum}
+    import org.apache.spark.sql.functions.{array_distinct, broadcast, col, count, countDistinct, explode, explode_outer, lit, substring_index, sum}
+    import org.apache.spark.sql.expressions.Window
     // ONE corpus bigram pass (the `word_bigrams` kernel emits "w1 w2"
     // strings in a compiled scan), persisted — the LM-count branch and the
     // scoring join both read it; the old staged arrays_zip/slice chain ran
     // the tokenize+explode twice. Tokens are whitespace-split, so the
     // space-joined bigram string is an unambiguous (w1, w2) key and w1
     // recovers exactly via substring_index(bg, ' ', 1).
-    val posts = df.select(col(idCol).as("doc_id"),
-        explode(call_function("word_bigrams", tokens(col(textCol)))).as("bg"))
+    //
+    // SHUFFLE ECONOMY (r9 — this query was 6 chained exchanges at a ~0.4 s
+    // job floor each at bench scale):
+    //  - `explode_outer` keeps bigram-less documents as one null posting,
+    //    so every doc reaches the final groupBy and the old
+    //    row-restoring LEFT JOIN back onto `df` is GONE (two exchanges);
+    //  - the context count n1 = Σ_w2 n12 is a WINDOW over the bigram-type
+    //    table partitioned by w1 (one exchange+sort of the TYPE table,
+    //    bounded by distinct bigrams — never the corpus), replacing the
+    //    groupBy(w1) + join-back pair (two exchanges). A Zipf-head w1
+    //    ("of") has at most |vocab| distinct w2 rows in one partition —
+    //    type-table scale, not posting scale, so no hot-task hazard.
+    // Critical path: posts → [bg] c12 → [w1] window → [bg] lm ⟕ posts → [doc]
+    //
+    // ONE tokenize for the whole operator: the persisted base carries the
+    // token ARRAYS; the posting explode and the vocabulary branch both read
+    // them from cache (the old shape ran the corpus scan + split twice —
+    // once for word_bigrams, once for token_counts).
+    val base = graft.operators.spread(df)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .transform(CacheScope.persistTracked(_))
-    // corpus vocabulary |V| for the smoothing denominator — the
-    // `token_counts` kernel collapses each doc to its distinct tokens
-    // map-side, so the exact distinct sees distinct-per-doc rows.
-    val vocabN = df
-      .select(explode(call_function("token_counts", col(textCol))).as("tc"))
-      .agg(countDistinct(col("tc.token")).as("v"))
-    val c12 = posts.groupBy("bg").agg(count(lit(1)).as("n12"))
-    val c1 = c12
-      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(sum(col("n12")).as("n1"))
+    val posts = base.select(col("doc_id"),
+      explode_outer(call_function("word_bigrams", col("toks"))).as("bg"))
+    // persisted: the bigram-TYPE table (bounded by distinct bigrams, never
+    // the corpus) feeds both the LM window and the vocabulary derivation
+    val c12 = posts.filter(col("bg").isNotNull)
+      .groupBy("bg").agg(count(lit(1)).as("n12"))
+      .transform(CacheScope.persistTracked(_))
+    // corpus vocabulary |V| for the smoothing denominator, derived from the
+    // TYPE table instead of a second corpus-wide distinct: every token of a
+    // >=2-token doc appears in some bigram (as w1 unless last, as w2 unless
+    // first — tokens are whitespace-split, so they never contain ' ' and
+    // both sides recover exactly), and 1-token docs contribute their lone
+    // token from the cached base. Exactly the old distinct-token set, at
+    // |distinct bigrams|·2 + |single-token docs| rows instead of one row
+    // per corpus token occurrence.
+    val vocabN = c12
+      .select(explode(org.apache.spark.sql.functions.array(
+        substring_index(col("bg"), " ", 1),
+        substring_index(col("bg"), " ", -1))).as("t"))
+      .union(base.filter(org.apache.spark.sql.functions.size(col("toks")) === 1)
+        .select(explode(col("toks")).as("t")))
+      .agg(countDistinct(col("t")).as("v"))
     // true integer division (`div`): `(n12+1) * scale` can exceed 2^53 on
     // a Zipf-head bigram at corpus scale, where a double-divide-then-cast
     // would round differently than DuckDB's exact `//`.
     val lm = c12
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(c1, "w1").crossJoin(broadcast(vocabN))
+      .withColumn("n1",
+        sum(col("n12")).over(
+          Window.partitionBy(substring_index(col("bg"), " ", 1))))
+      .crossJoin(broadcast(vocabN))
       .select(col("bg"), expr(s"(n12 + 1L) * ${scale}L div (n1 + v)").as("p"))
-    val perDoc = posts.join(lm, Seq("bg"))
+    // left join: every bg in posts exists in lm by construction, so this is
+    // the inner join for real postings; the null posting of a bigram-less
+    // doc survives with p = null and counts as zero below. Aliased: lm
+    // derives from posts, so unqualified bg is an ambiguous self-join ref.
+    posts.as("po").join(lm.as("lm"), col("po.bg") === col("lm.bg"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("score_sum"))
-    df.select(col(idCol).as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+      .agg(count(col("po.bg")).as("n_bigrams"), sum(col("p")).as("score_sum"))
       .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("n_bigrams"),
         col("score_sum"),
         (col("score_sum").cast("double") / col("n_bigrams").cast("double"))
           .as("lm_score"),
@@ -706,7 +741,7 @@ object TextOps {
         // [1%, 60%] of `scale` — below is gibberish (smoothed singleton
         // transitions), above is boilerplate (a doc repeating one phrase
         // drives P(w2|w1) → 1).
-        (coalesce(col("n_bigrams"), lit(0L)) > 0 &&
+        (col("n_bigrams") > 0 &&
           col("score_sum") * 100L >= col("n_bigrams") * lit(scale) &&
           col("score_sum") * 10L <= col("n_bigrams") * lit(scale) * 6L)
           .as("keep"))

@@ -204,6 +204,10 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
       .findFirstIn(p).isDefined, p.take(2000))
+    // r9 shuffle collapse: the context count n1 is ONE window over the
+    // bigram-TYPE table (replacing the groupBy(w1)+join-back pair), and the
+    // old row-restoring left join back onto the corpus is gone
+    assert(p.contains("Window"), p.take(2000))
   }
 
   test("p48 DSIR: ratio table is broadcast back onto the feature stream") {
