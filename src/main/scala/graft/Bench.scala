@@ -32,6 +32,29 @@ object Bench {
       StandardCharsets.UTF_8).trim.split("\\s+").take(3).mkString(" ")
     catch { case _: Throwable => "" }
 
+  private def loadavg1(): Double =
+    try loadavg().split("\\s+")(0).toDouble catch { case _: Throwable => 0.0 }
+
+  /** Load gate (r8 verdict: a committed artifact carried a q02 reading 3.5x
+    * its quiet-box value because the run started on a loaded machine and
+    * needed a side-channel rerun to explain). Before the TIMED passes, wait
+    * until the 1-minute loadavg drops to `SPARK_GRAFT_MAX_LOAD` (default 2)
+    * or `SPARK_GRAFT_LOAD_WAIT_S` (default 600) elapses — the artifact then
+    * records whether the gate passed ("ok") or timed out ("timeout"), so a
+    * loaded reading can never masquerade as a quiet one. */
+  private def waitForQuietBox(): (String, Long) = {
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "2.0").toDouble
+    val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_S", "600").toLong
+    if (maxLoad <= 0) return ("off", 0L)
+    val t0 = System.nanoTime()
+    var waited = 0L
+    while (loadavg1() > maxLoad && waited < maxWaitS) {
+      Thread.sleep(15000)
+      waited = (System.nanoTime() - t0) / 1000000000L
+    }
+    (if (loadavg1() <= maxLoad) "ok" else "timeout", waited)
+  }
+
   /** Runs the oracle SQL suite in DuckDB (warmup pass + best-of-2) in this
     * same session. Returns per-query best seconds, or None if the subprocess
     * can't run. The python script is fed on stdin; argv = sfDir, oracle path.
@@ -100,6 +123,10 @@ object Bench {
     // should bench the hardware it runs on, not a 4-core config
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // quiet-box gate BEFORE the session exists: loadavg here is FOREIGN
+    // load (the warmup/timed passes' own 32-core bursts would trip a
+    // post-warmup gate and stall while caches cool)
+    val (loadGuard, loadWaitedS) = waitForQuietBox()
     val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -195,8 +222,23 @@ object Bench {
     val fp2 = pass2.map(t => t._1 -> t._3).toMap
     val planChanged = names.map(_._1)
       .filter(n => fp1(n).nonEmpty && fp2(n).nonEmpty && fp1(n) != fp2(n))
+    // contention auto-retry: a pass-to-pass spread beyond 30% AND 0.5 s is a
+    // transient-load signature, not a plan cost — those queries get a third
+    // timed run (best-of-3 reported, names recorded in the artifact)
+    val retried = names.filter { case (name, _) =>
+      val best = math.min(run1(name), run2(name))
+      val spread = math.abs(run1(name) - run2(name))
+      spread > 0.3 * best && spread > 0.5
+    }.map(_._1)
+    val run3: Map[String, Double] = retried.map { name =>
+      val fn = selected(name)
+      val t0 = System.nanoTime()
+      try force(fn(spark, sfDir)) catch { case _: Throwable => }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     val results = names.map { case (name, _) =>
-      name -> math.min(run1(name), run2(name))
+      name -> math.min(math.min(run1(name), run2(name)),
+        run3.getOrElse(name, Double.MaxValue))
     }
     // relative spread |t1 − t2| / best; flagged when both large relatively
     // (>25%) AND absolutely (>0.15 s) — sub-150ms jitter is scheduler noise
@@ -238,6 +280,8 @@ object Bench {
       s""""warmup_flushes":$warmupFlushes,"flushes":${flushed.length},""" +
       s""""flush_before":${flushed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+      s""""load_guard":"$loadGuard","load_waited_s":$loadWaitedS,""" +
+      s""""retried":${retried.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""cpus":$cpus,"runs":2,"noisy":$noisyJson,""" +
       s""""plan_changed":${planChanged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""spark_total":$sparkTotal,""" +
