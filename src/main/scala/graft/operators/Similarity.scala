@@ -366,6 +366,13 @@ object Similarity {
   def cellAssign(v: Column, centroids: Seq[Seq[Double]]): Column =
     argMaxCell(cellSimsFor(centroids)(v))
 
+  /** Public top-`nProbe` probe order (sim DESC, cid DESC — the `top_cells`
+    * kernel) for callers pinning a cell model outside one operator call,
+    * e.g. the PROBING streaming SemDeDup twin. `probeCells(v, c, n)(0)` is
+    * exactly [[cellAssign]] (same tie order). */
+  def probeCells(v: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    topCells(cellSimsFor(centroids)(v), nProbe)
+
   def ivfTopK(corpus: DataFrame, corpusId: String, queries: DataFrame,
               queryId: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,

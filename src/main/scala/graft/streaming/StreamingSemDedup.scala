@@ -51,6 +51,8 @@ import graft.operators.Similarity
 object StreamingSemDedup {
 
   final case class VecRow(id: Long, ts: Timestamp, cell: Int, u: Array[Double])
+  final case class ProbeRow(id: Long, ts: Timestamp, cell: Int, home: Boolean,
+                            u: Array[Double])
   final case class CellEntry(id: Long, tsMs: Long, u: Array[Double])
   final case class CellState(entries: List[CellEntry], maxTsMs: Long)
   final case class SemOut(id: Long, ts: Timestamp, is_dup: Boolean, dup_of: Long)
@@ -111,6 +113,107 @@ object StreamingSemDedup {
                   out += SemOut(r.id, r.ts, is_dup = false, -1L)
                   if (entries.size < maxPerCell)
                     entries = entries :+ CellEntry(r.id, tsMs, r.u)
+              }
+              maxTs = math.max(maxTs, tsMs)
+            }
+            state.update(CellState(entries, maxTs))
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, maxTs + watermarkDelayMs))
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
+  /** PROBING StreamingSemDedup — the multi-cell (nProbe) variant the r7/r8
+    * rounds recorded as blocked. The blocker was real for the literal
+    * translation: "judge each arrival against the state of its nProbe
+    * nearest cells" needs either one arrival to read N keyed states (not
+    * expressible) or a per-arrival verdict COMBINE downstream of the state
+    * function (a second stateful operator — Spark's checker rejects
+    * aggregations after flatMapGroupsWithState because fMGWS output
+    * event-time is unconstrained, so no watermark can propagate).
+    *
+    * The topology that works — and what this operator IS (policy documented
+    * because it differs from the batch operator in a bounded way):
+    *
+    *  - map-side fan-out: each arrival goes to its nProbe nearest cells
+    *    ([[graft.operators.Similarity]]'s `top_cells` probe order), the
+    *    nearest flagged HOME;
+    *  - ONE flatMapGroupsWithState keyed by cell (linear chain — the
+    *    watermark propagates; the static checker stays ON):
+    *      - the HOME copy is JUDGED against the cell's live entries and is
+    *        the only copy that emits (one output row per arrival — no
+    *        downstream combine needed); kept rows store a home entry;
+    *      - non-home copies store a GHOST entry (no verdict, no emission).
+    *    A boundary-straddling pair (r in cell A, s in cell B, A ∈ probes(s))
+    *    is caught when s's ghost lands in r's home cell — the same
+    *    neighborhood coverage IVF probing buys, reached by fanning out
+    *    STORAGE instead of lookups.
+    *
+    *  - Documented divergence from the batch survivors-only rule: ghosts
+    *    are earlier ARRIVALS — a ghost whose home verdict was "duplicate"
+    *    can still claim a later cross-cell arrival (its home copy's
+    *    verdict is decided in another task; the copies cannot coordinate
+    *    without the forbidden second stateful op). Within-cell matches keep
+    *    the survivors-only rule exactly. This over-drops (dedup's safe
+    *    direction) and only across cell boundaries; the sequential-replay
+    *    ground truth in the parity spec implements the same policy.
+    *  - State: home entries and ghosts share the per-cell `maxPerCell` cap
+    *    and the event-time expiry of the single-cell twin. Fan-out
+    *    multiplies arrivals nProbe×, not state (caps bound each cell).
+    */
+  def semDedupStreamProbed(vecs: DataFrame, tsCol: String, idCol: String,
+                           vecCol: String, centroids: Seq[Seq[Double]],
+                           watermarkDelayMs: Long, minSim: Double,
+                           nProbe: Int = 2, maxPerCell: Int = 1024): DataFrame = {
+    require(minSim > 0, s"minSim must be > 0, got $minSim")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    import graft.operators.bindOnce
+    val rows = vecs.select(col(idCol).as("id"), col(tsCol).as("ts"),
+        Similarity.toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", Similarity.l2Norm(col("v")))
+      .select(col("id"), col("ts"),
+        posexplode(Similarity.probeCells(col("v"), centroids, nProbe))
+          .as(Seq("pos", "cell")),
+        bindOnce(struct(col("v").as("v"), col("nrm").as("n"))) { s =>
+          when(s.getField("n") === 0.0, s.getField("v"))
+            .otherwise(transform(s.getField("v"), x => x / s.getField("n")))
+        }.as("u"))
+      .select(col("id"), col("ts"), col("cell").cast("int").as("cell"),
+        (col("pos") === 0).as("home"), col("u"))
+      .withWatermark("ts", s"$watermarkDelayMs milliseconds")
+      .as[ProbeRow]
+
+    rows.groupByKey(_.cell)
+      .flatMapGroupsWithState[CellState, SemOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Int, it: Iterator[ProbeRow], state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // (ts, id) order; a row's probe cells are distinct, so each
+            // cell sees at most one copy of it — the order is total
+            val sorted = it.toSeq.sortBy(r => (r.ts.getTime, r.id))
+            val st0 = state.getOption.getOrElse(CellState(Nil, 0L))
+            var entries = st0.entries
+            var maxTs = st0.maxTsMs
+            val out = Seq.newBuilder[SemOut]
+            sorted.foreach { r =>
+              val tsMs = r.ts.getTime
+              entries = entries.filter(e => e.tsMs + watermarkDelayMs >= tsMs)
+              if (r.home) {
+                entries.find(e => e.id != r.id && dotArr(e.u, r.u) >= minSim) match {
+                  case Some(e) => out += SemOut(r.id, r.ts, is_dup = true, e.id)
+                  case None =>
+                    out += SemOut(r.id, r.ts, is_dup = false, -1L)
+                    if (entries.size < maxPerCell)
+                      entries = entries :+ CellEntry(r.id, tsMs, r.u)
+                }
+              } else if (entries.size < maxPerCell &&
+                  !entries.exists(_.id == r.id)) {
+                // ghost store: candidate for later arrivals of THIS cell
+                entries = entries :+ CellEntry(r.id, tsMs, r.u)
               }
               maxTs = math.max(maxTs, tsMs)
             }
