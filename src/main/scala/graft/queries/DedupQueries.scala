@@ -227,6 +227,39 @@ object DedupQueries {
         SELECT id_a, id_b, hamming FROM cand
         WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
+    // ---- p74: SimHash pairs WITH the chunk-bucket skew cap engaged — the
+    // r9 sf10 probe measured p06's task skew growing 6→60 on a hot 16-bit
+    // chunk bucket (near-constant signature regions collide at scale); the
+    // cap drops oversized buckets whole, deterministically, exactly like
+    // p32's MinHash analogue. Oracle mirrors the cap: bucket sizes on the
+    // SAME chunk rows, buckets > 8 removed before the candidate join. ----
+    QueryDef("p74_simhash_capped",
+      (s, d) => Dedup.simhashPairs(T.documents(s, d), "doc_id", "text",
+        maxHamming = 3, maxBucket = Some(8L)).orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS tks FROM documents),
+        posts AS (SELECT doc_id, unnest(tks) AS tok FROM t),
+        f AS (SELECT doc_id,
+            ('0x' || substring(md5(tok), 1, 15))::BIGINT AS f
+          FROM posts),
+        votes AS (SELECT doc_id, j,
+            SUM(CASE WHEN (f >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM f CROSS JOIN range(60) rj(j) GROUP BY doc_id, j),
+        sigs AS (SELECT doc_id,
+            SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
+          FROM votes GROUP BY doc_id),
+        chunks AS (SELECT doc_id, sig, c, (sig >> (c*16)) & 65535 AS cv
+          FROM sigs CROSS JOIN range(4) rc(c)),
+        csz AS (SELECT c, cv, COUNT(*) AS bn FROM chunks GROUP BY 1, 2),
+        capped AS (SELECT ch.doc_id, ch.sig, ch.c, ch.cv
+          FROM chunks ch JOIN csz USING (c, cv) WHERE bn <= 8),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+          FROM capped a JOIN capped b
+            ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, hamming FROM cand
+        WHERE hamming <= 3 ORDER BY id_a, id_b""")),
+
     // ---- p19: embedding-cosine near-dup with NO blocking key: LSH bucket
     // collisions propose narrow (id_a, id_b) candidates, exact cosine
     // verifies >= 0.3. Oracle re-derives the same integer-LCG hyperplanes as

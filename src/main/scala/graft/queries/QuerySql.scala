@@ -488,6 +488,26 @@ private[queries] object QuerySql {
     FROM ($rows) ORDER BY rank"""
   }
 
+  /** p75: per-SOURCE tokenizer fertility datasheet under the trained
+    * merges — tokens/words per source, the corpus-sizing number every
+    * tokenizer report publishes (fertility >> 1 on a domain means the
+    * tokenizer fragments it and the token budget buys fewer words there).
+    * Chains the same MATERIALIZED round CTEs as p50/p58; the fertility
+    * ratio is ONE correctly-rounded double division of exact BIGINTs. */
+  def bpeFertilityOracle(nMerges: Int): String =
+    s"""WITH ${bpeRoundsCte(nMerges)},
+    wp AS MATERIALIZED (SELECT w, CAST(len(syms) AS BIGINT) AS n_pieces FROM s_$nMerges),
+    pdw AS MATERIALIZED (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS n FROM
+      (SELECT doc_id, unnest($ToksSql) AS w FROM documents) WHERE len(w) > 0 GROUP BY 1, 2),
+    enc AS MATERIALIZED (SELECT doc_id, SUM(n) AS n_words, SUM(n * n_pieces) AS n_tokens FROM pdw JOIN wp USING (w) GROUP BY 1)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(COALESCE(n_words, 0)) AS BIGINT) AS words,
+      CAST(SUM(COALESCE(n_tokens, 0)) AS BIGINT) AS tokens,
+      CAST(SUM(COALESCE(n_tokens, 0)) AS DOUBLE)
+        / CAST(SUM(COALESCE(n_words, 0)) AS DOUBLE) AS fertility
+    FROM documents LEFT JOIN enc USING (doc_id)
+    GROUP BY source ORDER BY source"""
+
   /** p58: per-doc word/piece counts under the trained merges — the final
     * type table s_N IS the encoded vocabulary (training and encoding share
     * the word-type set), joined back through per-doc word counts. */

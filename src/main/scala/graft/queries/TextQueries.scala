@@ -700,6 +700,28 @@ object TextQueries {
         nMerges = 10).orderBy("doc_id"),
       Some(bpeEncodeOracle(10))),
 
+    // ---- p75: per-source tokenizer FERTILITY datasheet — train the p50
+    // tokenizer, encode the corpus (ONE shared tokenize pass via
+    // trainEncodeCounts), and roll tokens/words up per source: the
+    // corpus-sizing number tokenizer reports publish (fertility >> 1 on a
+    // domain means the token budget buys fewer words there). All-BIGINT
+    // sums; fertility is one correctly-rounded double division. ----------
+    QueryDef("p75_bpe_fertility",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        docs.select(col("doc_id"), col("source"))
+          .join(Bpe.trainEncodeCounts(docs, "doc_id", "text", nMerges = 10),
+            Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("words"),
+            sum(col("n_tokens")).as("tokens"))
+          .withColumn("fertility",
+            col("tokens").cast("double") / col("words").cast("double"))
+          .orderBy("source")
+      },
+      Some(bpeFertilityOracle(10))),
+
     // ---- p62: classifier-gated priority sampling — the FineWeb-Edu
     // pipeline shape end-to-end in ONE query: train the p57 logistic
     // quality filter (5 engine-exact GD steps), keep the docs it predicts

@@ -397,6 +397,25 @@ class PlanSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("p74 capped simhash: bucket-size guard before the chunk self-join, no product") {
+    val p = plan("p74_simhash_capped")
+    // the cap is a pre-join aggregate + semi-ish equi-join of the chunk rows
+    // against small buckets — never a cartesian, and the candidate join is
+    // an equi join on (chunk, value)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findFirstIn(p).isDefined, p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("p75 fertility: shared tokenize (cache read), rollup agg, no product") {
+    val p = plan("p75_bpe_fertility")
+    assert(p.contains("InMemoryTableScan") || "token_counts".r.findAllIn(p).size <= 1,
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("p58 BPE encode (r9 composite): map-side piece fold, one agg, no joins") {
     val p = plan("p58_bpe_encode")
     // the short-merge-list tier folds per (doc, word) row and aggregates by
