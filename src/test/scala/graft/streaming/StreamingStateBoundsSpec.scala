@@ -68,4 +68,29 @@ class StreamingStateBoundsSpec extends SparkSpecBase {
     assert(rows.last <= 2L,
       s"timed-out cells must leave state: $rows")
   }
+
+  test("PROBED semdedup cell state evicts on timeout; ghosts don't outlive cells") {
+    import spark.implicits._
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[BVec]
+    val q = StreamingSemDedup.semDedupStreamProbed(mem.toDF(), "ts", "vec_id",
+        "emb", cents, watermarkDelayMs = 10000L, minSim = 0.99, nProbe = 2)
+      .writeStream.format("memory").queryName("bounds_semdd_probed")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // nProbe=2 over 2 cells: every arrival ghost-stores in its non-home
+    // cell too — state stays one row per LIVE cell regardless
+    mem.addData((0L until 50L).map(i =>
+      BVec(i, new Timestamp(base), Array(math.cos(i * 0.1), math.sin(i * 0.1)))): _*)
+    q.processAllAvailable()
+    mem.addData(BVec(9001L, new Timestamp(base + 600000L), Array(1.0, 0.0)))
+    q.processAllAvailable()
+    mem.addData(BVec(9002L, new Timestamp(base + 1200000L), Array(0.0, 1.0)))
+    q.processAllAvailable()
+    val rows = stateRows(q)
+    q.stop()
+    assert(rows.max >= 2L, s"cells never entered state: $rows")
+    assert(rows.last <= 2L,
+      s"timed-out cells (incl. their ghosts) must leave state: $rows")
+  }
 }

@@ -21,19 +21,21 @@ count — the sf1→sf10 slope would measure the data design, not the plan.
 With bounded families, near-dup pairs scale linearly with corpus size, the
 real-corpus assumption the operators document.
 
-Usage: python3 tools/make_sf10.py [outDir=/tmp/sf10]
+Usage: python3 tools/make_sf10.py [outDir=/tmp/sf10] [copies=100]
+(copies=1000 -> sf100: generation g = c//10 spans 0..99; text family depth stays 10)
 """
 import os, sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
-COPIES = 100
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 OFF = 100_000_000  # key offset per copy; far above any sf0.1 key
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
 con.execute("SET preserve_insertion_order=false")
+con.execute("SET max_expression_depth=20000")  # 1000-way UNION ALL nests past the 1000 default
 con.execute("SET memory_limit='64GB'")
 con.execute("SET temp_directory='/tmp/duck_spill'")
 
