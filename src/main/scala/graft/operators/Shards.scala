@@ -105,6 +105,38 @@ object Shards {
       sum(col(tokensCol)).over(w) - col(tokensCol), lit(budget)))
   }
 
+  /** Length-bucketed BATCH planning — the sorted/bucketed dynamic batching
+    * every training and inference loader runs (group sequences of similar
+    * length, fill each batch to a token budget): batching random-length
+    * docs pads every sequence to the batch max, and on a heavy-tailed
+    * corpus most FLOPs go to pad tokens; bucketing by length bounds the
+    * waste structurally.
+    *
+    * Layout: `len_bucket` = floor(log2(tokens))+1 (the BIT LENGTH —
+    * `length(bin(tk))`, identical in Spark and DuckDB; no transcendental
+    * log anywhere), so within a bucket max_len < 2·min_len and padding
+    * waste is < 50% before any packing; within (partCol, len_bucket) docs
+    * order by (tokens, id) and a running token sum `div budget` assigns
+    * `batch_id` (the [[packShards]] integral-cumsum idiom — exact BIGINT,
+    * engine-portable). Zero/negative-token docs land in bucket 0.
+    *
+    * Shape at 100 TB: MAP-ONLY bucket assignment + ONE window per
+    * (partCol, len_bucket) — same bounded-partition-key contract as
+    * [[packSequences]] (feed a source/date bucket, never a constant);
+    * buckets subdivide each partition further (≤ ~40 live log2 tiers), so
+    * window partitions only shrink. */
+  def lengthBucketBatches(df: DataFrame, partCol: String, idCol: String,
+                          tokensCol: String, budget: Long): DataFrame = {
+    val bucket = when(col(tokensCol) <= 0, lit(0L))
+      .otherwise(length(bin(col(tokensCol))).cast("long"))
+    val w = Window.partitionBy(col(partCol), col("len_bucket"))
+      .orderBy(col(tokensCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("len_bucket", bucket)
+      .withColumn("batch_id", call_function("div",
+        sum(col(tokensCol)).over(w) - col(tokensCol), lit(budget)))
+  }
+
   /** Context-window SEQUENCE packing — "concatenate documents in order, cut
     * every `ctx` tokens": the step that turns a curated corpus into the
     * fixed-length training sequences a pretraining loader consumes

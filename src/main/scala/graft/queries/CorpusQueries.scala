@@ -421,6 +421,35 @@ object CorpusQueries {
         FROM r JOIN q ON r.source = q.source
         WHERE rk <= quota ORDER BY doc_id""")),
 
+    // ---- p76: length-bucketed batch planning — the sorted/bucketed
+    // dynamic batching of training and inference loaders: bucket by BIT
+    // LENGTH of the token count (floor(log2)+1 — length(bin(tk)), identical
+    // both engines, no transcendental log), order by (tokens, id) within
+    // (source, bucket), fill batches to a 1024-token budget via the
+    // integral-cumsum idiom. Padding waste within a bucket is < 50% by
+    // construction (max_len < 2·min_len). ---------------------------------
+    QueryDef("p76_length_batching",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Shards.lengthBucketBatches(docs, "source", "doc_id", "n_tokens",
+            budget = 1024L)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, source, CAST(len($ToksSql) AS BIGINT) AS n_tokens
+          FROM documents),
+        b AS (SELECT doc_id, source, n_tokens,
+            CASE WHEN n_tokens <= 0 THEN 0
+                 ELSE CAST(length(bin(n_tokens)) AS BIGINT) END AS len_bucket
+          FROM t)
+        SELECT doc_id, source, n_tokens, len_bucket,
+          -- DuckDB SUM(BIGINT) OVER widens to HUGEINT; cast back before //
+          CAST(SUM(n_tokens) OVER (PARTITION BY source, len_bucket
+              ORDER BY n_tokens, doc_id ROWS UNBOUNDED PRECEDING)
+            - n_tokens AS BIGINT) // 1024 AS batch_id
+        FROM b ORDER BY doc_id""")),
+
     // ---- p63: context-window sequence packing — concat docs in (source,
     // doc_id) order, cut every 512 tokens, emit one row per (doc, sequence)
     // span (the GPT/Megatron pretraining data layout: which slice of which

@@ -125,4 +125,39 @@ class SamplingQuantizeSpec extends SparkSpecBase {
     val (_, _, q3, _) = out(2)
     assert(q3.take(2) == Seq(-127, 127), q3.toString)
   }
+
+  test("lengthBucketBatches: log2 buckets bound padding, budget bounds batches, repartition-stable") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 500).map { i =>
+      (i.toLong, s"s${i % 3}", (rnd.nextInt(2000) + (if (i % 40 == 0) 0 else 1)).toLong)
+    }.toDF("id", "src", "tk")
+    val out = Shards.lengthBucketBatches(df, "src", "id", "tk", budget = 4096L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // bucket invariant: within a bucket max < 2*min (bit-length tiers), so
+    // padding to the batch max wastes < 50% of the padded tokens
+    out.filter(_._3 > 0).groupBy(r => (r._2, r._4)).foreach { case (k, rs) =>
+      val lens = rs.map(_._3)
+      assert(lens.max < 2 * lens.min, s"$k: ${lens.min}..${lens.max}")
+    }
+    // zero-token rows land in bucket 0
+    assert(out.filter(_._3 == 0).forall(_._4 == 0L))
+    // budget: a batch's token sum < budget + its max item (integral-cumsum
+    // boundary property), and batch ids are contiguous from 0 per group
+    out.groupBy(r => (r._2, r._4)).foreach { case (_, rs) =>
+      rs.groupBy(_._5).foreach { case (_, batch) =>
+        assert(batch.map(_._3).sum < 4096L + batch.map(_._3).max)
+      }
+      val ids = rs.map(_._5).distinct.sorted.toList
+      assert(ids == (0L until ids.size.toLong).toList, ids.toString)
+    }
+    // pure function of the data: a different physical partitioning yields
+    // the identical plan output
+    val re = Shards.lengthBucketBatches(df.repartition(17, col("id") + lit(3)),
+        "src", "id", "tk", budget = 4096L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.sortBy(_._1).toSeq == re.sortBy(_._1).toSeq)
+  }
 }

@@ -397,6 +397,13 @@ class PlanSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("p76 length batching: map-only bucketing + one window, no joins, no aggregates") {
+    val p = plan("p76_length_batching")
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("p74 capped simhash: bucket-size guard before the chunk self-join, no product") {
     val p = plan("p74_simhash_capped")
     // the cap is a pre-join aggregate + semi-ish equi-join of the chunk rows
