@@ -230,11 +230,15 @@ object Bench {
       val spread = math.abs(run1(name) - run2(name))
       spread > 0.3 * best && spread > 0.5
     }.map(_._1)
-    val run3: Map[String, Double] = retried.map { name =>
+    // ADVICE r9: a third run that fails fast must NOT enter the min() —
+    // its time-to-failure is not a query time. Only successful retries
+    // contribute; per-query run counts go in the artifact.
+    val run3: Map[String, Double] = retried.flatMap { name =>
       val fn = selected(name)
       val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { force(fn(spark, sfDir)); true }
+        catch { case _: Throwable => false }
+      if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
     }.toMap
     val results = names.map { case (name, _) =>
       name -> math.min(math.min(run1(name), run2(name)),
@@ -282,7 +286,10 @@ object Bench {
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
       s""""load_guard":"$loadGuard","load_waited_s":$loadWaitedS,""" +
       s""""retried":${retried.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""cpus":$cpus,"runs":2,"noisy":$noisyJson,""" +
+      s""""runs_per_query":${names.map { case (n, _) =>
+        "\"" + n + "\":" + (2 + (if (run3.contains(n)) 1 else 0))
+      }.mkString("{", ",", "}")},""" +
+      s""""cpus":$cpus,"runs":"2-3","noisy":$noisyJson,""" +
       s""""plan_changed":${planChanged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""spark_total":$sparkTotal,""" +
       s""""spark_paired":${sparkPaired.map(_.toString).getOrElse("null")},""" +

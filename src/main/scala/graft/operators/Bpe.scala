@@ -43,7 +43,15 @@ object Bpe {
     * TWO TIERS, bit-identical results (parity-spec'd in `BpeDriverTierSpec`):
     *
     *  - `n_types <= driverTypeMax` (default 2^20): the word-TYPE table is
-    *    METADATA scale (a vocabulary, not a corpus — ~50 MB at the cap), so
+    *    METADATA scale (a vocabulary, not a corpus). Driver footprint at
+    *    the default cap (ADVICE r9 — count the IN-LOOP state, not just the
+    *    collected rows): 2^20 (word, freq) rows ~50 MB, PLUS the merge
+    *    loop's per-word symbol arrays (one String per code point — for an
+    *    avg 8-cp word, ~9 object headers + pointers ≈ 300-500 B/word →
+    *    ~0.5 GB at the cap) and the per-round pair-count HashMap (bounded
+    *    by distinct adjacent pairs, typically ≪ n_types). Budget ~1 GB of
+    *    driver heap at the default cap; lower `driverTypeMax` (it gates on
+    *    ROW COUNT, so halve it for long-word corpora) on small drivers. So
     *    the whole merge loop runs on the driver over the collected
     *    (word, freq) rows: 2 jobs total (count + collect) instead of one
     *    pair-count job PER round. This is the r8-verdict "bounded
@@ -367,6 +375,22 @@ object Bpe {
         .agg(coalesce(sum(col("n")), lit(0L)).as("n_words"),
           sum(coalesce(col("n") * col("n_pieces"), lit(0L))).as("n_tokens"))
         .select(col("id").as(idCol), col("n_words"), col("n_tokens"))
-    else encodeCounts(df, idCol, textCol, ms)
+    else {
+      // LONG lists: the word-TYPE-join tier, fed from the SAME cached
+      // perDocWord (ADVICE r9: this branch used to fall back to
+      // encodeCounts(df, ...), re-running the token_counts corpus scan
+      // while the persisted table stayed cached and unread). The null-w
+      // rows explode_outer left for token-less docs ride through the left
+      // join (null never matches a type row), so — unlike encodeCounts'
+      // standalone long tier — no restore join is needed.
+      val types = perDocWord.filter(col("w").isNotNull).select("w").distinct()
+        .withColumn("n_pieces",
+          call_function("bpe_piece_count", col("w"), typedLit(flat)))
+      perDocWord.join(types, Seq("w"), "left")
+        .groupBy("id")
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_words"),
+          sum(coalesce(col("n") * col("n_pieces"), lit(0L))).as("n_tokens"))
+        .select(col("id").as(idCol), col("n_words"), col("n_tokens"))
+    }
   }
 }

@@ -55,15 +55,19 @@ object CacheScope {
     val outer = active.get()
     val buf = new ArrayBuffer[DataFrame]
     active.set(buf)
+    // ADVICE r9: release the tracked persists on BOTH exits — a body (or
+    // eager-checkpoint) failure must not pin CacheManager entries in exactly
+    // the long-lived-session scenario this scope exists to protect.
+    def drop(): Unit = buf.foreach { df =>
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => }
+    }
     try {
       val out = body
       val snap = out.localCheckpoint(eager = true)
-      buf.foreach { df =>
-        try df.unpersist(blocking = false)
-        catch { case _: Throwable => }
-      }
       snap
     } finally {
+      drop()
       if (outer == null) active.remove() else active.set(outer)
     }
   }

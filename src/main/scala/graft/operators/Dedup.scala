@@ -93,14 +93,16 @@ object Dedup {
                         bands: Int = 16, maxBucket: Option[Long] = None,
                         storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val snapSets = shingleSets(snapshot, idCol, textCol, n).persist(storage)
-    val corpSets = shingleSets(corpus, idCol, textCol, n).persist(storage)
-    // both sets unpersist below once the hit list is materialized — this
-    // operator (unlike the lazy pair generators) has a natural completion
-    // point: the hit list is tiny (snapshot ids only), so checkpointing it
-    // eagerly costs one small materialization and releases the shingle-set
-    // blocks BEFORE returning (r8 review: repeated snapshot calls in a
-    // long-lived ingest session accumulated both sets per call)
+    // Lifecycle: lazy by default (one-shot/bench path — the r9 eager
+    // localCheckpoint-then-unpersist here cost an extra materialization and
+    // a second snapshot pass, +46% at sf1). Long-lived ingest sessions that
+    // call this repeatedly wrap the call in CacheScope.releasing, which
+    // materializes the result once and drops both shingle-set caches —
+    // gated by CacheLifecycleSpec.
+    val snapSets = CacheScope.persistTracked(
+      shingleSets(snapshot, idCol, textCol, n), storage)
+    val corpSets = CacheScope.persistTracked(
+      shingleSets(corpus, idCol, textCol, n), storage)
     def bandRows(sets: DataFrame): DataFrame = {
       val rows = minhashSigTable(sets, k).select(col("id"),
         posexplode(bandKeys(col("sig"), k, bands))).toDF("id", "band", "bh")
@@ -125,9 +127,6 @@ object Dedup {
         size(col("sh_s")).cast("long") + size(col("sh_c")).cast("long") - col("inter"))
       .filter(col("inter") / col("uni") >= minJaccard)
       .select(col("id_s").as(idCol)).distinct()
-      .localCheckpoint(true) // materialize-then-unpersist (Bpe.train pattern)
-    snapSets.unpersist(blocking = false)
-    corpSets.unpersist(blocking = false)
     snapshot.join(hits, Seq(idCol), "left_anti")
   }
 

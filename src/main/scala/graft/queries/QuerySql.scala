@@ -504,7 +504,7 @@ private[queries] object QuerySql {
       CAST(SUM(COALESCE(n_words, 0)) AS BIGINT) AS words,
       CAST(SUM(COALESCE(n_tokens, 0)) AS BIGINT) AS tokens,
       CAST(SUM(COALESCE(n_tokens, 0)) AS DOUBLE)
-        / CAST(SUM(COALESCE(n_words, 0)) AS DOUBLE) AS fertility
+        / NULLIF(CAST(SUM(COALESCE(n_words, 0)) AS DOUBLE), 0) AS fertility
     FROM documents LEFT JOIN enc USING (doc_id)
     GROUP BY source ORDER BY source"""
 

@@ -716,8 +716,12 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_words")).as("words"),
             sum(col("n_tokens")).as("tokens"))
+          // ADVICE r9: guard the zero-word edge — Spark's Divide returns
+          // NULL on /0 but DuckDB IEEE float division returns inf/nan, so
+          // both sides null it explicitly (oracle uses NULLIF)
           .withColumn("fertility",
-            col("tokens").cast("double") / col("words").cast("double"))
+            when(col("words") > 0,
+              col("tokens").cast("double") / col("words").cast("double")))
           .orderBy("source")
       },
       Some(bpeFertilityOracle(10))),

@@ -75,6 +75,31 @@ class BpeDriverTierSpec extends SparkSpecBase {
       s"composite: ${composite.mkString("; ")}\n two-call: ${twoCall.mkString("; ")}")
   }
 
+  test("trainEncodeCounts long-merge-list tier == two-call form AND reads " +
+    "the shared per-doc cache (ADVICE r9)") {
+    // enough distinct adjacent pairs that training sustains >64 merges
+    val words = for (a <- 'a' to 'j'; b <- 'a' to 'j') yield s"$a${b}q$a$b"
+    val df = (Seq((0L, ""), (1L, "   ")) ++ words.zipWithIndex.map {
+      case (w, i) => (i + 2L, s"$w $w zz")
+    }).toDF("doc_id", "text")
+    val mergesDf = Bpe.train(df, "text", 70, minCount = 1L)
+    assert(mergesDf.count() > 64L, "corpus must sustain >64 merges")
+    val twoCall = Bpe.encodeWithTrained(df, "doc_id", "text", mergesDf)
+      .orderBy("doc_id").collect().toSeq
+    val composite = Bpe.trainEncodeCounts(df, "doc_id", "text", 70, minCount = 1L)
+    val got = composite.orderBy("doc_id").collect().toSeq
+    assert(got == twoCall,
+      s"long-tier composite mismatch:\n got: ${got.mkString("; ")}\n want: ${twoCall.mkString("; ")}")
+    // the fix itself: the long tier must FEED FROM the persisted perDocWord
+    // (an InMemoryTableScan in the plan), not re-run the corpus tokenize
+    // while the cache sits unread
+    val plan = composite.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"long tier does not read the shared per-doc cache:\n$plan")
+    // token-less docs survive with zero counts in the long tier too
+    assert(got.take(2).forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+  }
+
   test("encodeWithTrained is tier-independent") {
     val df = Seq((1L, "low low lower newest"), (2L, "widest newest newest"))
       .toDF("doc_id", "text")

@@ -56,15 +56,38 @@ class CacheLifecycleSpec extends SparkSpecBase {
       s"trainScoreLr left CacheManager entries beyond its checkpoint: $delta")
   }
 
-  test("snapshotDedupNear releases both shingle-set caches before returning") {
+  test("releasing(snapshotDedupNear) drops both shingle-set caches") {
     val corpus = docs.filter($"doc_id" < 60)
     val snap = docs.filter($"doc_id" >= 60)
+    // plain call is the documented lazy default (one-shot/bench path): the
+    // r10 fix reverted the unconditional eager release that regressed p72.
+    val plain = Dedup.snapshotDedupNear(snap, corpus, "doc_id", "text",
+      n = 3, minJaccard = 0.3).select("doc_id").orderBy("doc_id").collect().toSeq
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
     val delta = withDelta {
-      val out = Dedup.snapshotDedupNear(snap, corpus, "doc_id", "text",
-        n = 3, minJaccard = 0.3)
-      assert(out.count() >= 0)
+      val out = CacheScope.releasing(
+        Dedup.snapshotDedupNear(snap, corpus, "doc_id", "text",
+          n = 3, minJaccard = 0.3))
+      val got = out.select("doc_id").orderBy("doc_id").collect().toSeq
+      assert(got == plain, "released result differs from plain result")
     }
     assert(delta.size <= 1,
       s"snapshotDedupNear left its shingle sets persisted: $delta")
+  }
+
+  test("releasing drops tracked persists when the body throws (ADVICE r9)") {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val delta = withDelta {
+      intercept[RuntimeException] {
+        CacheScope.releasing {
+          CacheScope.persistTracked(docs).count() // tracked + materialized
+          throw new RuntimeException("operator failure")
+        }
+      }
+    }
+    assert(delta.isEmpty,
+      s"a failed releasing body pinned CacheManager entries: $delta")
   }
 }
