@@ -143,6 +143,44 @@ object Components {
       .foreach(s => fs.delete(s.getPath, true))
   }
 
+  /** [[dedupClusters]] behind a HUB-DEGREE guard — the skew cap for the
+    * clustering family (what `maxBucket`/`maxDocFreq` are to the pair
+    * generators): every node whose DISTINCT-neighbor degree exceeds
+    * `maxDegree` is removed from the edge set wholesale (deterministic —
+    * no sampling, no order dependence) and survives as a singleton
+    * cluster.
+    *
+    * Why this is the right guard for near-dup graphs: similarity is
+    * quasi-transitive, so genuine duplicate families are quasi-CLIQUES —
+    * a member of a family of size F has degree ≈ F-1, and a degree cap is
+    * in effect a family-size cap. The giant components the sf10 probe
+    * measured (straggler skew 8→35 on uncapped p24 input) grow through
+    * boilerplate hub documents whose pair fan-out stitches unrelated
+    * families together; production pipelines drop exactly those as spam
+    * edges. Dropping the node (not just trimming its edge list) keeps the
+    * guard symmetric and oracle-expressible.
+    *
+    * Scale shape: degree is one partial-agg groupBy over the canonical
+    * edge list; the hub set is BOUNDED by |edges|·2/maxDegree (each hub
+    * absorbs > maxDegree edge endpoints), so the two anti-joins broadcast
+    * at any realistic cap; the CC loop then runs on a graph whose max
+    * degree — and for quasi-clique inputs, max component — is capped. */
+  def dedupClustersGuarded(docs: DataFrame, idCol: String, pairs: DataFrame,
+                           aCol: String = "id_a", bCol: String = "id_b",
+                           maxDegree: Long = 64L,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    val e = CacheScope.persistTracked(pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("lo"),
+        greatest(col(aCol), col(bCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct())
+    val deg = e.select(col("lo").as("v")).union(e.select(col("hi").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+    val hubs = deg.filter(col("n") > maxDegree).select("v")
+    val kept = e.join(hubs.withColumnRenamed("v", "lo"), Seq("lo"), "left_anti")
+      .join(hubs.withColumnRenamed("v", "hi"), Seq("hi"), "left_anti")
+    dedupClusters(docs, idCol, kept, "lo", "hi", checkpointDir)
+  }
+
   /** Per-document cluster assignment: every doc mapped to its near-dup
     * cluster (cluster id = min doc id in the component; singletons are their
     * own cluster), with the cluster size alongside — the standard "pick one

@@ -260,6 +260,66 @@ object DedupQueries {
         SELECT id_a, id_b, hamming FROM cand
         WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
+    // ---- p77: hub-degree-GUARDED dedup clusters — the skew cap for the
+    // clustering family (r9 verdict item 3: the sf10 probe measured p24's
+    // giant-component straggler skew growing 8→35 with no oracle-gated
+    // mitigation). Nodes whose distinct-neighbor degree exceeds 8 leave the
+    // edge set wholesale and survive as singletons; near-dup families are
+    // quasi-cliques, so the degree cap is in effect a family-size cap. The
+    // p06 simhash graph is the edge set (dense: hub structure to bite on —
+    // 130 of ~430 incident nodes exceed the cap at sf0.01). Oracle: the p06
+    // pair CTEs + the same degree filter + recursive min-reachability. ----
+    QueryDef("p77_clusters_guarded",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        Components.dedupClustersGuarded(docs, "doc_id", pairs,
+          maxDegree = 8L).orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE t AS (SELECT doc_id, list_distinct($ToksSql) AS tks FROM documents),
+        posts AS (SELECT doc_id, unnest(tks) AS tok FROM t),
+        f AS (SELECT doc_id,
+            ('0x' || substring(md5(tok), 1, 15))::BIGINT AS f
+          FROM posts),
+        votes AS (SELECT doc_id, j,
+            SUM(CASE WHEN (f >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM f CROSS JOIN range(60) rj(j) GROUP BY doc_id, j),
+        sigs AS (SELECT doc_id,
+            SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
+          FROM votes GROUP BY doc_id),
+        chunks AS (SELECT doc_id, sig, c, (sig >> (c*16)) & 65535 AS cv
+          FROM sigs CROSS JOIN range(4) rc(c)),
+        cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+          FROM chunks a JOIN chunks b
+            ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id),
+        e AS MATERIALIZED (SELECT id_a AS lo, id_b AS hi FROM cand WHERE hamming <= 3),
+        deg AS (SELECT v, COUNT(*) AS n FROM
+          (SELECT lo AS v FROM e UNION ALL SELECT hi AS v FROM e) GROUP BY 1),
+        hubs AS MATERIALIZED (SELECT v FROM deg WHERE n > 8),
+        kept AS MATERIALIZED (SELECT lo, hi FROM e
+          WHERE lo NOT IN (SELECT v FROM hubs)
+            AND hi NOT IN (SELECT v FROM hubs)),
+        -- MATERIALIZED up the chain: the recursive reach below references
+        -- sym once per iteration, and DuckDB re-evaluates plain CTEs on
+        -- every reference — without these the simhash self-join re-runs
+        -- per recursion round (measured: 100+ CPU-minutes at sf1)
+        sym AS MATERIALIZED (SELECT lo AS u, hi AS v FROM kept
+                UNION ALL SELECT hi, lo FROM kept),
+        reach(v, x) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
+          UNION
+          SELECT r.v, s.v FROM reach r JOIN sym s ON r.x = s.u),
+        cc AS (SELECT v AS doc_id, MIN(x) AS cluster_id FROM reach GROUP BY v),
+        assigned AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cc c USING (doc_id)),
+        csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM assigned GROUP BY 1)
+        SELECT doc_id, cluster_id, cluster_size
+        FROM assigned JOIN csizes USING (cluster_id)
+        ORDER BY doc_id""")),
+
     // ---- p19: embedding-cosine near-dup with NO blocking key: LSH bucket
     // collisions propose narrow (id_a, id_b) candidates, exact cosine
     // verifies >= 0.3. Oracle re-derives the same integer-LCG hyperplanes as

@@ -119,4 +119,37 @@ class ComponentsSpec extends SparkSpecBase {
       (2L, 2L, 1L), (4L, 4L, 1L), (6L, 6L, 1L),
       (7L, 7L, 2L), (8L, 7L, 2L), (9L, 9L, 1L)))
   }
+
+  test("dedupClustersGuarded drops hub nodes wholesale, keeps clean families") {
+    val docs = (0L to 9L).toDF("doc_id")
+    // node 0 is a hub stitching two families {1,2} and {3,4} together;
+    // {5,6,7} is a clean triangle (max degree 2) and must survive intact
+    val pairs = Seq[(Long, Long)](
+      (0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (3, 4),
+      (5, 6), (6, 7), (5, 7)).toDF("id_a", "id_b")
+    val out = Components.dedupClustersGuarded(docs, "doc_id", pairs,
+        maxDegree = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (0L, 0L, 1L),                               // hub → singleton
+      (1L, 1L, 2L), (2L, 1L, 2L),                 // family survives sans hub
+      (3L, 3L, 2L), (4L, 3L, 2L),
+      (5L, 5L, 3L), (6L, 5L, 3L), (7L, 5L, 3L),   // clean triangle intact
+      (8L, 8L, 1L), (9L, 9L, 1L)))
+    // unguarded: the hub merges everything into one component of 5
+    val unguarded = Components.dedupClusters(docs, "doc_id", pairs)
+      .filter($"doc_id" === 0L).collect().head.getLong(2)
+    assert(unguarded == 5L)
+  }
+
+  test("dedupClustersGuarded degree counts DISTINCT neighbors (dup pairs don't inflate)") {
+    val docs = (0L to 3L).toDF("doc_id")
+    // (0,1) listed 3 times in both orders: degree of 0 must stay 2
+    val pairs = Seq[(Long, Long)]((0, 1), (1, 0), (0, 1), (0, 2), (2, 3))
+      .toDF("id_a", "id_b")
+    val out = Components.dedupClustersGuarded(docs, "doc_id", pairs,
+        maxDegree = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 0L, 4L), (1L, 0L, 4L), (2L, 0L, 4L), (3L, 0L, 4L)))
+  }
 }

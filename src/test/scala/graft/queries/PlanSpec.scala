@@ -415,6 +415,20 @@ class PlanSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("p77 guarded clusters: star result reads the checkpointed edges, no product") {
+    val p = plan("p77_clusters_guarded")
+    // the returned frame hangs off the CONVERGED star edge set (a
+    // checkpoint scan — the guard + CC loop ran eagerly behind it), with
+    // only hash aggregates and equi-joins for assignment and sizing
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      p.take(3000))
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findFirstIn(p).isDefined, p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("p75 fertility: shared tokenize (cache read), rollup agg, no product") {
     val p = plan("p75_bpe_fertility")
     assert(p.contains("InMemoryTableScan") || "token_counts".r.findAllIn(p).size <= 1,
