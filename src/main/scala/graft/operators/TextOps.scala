@@ -824,14 +824,20 @@ object TextOps {
   def bm25TopDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, queryTerms: Seq[String],
                   k: Int = 20): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, sum}
-    val docs = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
-      .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("dl"))
-    val n = docs.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("dl_tot"))
-    val hits = docs
-      .select(col("doc_id"), col("dl"), explode(col("tk")).as("token"))
-      .where(col("token").isin(queryTerms: _*))
-    val tf = hits.groupBy("doc_id", "token")
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, sum, filter => afilter}
+    // ONE corpus tokenize (r10 — the old shape ran it twice: once for the
+    // corpus-stats agg, once for the hits explode; measured as the whole
+    // p56 gap at sf1). The persisted base is (doc_id, dl, hits) where hits
+    // is the PRE-FILTERED query-term array — bounded by query-term
+    // occurrences, so unlike a token-array cache this is metadata-cheap.
+    val base = graft.operators.CacheScope.persistTracked(
+      df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          afilter(col("tk"), t => t.isin(queryTerms: _*)).as("hits")))
+    val n = base.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("dl_tot"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("token"))
+      .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), "token").crossJoin(broadcast(n))
