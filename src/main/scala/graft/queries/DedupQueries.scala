@@ -320,6 +320,62 @@ object DedupQueries {
         FROM assigned JOIN csizes USING (cluster_id)
         ORDER BY doc_id""")),
 
+    // ---- p78: the PRODUCTION clustering config — BOTH skew caps composed:
+    // the p74 chunk-bucket cap on the simhash pair feed (the r10 sf100
+    // probe measured p77's one straggler, a 107 s max task, in the
+    // UNCAPPED pair generation) AND the p77 hub-degree guard on the
+    // cluster graph. Oracle: p74's capped CTEs + p77's guard + reach. ----
+    QueryDef("p78_clusters_capped",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+          maxHamming = 3, maxBucket = Some(8L))
+        Components.dedupClustersGuarded(docs, "doc_id", pairs,
+          maxDegree = 8L).orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE t AS (SELECT doc_id, list_distinct($ToksSql) AS tks FROM documents),
+        posts AS (SELECT doc_id, unnest(tks) AS tok FROM t),
+        f AS (SELECT doc_id,
+            ('0x' || substring(md5(tok), 1, 15))::BIGINT AS f
+          FROM posts),
+        votes AS (SELECT doc_id, j,
+            SUM(CASE WHEN (f >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM f CROSS JOIN range(60) rj(j) GROUP BY doc_id, j),
+        sigs AS (SELECT doc_id,
+            SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
+          FROM votes GROUP BY doc_id),
+        chunks AS (SELECT doc_id, sig, c, (sig >> (c*16)) & 65535 AS cv
+          FROM sigs CROSS JOIN range(4) rc(c)),
+        csz AS (SELECT c, cv, COUNT(*) AS bn FROM chunks GROUP BY 1, 2),
+        capped AS (SELECT ch.doc_id, ch.sig, ch.c, ch.cv
+          FROM chunks ch JOIN csz USING (c, cv) WHERE bn <= 8),
+        cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+          FROM capped a JOIN capped b
+            ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id),
+        e AS MATERIALIZED (SELECT id_a AS lo, id_b AS hi FROM cand WHERE hamming <= 3),
+        deg AS (SELECT v, COUNT(*) AS n FROM
+          (SELECT lo AS v FROM e UNION ALL SELECT hi AS v FROM e) GROUP BY 1),
+        hubs AS MATERIALIZED (SELECT v FROM deg WHERE n > 8),
+        kept AS MATERIALIZED (SELECT lo, hi FROM e
+          WHERE lo NOT IN (SELECT v FROM hubs)
+            AND hi NOT IN (SELECT v FROM hubs)),
+        sym AS MATERIALIZED (SELECT lo AS u, hi AS v FROM kept
+                UNION ALL SELECT hi, lo FROM kept),
+        reach(v, x) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
+          UNION
+          SELECT r.v, s.v FROM reach r JOIN sym s ON r.x = s.u),
+        cc AS (SELECT v AS doc_id, MIN(x) AS cluster_id FROM reach GROUP BY v),
+        assigned AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cc c USING (doc_id)),
+        csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM assigned GROUP BY 1)
+        SELECT doc_id, cluster_id, cluster_size
+        FROM assigned JOIN csizes USING (cluster_id)
+        ORDER BY doc_id""")),
+
     // ---- p19: embedding-cosine near-dup with NO blocking key: LSH bucket
     // collisions propose narrow (id_a, id_b) candidates, exact cosine
     // verifies >= 0.3. Oracle re-derives the same integer-LCG hyperplanes as

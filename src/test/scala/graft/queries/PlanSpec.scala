@@ -429,6 +429,15 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), p.take(3000))
   }
 
+  test("p78 capped+guarded clusters: same star-scan shape as p77, no product") {
+    val p = plan("p78_clusters_capped")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("p75 fertility: shared tokenize (cache read), rollup agg, no product") {
     val p = plan("p75_bpe_fertility")
     assert(p.contains("InMemoryTableScan") || "token_counts".r.findAllIn(p).size <= 1,
