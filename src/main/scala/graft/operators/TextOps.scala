@@ -701,25 +701,37 @@ object TextOps {
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
     val posts = base.select(col("doc_id"),
       explode_outer(call_function("word_bigrams", col("toks"))).as("bg"))
-    // persisted: the bigram-TYPE table (bounded by distinct bigrams, never
-    // the corpus) feeds both the LM window and the vocabulary derivation
-    val c12 = posts.filter(col("bg").isNotNull)
-      .groupBy("bg").agg(count(lit(1)).as("n12"))
+    // TWO corpus scans total (r10 — was 3): the type-table build rides ONE
+    // scan that carries both the bigram stream and, on a 1-token doc's
+    // single explode_outer row (empty bigram array → exactly one null-bg
+    // row), the doc's LONE token. Tokens are whitespace-split, so a
+    // singleton key never contains ' ' and a bigram key always does —
+    // the two populations separate from the SAME shuffled type table for
+    // free, and the old third scan (base re-scanned for size(toks) == 1)
+    // is gone. The scoring join below is the second scan.
+    val typeCounts = base.select(
+        explode_outer(call_function("word_bigrams", col("toks"))).as("bg"),
+        when(org.apache.spark.sql.functions.size(col("toks")) === 1,
+          col("toks")(0)).as("lone"))
+      .select(coalesce(col("bg"), col("lone")).as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy("key").agg(count(lit(1)).as("n12"))
       .transform(CacheScope.persistTracked(_))
-    // corpus vocabulary |V| for the smoothing denominator, derived from the
-    // TYPE table instead of a second corpus-wide distinct: every token of a
-    // >=2-token doc appears in some bigram (as w1 unless last, as w2 unless
-    // first — tokens are whitespace-split, so they never contain ' ' and
-    // both sides recover exactly), and 1-token docs contribute their lone
-    // token from the cached base. Exactly the old distinct-token set, at
-    // |distinct bigrams|·2 + |single-token docs| rows instead of one row
+    // the bigram-TYPE table (bounded by distinct bigrams, never the
+    // corpus) feeds both the LM window and the vocabulary derivation
+    val c12 = typeCounts.filter(col("key").contains(" "))
+      .select(col("key").as("bg"), col("n12"))
+    // corpus vocabulary |V| for the smoothing denominator, derived from
+    // the TYPE table instead of a second corpus-wide distinct: every token
+    // of a >=2-token doc appears in some bigram (as w1 unless last, as w2
+    // unless first), and 1-token docs contribute their lone singleton key,
+    // whose substring_index is the key itself on both sides. Exactly the
+    // old distinct-token set, at |distinct keys|·2 rows instead of one row
     // per corpus token occurrence.
-    val vocabN = c12
+    val vocabN = typeCounts
       .select(explode(org.apache.spark.sql.functions.array(
-        substring_index(col("bg"), " ", 1),
-        substring_index(col("bg"), " ", -1))).as("t"))
-      .union(base.filter(org.apache.spark.sql.functions.size(col("toks")) === 1)
-        .select(explode(col("toks")).as("t")))
+        substring_index(col("key"), " ", 1),
+        substring_index(col("key"), " ", -1))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     // true integer division (`div`): `(n12+1) * scale` can exceed 2^53 on
     // a Zipf-head bigram at corpus scale, where a double-divide-then-cast

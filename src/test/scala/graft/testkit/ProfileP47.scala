@@ -58,15 +58,22 @@ object ProfileP47 {
     val posts = base.select(col("doc_id"),
       explode_outer(call_function("word_bigrams", col("toks"))).as("bg"))
     t("scan_tokenize_bigrams") { force(posts.select(count(col("bg")))) }
-    val c12 = posts.filter(col("bg").isNotNull)
-      .groupBy("bg").agg(count(lit(1)).as("n12")).persist()
-    t("c12_build_persist") { c12.count() }
-    val vocabN = c12
-      .select(explode(array(substring_index(col("bg"), " ", 1),
-        substring_index(col("bg"), " ", -1))).as("t"))
-      .union(base.filter(size(col("toks")) === 1).select(explode(col("toks")).as("t")))
+    // r10 shape: ONE scan builds the type table carrying bigram keys AND
+    // 1-token docs' lone tokens (singleton keys are space-free)
+    val typeCounts = base.select(
+        explode_outer(call_function("word_bigrams", col("toks"))).as("bg"),
+        when(size(col("toks")) === 1, col("toks")(0)).as("lone"))
+      .select(coalesce(col("bg"), col("lone")).as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy("key").agg(count(lit(1)).as("n12")).persist()
+    t("typecounts_build_persist") { typeCounts.count() }
+    val c12 = typeCounts.filter(col("key").contains(" "))
+      .select(col("key").as("bg"), col("n12"))
+    val vocabN = typeCounts
+      .select(explode(array(substring_index(col("key"), " ", 1),
+        substring_index(col("key"), " ", -1))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    t("vocab_from_types_plus_singletons") { force(vocabN) }
+    t("vocab_from_cached_types") { force(vocabN) }
     val lm = c12
       .withColumn("n1", sum(col("n12")).over(
         Window.partitionBy(substring_index(col("bg"), " ", 1))))
@@ -78,7 +85,7 @@ object ProfileP47 {
         .groupBy("doc_id")
         .agg(count(col("po.bg")).as("n_bigrams"), sum(col("p")).as("score_sum")))
     }
-    c12.unpersist(blocking = true)
+    typeCounts.unpersist(blocking = true)
 
     val json = out.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val w = new java.io.PrintWriter(s"/root/repo/PROFILE_p47_$tag.json")
