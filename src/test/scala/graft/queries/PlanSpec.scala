@@ -208,6 +208,13 @@ class PlanSpec extends SparkSpecBase {
     // bigram-TYPE table (replacing the groupBy(w1)+join-back pair), and the
     // old row-restoring left join back onto the corpus is gone
     assert(p.contains("Window"), p.take(2000))
+    // r10: TWO corpus scans exactly — the type-table build (which also
+    // carries 1-token docs' lone tokens; the third singleton re-scan is
+    // gone) and the scoring-join posting side. Both the LM window and the
+    // vocab derivation read the SHARED type cache (two InMemoryTableScans;
+    // the raw word_bigrams count over-counts because InMemoryRelation
+    // prints its stored build plan).
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
   test("p48 DSIR: ratio table is broadcast back onto the feature stream") {
