@@ -185,7 +185,7 @@ object DedupQueries {
       },
       Some(s"""
         WITH RECURSIVE $MinhashPairsCte,
-        sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+        sym AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
                 UNION ALL SELECT id_b, id_a FROM pairs),
         reach(v, x) AS (
           SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
@@ -683,7 +683,7 @@ object DedupQueries {
       },
       Some(s"""
         WITH RECURSIVE $MinhashPairsCte,
-        sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+        sym AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
                 UNION ALL SELECT id_b, id_a FROM pairs),
         reach(v, x) AS (
           SELECT u, u FROM (SELECT DISTINCT u FROM sym) n

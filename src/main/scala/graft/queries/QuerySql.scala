@@ -411,7 +411,7 @@ private[queries] object QuerySql {
     * lockstep with `Dedup.minhashLshPairs` (md5-derived fingerprints,
     * 64-hash universal family, 16 bands x 4 rows, exact-jaccard verify). */
   val MinhashPairsCte: String = s"""t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
-        sets AS (SELECT doc_id,
+        sets AS MATERIALIZED (SELECT doc_id,
             list_distinct(list_transform(range(0, len(tk)-2),
               i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shs
           FROM t WHERE len(tk) >= 3),
@@ -437,9 +437,14 @@ private[queries] object QuerySql {
           FROM cand
           JOIN sets sa ON id_a = sa.doc_id
           JOIN sets sb ON id_b = sb.doc_id),
-        pairs AS (SELECT id_a, id_b, inter, uni, jaccard FROM (
+        pairs AS MATERIALIZED (SELECT id_a, id_b, inter, uni, jaccard FROM (
             SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM verified)
           WHERE jaccard >= 0.5)"""
+  // MATERIALIZED on `sets` (read three times: posts + both verify sides)
+  // and `pairs` (read twice by p24's sym, then once per RECURSION ROUND of
+  // its reach CTE — DuckDB re-evaluates plain CTEs at every reference, so
+  // without this the whole LSH chain re-ran per round; same fix as p77's
+  // oracle, measured 100+ CPU-minutes there). Values unchanged.
   /** p50/p58 BPE oracle: the `nMerges` training rounds UNROLLED as chained
     * MATERIALIZED CTEs (inlining would expand the round chain
     * exponentially). Each round mirrors [[graft.operators.Bpe.train]]
