@@ -286,6 +286,11 @@ object Bench {
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
       s""""load_guard":"$loadGuard","load_waited_s":$loadWaitedS,""" +
       s""""retried":${retried.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      // runs_per_query = runs that COUNTED toward min(); a retry that failed
+      // fast is named in retry_failed instead of silently undercounting
+      // (ADVICE r10)
+      s""""retry_failed":${retried.filterNot(run3.contains)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""runs_per_query":${names.map { case (n, _) =>
         "\"" + n + "\":" + (2 + (if (run3.contains(n)) 1 else 0))
       }.mkString("{", ",", "}")},""" +

@@ -1,0 +1,41 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Dev probe for the CC-loop optimization: times dedupClustersGuarded over
+  * the warm p06 simhash pair feed, counting Spark jobs — job count is
+  * load-independent evidence for the round-fusion claim. */
+object CcProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    })
+    val docs = Tables.documents(spark, sfDir)
+    // warm the pair feed (shared cache, as in the bench steady state)
+    val pairs = graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    pairs.write.mode("overwrite").format("noop").save()
+    for (i <- 1 to 3) {
+      val j0 = jobs.get()
+      val t0 = System.nanoTime()
+      graft.operators.Components.dedupClustersGuarded(docs, "doc_id",
+          graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3),
+          maxDegree = 8L)
+        .orderBy("doc_id")
+        .write.mode("overwrite").format("noop").save()
+      println(f"[ccprobe] run $i  ${(System.nanoTime() - t0) / 1e9}%6.2f s  jobs=${jobs.get() - j0}")
+    }
+    spark.stop()
+  }
+}

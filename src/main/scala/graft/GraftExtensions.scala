@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArgMaxLastExpr, BigramLogitExpr, BinRead, BinRfind, BlockCosinePairsExpr, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePieceCountExpr, BpePiecesExpr, CutSpansExpr, EncodingStatsExpr, GopherStatsExpr, GramFps60Expr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, SparseLogitExpr, TokenCountsExpr, TopCellsExpr, TokenStatsExpr, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
+import graft.functions.{ArgMaxLastExpr, BigramLogitExpr, BinRead, BinRfind, BlockCosinePairsExpr, BloomContains, BloomSketchAgg, BpeMergeStepExpr, BpePieceCountExpr, BpePiecesExpr, CutSpansExpr, EncodingStatsExpr, GopherStatsExpr, GramFps60Expr, GramScoreExpr, LineFilterStatsExpr, MatVec, MaxMultiplicityExpr, Md5Prefix60Expr, MinHashSketchAgg, PiiScanExpr, PqEncodeExpr, SimHashAgg, SparseLogitExpr, TokenCountsExpr, TopCellsExpr, TokenStatsExpr, TopKRowsAgg, VecDot, VecLshKeys, VecNorm, WinnowFpsExpr, WordBigramsExpr, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -203,6 +203,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_sketch"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHashAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("topk_rows"),
+      new ExpressionInfo(classOf[TopKRowsAgg].getName, "topk_rows"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = intLit("topk_rows")(children(1))
+        val firstDesc = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toBoolean
+          case other => throw new IllegalArgumentException(
+            s"topk_rows expects a literal boolean direction, got $other")
+        }
+        TopKRowsAgg(children.head, k, firstDesc).toAggregateExpression()
+      }))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),

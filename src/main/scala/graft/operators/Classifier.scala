@@ -83,11 +83,15 @@ object Classifier {
                    etaScaled: Long = 500L): Array[Long] = {
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       labelCol.as("label"))
-    val docFeats = featureTable(docs, buckets).persist()
+    // CacheScope-tracked like the pair generators' signature tables: in the
+    // default scope the feature table stays warm for the session — the
+    // p57/p62/p71 family trains over the IDENTICAL plan, so the tokenize+
+    // explode+hash extraction is paid once, not once per query (the old
+    // explicit unpersist forced each caller to rebuild it); long-lived
+    // sessions release it via CacheScope.releasing exactly as documented.
+    val docFeats = CacheScope.persistTracked(featureTable(docs, buckets))
     val n = docFeats.count()
-    val w = runGd(docFeats, n, buckets, iters, etaScaled)
-    docFeats.unpersist(blocking = false)
-    w
+    runGd(docFeats, n, buckets, iters, etaScaled)
   }
 
   /** The GD loop over a persisted (doc_id, label, fx) table — shared by
@@ -135,7 +139,11 @@ object Classifier {
     // per-feature partial-agg shuffle (the old loop ran two joins and two
     // shuffles per step). Exactness is untouched: z is the same exact
     // BIGINT sum (integer adds commute), e the same floored integer.
-    val docFeats = featureTable(docs, buckets).persist()
+    // CacheScope-tracked (see trainWeights): default scope keeps the table
+    // warm for the session so the plan-identical p57/p62/p71 family shares
+    // one feature extraction; releasing scopes drop it after the eager
+    // checkpoint below materializes the result.
+    val docFeats = CacheScope.persistTracked(featureTable(docs, buckets))
     val n = docFeats.count() // one job; N is part of the update rule
 
     // weights as an array literal (index f, 0-based) — one codegen source
@@ -144,23 +152,20 @@ object Classifier {
     val w = runGd(docFeats, n, buckets, iters, etaScaled)
     def zCol(): Column =
       call_function("sparse_logit", col("fx"), typedLit(w.toSeq))
-    // materialize the final scoring pass BEFORE releasing docFeats (the
-    // Bpe.train persist-count-unpersist pattern) — unpersisting under a
-    // still-lazy `scored` would recompute the whole tokenize+explode+hash
-    // feature extraction when the caller finally evaluates it. The
+    // materialize the final scoring pass eagerly: a still-lazy `scored`
+    // would re-run the scoring kernel (and under a releasing scope, the
+    // whole feature extraction) when the caller finally evaluates. The
     // materialization is an eager LOCAL CHECKPOINT, not persist+count
     // (r8 review): a persist pins a session-lifetime CacheManager entry per
     // invocation, where checkpoint blocks free with the returned DataFrame
     // (ContextCleaner) once the caller drops it.
-    val scored = docFeats
+    docFeats
       .select(col("doc_id"), zCol().as("z_sum"), col("label"))
       .select(col("doc_id"), col("z_sum"),
         sigma(col("z_sum")).as("prob"), col("label"),
         (col("z_sum") >= 0L).as("predicted"),
         ((col("z_sum") >= 0L) === col("label")).as("correct"))
       .localCheckpoint(true)
-    docFeats.unpersist(blocking = false)
-    scored
   }
 
   /** Classifier EVALUATION report — the "is this filter good enough to

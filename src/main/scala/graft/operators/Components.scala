@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   * label-propagation rounds, per-round cost bounded by the (shrinking) edge
   * list. Lineage is cut each round (an iterative DataFrame loop otherwise
   * compounds the plan until planning dominates) — `localCheckpoint` by
-  * default, or a reliable checkpoint when `checkpointDir` is given;
-  * convergence is ONE aggregate per round (star-fixpoint test), so each
-  * round is exactly two jobs: materialize + check.
+  * default, or a reliable checkpoint when `checkpointDir` is given. The cut
+  * is LAZY and the round's ONE aggregate (star-fixpoint test) is the action
+  * that materializes it, so each round is exactly one job.
   */
 object Components {
 
@@ -44,38 +44,72 @@ object Components {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
-    val spark = edges.sparkSession
+    // canonical undirected edge list, self-loops dropped
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    connectedComponentsPrecanonical(canon, maxIter, checkpointDir)
+  }
+
+  /** [[connectedComponents]] over an ALREADY-canonical edge list — (lo, hi)
+    * longs with lo < hi, no duplicates. Callers that just built such a list
+    * (e.g. [[dedupClustersGuarded]]'s degree filter over a canonicalized
+    * pair set) skip the redundant least/greatest/filter/distinct pass — one
+    * full-edge-list shuffle (ADVICE r10). */
+  private[operators] def connectedComponentsPrecanonical(
+      canon: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = canon.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
 
     val savedCheckpointDir = sc.getCheckpointDir
     val runDir = checkpointDir.map(d => s"$d/cc-${java.util.UUID.randomUUID()}")
-    val cut: DataFrame => DataFrame = runDir match {
+    // Per-round lineage cut, LAZY: the round's ONE action (the fixpoint
+    // aggregate below) materializes the checkpoint as a side effect —
+    // localCheckpoint marks the RDD persisted, the aggregate's scan
+    // populates the blocks, and SparkContext.runJob's doCheckpoint then
+    // promotes them. The old eager cut paid a SEPARATE count-job per round
+    // (2 jobs/round → 1; at bench scale the CC loop is pure per-job fixed
+    // cost, VERDICT r10 item 1). Reliable checkpoints (checkpointDir set)
+    // keep their write-after-first-action semantics; pruning superseded
+    // rounds moves AFTER the materializing action.
+    val cutLazy: DataFrame => DataFrame = runDir match {
       case Some(dir) =>
         sc.setCheckpointDir(dir)
-        df => {
-          val cutDf = df.checkpoint() // eager: materialized on return
-          pruneOldCheckpoints(sc, dir)
-          cutDf
-        }
-      case None => df => df.localCheckpoint()
+        df => df.checkpoint(eager = false)
+      case None => df => df.localCheckpoint(eager = false)
+    }
+    def pruneAfterMaterialize(): Unit =
+      runDir.foreach(dir => pruneOldCheckpoints(sc, dir))
+
+    // initial cut stays EAGER: round 1 references `e` twice (the nbrs
+    // union), so a lazy cut would compute the caller's whole pair pipeline
+    // twice inside one job before the blocks land; the reliable path keeps
+    // its recoverable on-storage copy of the input edge list
+    var e = runDir match {
+      case Some(_) => canon.checkpoint()
+      case None    => canon.localCheckpoint()
     }
 
-    // canonical undirected edge list, self-loops dropped
-    var e = cut(edges.select(
-        least(col(srcCol), col(dstCol)).cast("long").as("lo"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
-      .filter($"lo" =!= $"hi").distinct())
-
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
+      val t0 = System.nanoTime()
       // large-star: per node u over its FULL neighborhood Γ(u), connect every
       // strictly-larger neighbor to m = min(Γ(u) ∪ {u}). Shape: the per-node
       // min is a partial-aggregatable groupBy (map-side combine — NOT
       // collect_list, which would materialize a hot node's whole
       // neighborhood in one buffer) re-joined onto the neighbor list; AQE
       // handles join skew on celebrity nodes.
+      //
+      // NO distinct here: the v > u filter keeps exactly one direction of
+      // each canonical edge, so large has |e| rows (no blowup); duplicate
+      // (lo, hi) VALUES are harmless to the small-star min and are removed
+      // by the round's final distinct — dropping the intermediate distinct
+      // removes one full-edge-list exchange per round (guide §2.4).
       val nbrs = e.select($"lo".as("u"), $"hi".as("v"))
         .union(e.select($"hi".as("u"), $"lo".as("v")))
       val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
@@ -83,13 +117,13 @@ object Components {
         .filter($"v" > $"u")
         .select($"v", least($"u", $"mn").as("m"))
         .select(least($"v", $"m").as("lo"), greatest($"v", $"m").as("hi"))
-        .filter($"lo" =!= $"hi").distinct()
+        .filter($"lo" =!= $"hi")
 
       // small-star: per node u over its SMALLER neighbors Γ⁻(u) (each
       // canonical edge contributes hi→lo), connect them AND u itself to
       // m = min(Γ⁻(u) ∪ {u}) — same min+join shape
       val smins = large.groupBy("hi").agg(min("lo").as("m"))
-      val small = cut(large.join(smins, Seq("hi"))
+      val small = cutLazy(large.join(smins, Seq("hi"))
         .select(least($"lo", $"m").as("lo"), greatest($"lo", $"m").as("hi"))
         .union(smins.select($"m".as("lo"), $"hi"))
         .filter($"lo" =!= $"hi").distinct())
@@ -97,9 +131,9 @@ object Components {
       // fixpoint = the edge set is a union of STARS centered at component
       // minima: every node is either a center (never a hi) or a leaf
       // (hi exactly once, never a lo). Star sets are exactly the fixpoints
-      // of large-star/small-star (Kiveris et al. §3), so this ONE aggregate
-      // over the checkpointed edges replaces the old count + except() pair
-      // of actions — no comparison against the previous round needed.
+      // of large-star/small-star (Kiveris et al. §3). This ONE aggregate is
+      // also the action that materializes the round's lazy checkpoint — the
+      // round is exactly one job.
       val viol = small
         .select(explode(array(
           struct($"lo".as("v"), lit(1L).as("aslo"), lit(0L).as("ashi")),
@@ -109,6 +143,8 @@ object Components {
         .agg(coalesce(sum(when($"hi_n" === 0 || ($"hi_n" === 1 && $"lo_n" === 0), 0L)
           .otherwise(1L)), lit(0L)).as("violations"))
         .head().getLong(0)
+      pruneAfterMaterialize()
+      if (dbg) println(f"[cc] round $it%2d  ${(System.nanoTime() - t0) / 1e6}%8.1f ms  viol=$viol")
       converged = viol == 0L
       e = small
       it += 1
@@ -178,7 +214,12 @@ object Components {
     val hubs = deg.filter(col("n") > maxDegree).select("v")
     val kept = e.join(hubs.withColumnRenamed("v", "lo"), Seq("lo"), "left_anti")
       .join(hubs.withColumnRenamed("v", "hi"), Seq("hi"), "left_anti")
-    dedupClusters(docs, idCol, kept, "lo", "hi", checkpointDir)
+      .select(col("lo"), col("hi"))
+    // `kept` is already canonical (lo < hi, distinct — anti-joins only drop
+    // rows from the canonicalized `e`), so skip dedupClusters' re-canonical
+    // distinct — one redundant full-edge-list shuffle (ADVICE r10)
+    assignClusters(docs, idCol,
+      connectedComponentsPrecanonical(kept, checkpointDir = checkpointDir))
   }
 
   /** Per-document cluster assignment: every doc mapped to its near-dup
@@ -187,9 +228,16 @@ object Components {
     * survivor per cluster / weight by cluster size" dedup input. */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                     aCol: String = "id_a", bCol: String = "id_b",
-                    checkpointDir: Option[String] = None): DataFrame = {
-    val cc = connectedComponents(pairs, aCol, bCol, checkpointDir = checkpointDir)
-      .withColumnRenamed("id", idCol)
+                    checkpointDir: Option[String] = None): DataFrame =
+    assignClusters(docs, idCol,
+      connectedComponents(pairs, aCol, bCol, checkpointDir = checkpointDir))
+
+  /** (id, component) → per-doc (idCol, cluster_id, cluster_size) with
+    * singletons coalesced to their own id — shared tail of
+    * [[dedupClusters]] and [[dedupClustersGuarded]]. */
+  private def assignClusters(docs: DataFrame, idCol: String,
+                             cc0: DataFrame): DataFrame = {
+    val cc = cc0.withColumnRenamed("id", idCol)
     val assigned = docs.select(col(idCol))
       .join(cc, Seq(idCol), "left")
       .select(col(idCol),

@@ -47,7 +47,10 @@ object Similarity {
   /** Brute-force cosine top-k: for every query vector, the k nearest corpus
     * vectors. The query side MUST be broadcast-size (it is sent to every
     * task); the corpus streams through map-side only, and the single shuffle
-    * is the per-query top-k (rank window over q_id).
+    * is the per-query top-k — a bounded-heap `topk_rows` partial aggregate
+    * (VERDICT r10 item 4: the old rank window shipped |corpus| rows per
+    * query key to ONE reducer; the heap is map-side combinable, so the
+    * exchange carries ≤ tasks·k rows per query).
     * Output: (q_id, id, sim, rnk). */
   def knnBruteForce(corpus: DataFrame, corpusId: String, queries: DataFrame,
                     queryId: String, vecCol: String, k: Int): DataFrame = {
@@ -56,10 +59,29 @@ object Similarity {
       .select(col(queryId).as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
     val sims = c.crossJoin(q)
       .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(corpusId))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    topKExplode(sims, Seq(col("q_id")), col("sim"), firstDesc = true,
+      col(corpusId), Nil, k)
       .select(col("q_id"), col(corpusId).as("id"), col("sim"), col("rnk"))
+  }
+
+  /** The rank-window-equivalent bounded top-k: per `groupCols` group, the k
+    * least rows under (ord0 DESC-or-ASC, idCol ASC) via the `topk_rows`
+    * heap aggregate, re-exploded with `rnk` = 1-based rank — bit-identical
+    * rows to `row_number() OVER (PARTITION BY group ORDER BY ...) <= k`
+    * (same Catalyst comparator, same null/NaN order), but partial-
+    * aggregatable: per-task state is k rows, and the exchange carries
+    * tasks·k rows per group instead of the whole group. */
+  private[operators] def topKExplode(df: DataFrame, groupCols: Seq[Column],
+                                     ord0: Column, firstDesc: Boolean,
+                                     idCol: Column, payload: Seq[Column],
+                                     k: Int): DataFrame = {
+    val fields = Seq(ord0, idCol) ++ payload
+    df.groupBy(groupCols: _*)
+      .agg(call_function("topk_rows", struct(fields: _*), lit(k),
+        lit(firstDesc)).as("top"))
+      .select((groupCols :+ posexplode(col("top")).as(Seq("pos", "t"))): _*)
+      .select((groupCols ++ Seq(col("t.*"),
+        (col("pos") + 1).cast("int").as("rnk"))): _*)
   }
 
   /** HARD-NEGATIVE MINING for contrastive/retrieval training data: for each
@@ -68,8 +90,8 @@ object Similarity {
     * what a triplet/InfoNCE loss learns most from (the dense-retriever
     * recipe: mine top-ranked non-positives as negatives). Same scale
     * contract as [[knnBruteForce]]: the query side must be broadcast-size,
-    * the corpus streams map-only, and the one shuffle is the per-query rank
-    * window. Output: (q_id, q_label, id, label, sim, rnk). */
+    * the corpus streams map-only, and the one shuffle is the bounded-heap
+    * per-query top-k. Output: (q_id, q_label, id, label, sim, rnk). */
   def hardNegatives(corpus: DataFrame, corpusId: String, queries: DataFrame,
                     queryId: String, vecCol: String, labelCol: String,
                     k: Int): DataFrame = {
@@ -83,9 +105,10 @@ object Similarity {
     val sims = c.crossJoin(q)
       .filter(col(labelCol) =!= col("q_label"))
       .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(corpusId))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // bounded-heap top-k instead of the rank window (see knnBruteForce);
+    // the corpus label rides the heap rows as payload
+    topKExplode(sims, Seq(col("q_id"), col("q_label")), col("sim"),
+      firstDesc = true, col(corpusId), Seq(col(labelCol)), k)
       .select(col("q_id"), col("q_label"), col(corpusId).as("id"),
         col(labelCol), col("sim"), col("rnk"))
   }
@@ -391,9 +414,9 @@ object Similarity {
     val cand = corpusCells.join(queryProbes, "cell")
     val sims = cand.withColumn("sim",
       dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(corpusId))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // bounded-heap top-k instead of the rank window (see knnBruteForce)
+    topKExplode(sims, Seq(col("q_id")), col("sim"), firstDesc = true,
+      col(corpusId), Nil, k)
       .select(col("q_id"), col(corpusId).as("id"), col("sim"), col("rnk"))
   }
 
@@ -515,11 +538,14 @@ object Similarity {
     val cells = withNorm(df, idCol, vecCol)
       .select(col(idCol).as("id"),
         cellAssign(col("v"), centroids).cast("int").as("cell"))
-    val w = Window.partitionBy("cell").orderBy(
-      call_function("md5_prefix60", col("id").cast("string")), col("id"))
-    cells.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= perCell)
-      .select(col("id").as(idCol), col("cell"), col("rk"))
+    // bounded-heap per-cell head instead of the rank window: the window
+    // shape put corpus/nCentroids rows on ONE reducer per cell (the same
+    // hazard as knnBruteForce's per-query window — VERDICT r10 item 4)
+    topKExplode(cells
+        .withColumn("ord", call_function("md5_prefix60", col("id").cast("string"))),
+      Seq(col("cell")), col("ord"), firstDesc = false, col("id"), Nil,
+      perCell.toInt)
+      .select(col("id").as(idCol), col("cell"), col("rnk").cast("long").as("rk"))
   }
 
   /** Embedding-cosine near-duplicate pairs WITHOUT a natural blocking key:
@@ -593,17 +619,21 @@ object Similarity {
       element_at(call_function("vec_lsh_keys", v, lit(1), lit(bits)), 1)
     val csig = c.select(col("id"), sig(col("v")).as("sig"))
     val qsig = broadcast(q.select(col("q_id"), sig(col("qv")).as("qsig")))
-    val wh = Window.partitionBy("q_id").orderBy(col("hamming"), col("id"))
-    val cand = csig.crossJoin(qsig)
-      .withColumn("hamming", bit_count(col("sig").bitwiseXOR(col("qsig"))))
-      .withColumn("hrnk", row_number().over(wh))
-      .filter(col("hrnk") <= rerank)
+    // Hamming pre-rank as a bounded-heap top-k (ASC: smallest distance
+    // first) instead of the rank window (see knnBruteForce) — the corpus-
+    // scale candidate stream never funnels one query onto one reducer
+    val cand = topKExplode(
+      csig.crossJoin(qsig)
+        .withColumn("hamming", bit_count(col("sig").bitwiseXOR(col("qsig")))),
+      Seq(col("q_id")), col("hamming"), firstDesc = false, col("id"), Nil,
+      rerank)
       .select("q_id", "id", "hamming")
     val sims = cand.join(c, "id").join(q, "q_id")
       .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // final exact re-rank over the (already rerank-bounded) candidates —
+    // same heap aggregate, with the Hamming distance riding as payload
+    topKExplode(sims, Seq(col("q_id")), col("sim"), firstDesc = true,
+      col("id"), Seq(col("hamming")), k)
       .select("q_id", "id", "hamming", "sim", "rnk")
   }
 
@@ -637,9 +667,9 @@ object Similarity {
       .distinct()
     val sims = candIds.join(c, "id").join(q, "q_id")
       .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // bounded-heap top-k instead of the rank window (see knnBruteForce)
+    topKExplode(sims, Seq(col("q_id")), col("sim"), firstDesc = true,
+      col("id"), Nil, k)
       .select("q_id", "id", "sim", "rnk")
   }
 
@@ -700,9 +730,9 @@ object Similarity {
     val cand = cells.join(queryProbes, "cell")
     val sims = cand.withColumn("sim",
       dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // bounded-heap top-k instead of the rank window (see knnBruteForce)
+    topKExplode(sims, Seq(col("q_id")), col("sim"), firstDesc = true,
+      col("id"), Nil, k)
       .select(col("q_id"), col("id"), col("sim"), col("rnk"))
   }
 
@@ -1054,13 +1084,14 @@ object Similarity {
         else if (opq) graft.operators.Quantize.rotate(shifted, rotation)
         else shifted
       }, cbs))
-    val wA = Window.partitionBy("q_id").orderBy(col("adist").asc, col("id"))
-    val pool = codesScan.join(probesLut, "cell")
-      .withColumn("adist",
-        graft.operators.Quantize.pqAdcFromLut(col("lutf"), col("codes"),
-          m, cbs.head.length))
-      .withColumn("arnk", row_number().over(wA))
-      .filter(col("arnk") <= rerank)
+    // bounded-heap ADC pre-rank instead of the rank window (see knnBruteForce)
+    val pool = topKExplode(
+      codesScan.join(probesLut, "cell")
+        .withColumn("adist",
+          graft.operators.Quantize.pqAdcFromLut(col("lutf"), col("codes"),
+            m, cbs.head.length)),
+      Seq(col("q_id")), col("adist"), firstDesc = false, col("id"), Nil,
+      rerank)
       .select("q_id", "id") // narrow: ids only re-join vectors
 
     // exact rerank: vectors of the pool only (same pruned partitions)
@@ -1069,9 +1100,8 @@ object Similarity {
       .select(col("id"), col("v"), col("nrm"))
     val sims = pool.join(vecScan, "id").join(q, "q_id")
       .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    topKExplode(sims, Seq(col("q_id")), col("sim"), firstDesc = true,
+      col("id"), Nil, k)
       .select(col("q_id"), col("id"), col("sim"), col("rnk"))
   }
 }

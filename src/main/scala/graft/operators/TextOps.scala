@@ -736,12 +736,19 @@ object TextOps {
     // true integer division (`div`): `(n12+1) * scale` can exceed 2^53 on
     // a Zipf-head bigram at corpus scale, where a double-divide-then-cast
     // would round differently than DuckDB's exact `//`.
-    val lm = c12
+    //
+    // The finished LM table (bg, p) persists too (r11): it is the trained
+    // MODEL — type-scale like typeCounts, never corpus-scale — and caching
+    // it moves the w1 window + the vocab countDistinct into the one-time
+    // build, so a warm pass pays only the posting scan + scoring join
+    // (PROFILE_p47_sf1_r10: window 1.27 s + vocab 0.84 s of the 2.48 s warm
+    // run were re-derived from the cached types on EVERY pass).
+    val lm = CacheScope.persistTracked(c12
       .withColumn("n1",
         sum(col("n12")).over(
           Window.partitionBy(substring_index(col("bg"), " ", 1))))
       .crossJoin(broadcast(vocabN))
-      .select(col("bg"), expr(s"(n12 + 1L) * ${scale}L div (n1 + v)").as("p"))
+      .select(col("bg"), expr(s"(n12 + 1L) * ${scale}L div (n1 + v)").as("p")))
     // left join: every bg in posts exists in lm by construction, so this is
     // the inner join for real postings; the null posting of a bigram-less
     // doc survives with p = null and counts as zero below. Aliased: lm
@@ -840,8 +847,11 @@ object TextOps {
     // ONE corpus tokenize (r10 — the old shape ran it twice: once for the
     // corpus-stats agg, once for the hits explode; measured as the whole
     // p56 gap at sf1). The persisted base is (doc_id, dl, hits) where hits
-    // is the PRE-FILTERED query-term array — bounded by query-term
-    // occurrences, so unlike a token-array cache this is metadata-cheap.
+    // is the PRE-FILTERED query-term array — corpus-CARDINALITY (one narrow
+    // row per doc) but each row is a couple of longs + the few query-term
+    // hits, far below a token-array cache (ADVICE r10). Long-lived sessions
+    // wrap calls in CacheScope.releasing to drop it, like the other
+    // operators document.
     val base = graft.operators.CacheScope.persistTracked(
       df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
         .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),

@@ -45,15 +45,40 @@ class CacheLifecycleSpec extends SparkSpecBase {
       s"intermediates survived the releasing scope: $delta")
   }
 
-  test("trainScoreLr leaves only its checkpointed result cached") {
+  test("trainScoreLr: bare call shares the feature table, releasing drops it") {
     val labeled = docs.withColumn("label", col("doc_id") % 2 === 0)
+    // bare call (one-shot/bench default, the pair-generator convention since
+    // r11): the feature table stays warm — at most its CacheManager entry
+    // plus the result's own checkpoint RDD
     val delta = withDelta {
       val scored = Classifier.trainScoreLr(labeled, "doc_id", "text",
         col("label"), buckets = 64, iters = 2)
       assert(scored.count() == 120)
     }
-    assert(delta.size <= 1,
-      s"trainScoreLr left CacheManager entries beyond its checkpoint: $delta")
+    assert(delta.size <= 2,
+      s"trainScoreLr left entries beyond feature table + checkpoint: $delta")
+    // a second plan-identical call (the p57/p62/p71 family) must REUSE the
+    // warm feature table: only its own checkpoint RDD may appear
+    val delta2 = withDelta {
+      val scored = Classifier.trainScoreLr(labeled, "doc_id", "text",
+        col("label"), buckets = 64, iters = 2)
+      assert(scored.count() == 120)
+    }
+    assert(delta2.size <= 1,
+      s"second trainScoreLr call re-persisted the feature table: $delta2")
+    // long-lived sessions: the releasing scope drops the feature-table
+    // CacheManager entry; only ContextCleaner-managed checkpoint RDDs remain
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val delta3 = withDelta {
+      val scored = CacheScope.releasing(
+        Classifier.trainScoreLr(labeled, "doc_id", "text",
+          col("label"), buckets = 64, iters = 2))
+      assert(scored.count() == 120)
+    }
+    // inner trainScoreLr checkpoint + releasing-scope checkpoint
+    assert(delta3.size <= 2,
+      s"releasing(trainScoreLr) left the feature table cached: $delta3")
   }
 
   test("releasing(snapshotDedupNear) drops both shingle-set caches") {

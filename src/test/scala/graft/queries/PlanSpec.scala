@@ -61,6 +61,20 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("vec_dot") && p.contains("vec_norm"), p.take(2000))
   }
 
+  test("ANN top-k is a partial-aggregatable heap, not a per-query rank window") {
+    // VERDICT r10 item 4: the rank-window shape funnels |corpus| rows per
+    // query key onto one reducer. The topk_rows heap must PARTIAL-aggregate
+    // before the exchange (per-task state ≤ k rows per query), and no
+    // window may remain in these plans.
+    for (q <- Seq("p07_knn_cosine", "p22_ann_hamming", "p69_hard_negatives")) {
+      val p = plan(q)
+      assert(p.contains("partial_topk_rows"),
+        s"$q must pre-aggregate the top-k map-side:\n${p.take(3000)}")
+      assert(!p.contains("Window"),
+        s"$q must not rank through a window:\n${p.take(3000)}")
+    }
+  }
+
   test("p01 exact dedup is a single hash aggregate (partial + final)") {
     val p = plan("p01_dedup_exact")
     assert(p.contains("HashAggregate"))
@@ -226,13 +240,15 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
-  test("p49 cluster sample: map-only assignment, one rank-window pass") {
+  test("p49 cluster sample: map-only assignment, partial-agg per-cell head") {
     val p = plan("p49_cluster_sample")
     // assignment is centroid literals in projection (one mat_vec +
-    // arg_max_last kernel pass), the only work after it is the per-cell
-    // rank window; no joins at all
+    // arg_max_last kernel pass), the only work after it is the bounded-heap
+    // per-cell head (r11: the rank window put corpus/nCentroids rows on one
+    // reducer per cell); no joins at all
     assert(p.contains("arg_max_last(mat_vec("), p.take(2000))
-    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
+    assert(p.contains("partial_topk_rows"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
     assert(!p.contains("Join"), p.take(2000))
   }
 
