@@ -309,8 +309,12 @@ object Dedup {
                       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
+    // StorageLevel.NONE = re-tokenize per branch instead of caching (the
+    // r11 persist A/B's third arm; default stays MEMORY_AND_DISK)
     val toks = spread(df).select(col(idCol).as("id"),
-      TextOps.tokens(col(textCol)).as("toks")).transform(t => CacheScope.persistTracked(t, storage))
+      TextOps.tokens(col(textCol)).as("toks")).transform(t =>
+        if (storage == StorageLevel.NONE) t
+        else CacheScope.persistTracked(t, storage))
     // `gram_fps60` kernel: positional k-gram fingerprints as 60-bit md5
     // prefixes in one compiled pass — the staged transform(sequence(...))
     // chain evaluated interpreted per position and shuffled 32-hex strings
