@@ -158,6 +158,21 @@ object Bench {
       } else false
     }
 
+    // Cold-pass accounting (VERDICT r11 item 3): with SPARK_GRAFT_COLD=1
+    // every timed query starts from a cleared cache (CacheManager entries
+    // AND persisted/localCheckpointed RDD blocks), so each query pays its
+    // own intermediates' build cost inside its measured time — the
+    // first-hit number, vs the default warm steady-state number. The
+    // driver leaves this unset; the default methodology is unchanged and
+    // round-over-round comparable. Clearing happens OUTSIDE the timed
+    // region (before t0): the measurement starts at "caches empty", it
+    // does not charge the unpersist work to the query.
+    val coldMode = sys.env.getOrElse("SPARK_GRAFT_COLD", "0") == "1"
+    def clearAllCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+
     // untimed warmup: ONE full pass over every query. Janino codegen
     // (cached by generated-source string), catalyst rule JIT, parquet
     // footer reads, and the shared persisted intermediates (shingle sets,
@@ -207,6 +222,7 @@ object Bench {
       catch { case _: Throwable => "" }
     def timedPass(): Seq[(String, Double, String)] = names.map { case (name, fn) =>
       if (pendingFlush) { flushBefore += name; pendingFlush = false }
+      if (coldMode) clearAllCaches()
       val t0 = System.nanoTime()
       val fp = try { val df = fn(spark, sfDir); force(df); planPrint(df) }
         catch { case _: Throwable => "" }
@@ -235,6 +251,7 @@ object Bench {
     // contribute; per-query run counts go in the artifact.
     val run3: Map[String, Double] = retried.flatMap { name =>
       val fn = selected(name)
+      if (coldMode) clearAllCaches()
       val t0 = System.nanoTime()
       val ok = try { force(fn(spark, sfDir)); true }
         catch { case _: Throwable => false }
@@ -280,7 +297,7 @@ object Bench {
     // summary fields AFTER the queries map: tail-truncating captures keep them
     val noisyJson = noisy.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,""" +
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","cold":$coldMode,"queries":$qs,""" +
       s""""warmup_flushes":$warmupFlushes,"flushes":${flushed.length},""" +
       s""""flush_before":${flushed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
@@ -317,6 +334,28 @@ object Bench {
     } catch { case _: Throwable => }
 
     println(line)
+    // VERDICT r11 item 2: the full line above is ~6 KB (100-query map +
+    // runs/noisy maps) while the driver keeps only the last ~2000 chars of
+    // output — BENCH_r10/r11 both came back `parsed: null` because the tail
+    // starts mid-map. The FINAL stdout line is therefore a compact summary
+    // (same `metric`/`value`/`unit`/`sf` keys, totals, ratio, diagnostics
+    // counts — ~450 chars, well inside any tail) that survives truncation
+    // and parses on its own. The full per-query detail stays one line up
+    // AND in BENCHPAIR.json (`per_query_in`). Nothing is removed from the
+    // full line; this is additions-only.
+    val summary = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+      s""""cpus":$cpus,"cold":$coldMode,"queries_n":${results.length},""" +
+      s""""warmup_flushes":$warmupFlushes,"flushes":${flushed.length},""" +
+      s""""retried_n":${retried.length},"retry_failed_n":${retried.count(n => !run3.contains(n))},""" +
+      s""""noisy_n":${noisy.length},"plan_changed_n":${planChanged.length},""" +
+      s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+      s""""load_guard":"$loadGuard","load_waited_s":$loadWaitedS,""" +
+      s""""spark_total":$sparkTotal,""" +
+      s""""spark_paired":${sparkPaired.map(_.toString).getOrElse("null")},""" +
+      s""""duckdb_total":${duckTotal.map(_.toString).getOrElse("null")},""" +
+      s""""ratio":${ratio.map(_.toString).getOrElse("null")},""" +
+      s""""per_query_in":"BENCHPAIR.json","value":$sparkTotal}"""
+    println(summary)
     spark.stop()
   }
 }
