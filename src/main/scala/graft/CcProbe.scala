@@ -16,6 +16,8 @@ object CcProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_PROBE_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new AtomicInteger(0)
@@ -29,12 +31,16 @@ object CcProbe {
     for (i <- 1 to 3) {
       val j0 = jobs.get()
       val t0 = System.nanoTime()
-      graft.operators.Components.dedupClustersGuarded(docs, "doc_id",
+      val df = graft.operators.Components.dedupClustersGuarded(docs, "doc_id",
           graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3),
           maxDegree = 8L)
         .orderBy("doc_id")
-        .write.mode("overwrite").format("noop").save()
-      println(f"[ccprobe] run $i  ${(System.nanoTime() - t0) / 1e9}%6.2f s  jobs=${jobs.get() - j0}")
+      val t1 = System.nanoTime()
+      val jMid = jobs.get()
+      df.write.mode("overwrite").format("noop").save()
+      println(f"[ccprobe] run $i  ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
+        f"  (construct+loop ${(t1 - t0) / 1e9}%5.2f s / ${jMid - j0} jobs," +
+        f" assign+sort ${(System.nanoTime() - t1) / 1e9}%5.2f s / ${jobs.get() - jMid} jobs)")
     }
     spark.stop()
   }

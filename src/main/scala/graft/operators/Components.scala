@@ -56,10 +56,26 @@ object Components {
     * longs with lo < hi, no duplicates. Callers that just built such a list
     * (e.g. [[dedupClustersGuarded]]'s degree filter over a canonicalized
     * pair set) skip the redundant least/greatest/filter/distinct pass — one
-    * full-edge-list shuffle (ADVICE r10). */
+    * full-edge-list shuffle (ADVICE r10).
+    *
+    * `cutInput = false` skips the EAGER initial lineage cut (r12, guide
+    * §2.4 remove jobs outright): round 0 then reads `canon`'s own plan.
+    * Only safe when the input's re-references are cheap — i.e. `canon` is
+    * already persisted (the guarded path caches the canonical edge list) or
+    * ends in a reusable exchange (a `distinct`) — because round 0
+    * references the edge list from more than one query stage. The cached /
+    * ReusedExchange input is materialized exactly once (the first stage
+    * that needs it is a dependency of every other reference), so this
+    * removes one whole job per CC invocation without the doubled-subtree
+    * hazard that made the LAZY initial cut regress in r11 (a lazy
+    * localCheckpoint REPLACES the plan with an RDD scan, destroying
+    * exchange reuse; keeping the plan preserves it). The reliable-
+    * checkpoint path ignores the flag: its on-storage input copy is the
+    * recovery contract. */
   private[operators] def connectedComponentsPrecanonical(
       canon: DataFrame, maxIter: Int = 50,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      cutInput: Boolean = true): DataFrame = {
     val spark = canon.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
@@ -88,12 +104,18 @@ object Components {
     // union), so a lazy cut would compute the caller's whole pair pipeline
     // twice inside one job before the blocks land; the reliable path keeps
     // its recoverable on-storage copy of the input edge list
-    var e = runDir match {
-      case Some(_) => canon.checkpoint()
-      case None    => canon.localCheckpoint()
-    }
-
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    val tInit0 = System.nanoTime()
+    // initial cut stays EAGER when it happens at all: round 0 references the
+    // input from several query stages, and a LAZY cut would race them into
+    // computing the caller's whole pair pipeline more than once inside one
+    // job (measured in r11: p77 5 s → 17 s; reverted same hour)
+    var e = runDir match {
+      case Some(_)             => canon.checkpoint()
+      case None if !cutInput   => canon
+      case None                => canon.localCheckpoint()
+    }
+    if (dbg) println(f"[cc] initial cut ${(System.nanoTime() - tInit0) / 1e6}%8.1f ms (cutInput=$cutInput)")
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -110,8 +132,16 @@ object Components {
       // (lo, hi) VALUES are harmless to the small-star min and are removed
       // by the round's final distinct — dropping the intermediate distinct
       // removes one full-edge-list exchange per round (guide §2.4).
-      val nbrs = e.select($"lo".as("u"), $"hi".as("v"))
-        .union(e.select($"hi".as("u"), $"lo".as("v")))
+      //
+      // Both directions come from ONE scan via explode (r12): the old
+      // two-branch union read the edge list twice per reference — with
+      // cutInput=false that would double the cache/exchange probes, and
+      // even on the checkpointed path it halves the scan tasks. Same row
+      // multiset as union(lo→hi, hi→lo), bit for bit.
+      val nbrs = e.select(explode(array(
+          struct($"lo".as("u"), $"hi".as("v")),
+          struct($"hi".as("u"), $"lo".as("v")))).as("s"))
+        .select($"s.u".as("u"), $"s.v".as("v"))
       val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
       val large = nbrs.join(mins, Seq("u"))
         .filter($"v" > $"u")
@@ -155,9 +185,12 @@ object Components {
     // result below reads them
     if (runDir.isDefined) savedCheckpointDir.foreach(sc.setCheckpointDir)
 
-    // stars: every hi hangs off its component's minimum; minima map to themselves
-    e.select($"hi".as("id"), $"lo".as("component"))
-      .union(e.select($"lo".as("id"), $"lo".as("component")))
+    // stars: every hi hangs off its component's minimum; minima map to
+    // themselves — one scan via explode (same single-scan rationale as nbrs)
+    e.select(explode(array(
+        struct($"hi".as("id"), $"lo".as("component")),
+        struct($"lo".as("id"), $"lo".as("component")))).as("s"))
+      .select($"s.id".as("id"), $"s.component".as("component"))
       .groupBy("id").agg(min("component").as("component"))
   }
 
@@ -209,15 +242,23 @@ object Components {
         least(col(aCol), col(bCol)).cast("long").as("lo"),
         greatest(col(aCol), col(bCol)).cast("long").as("hi"))
       .filter(col("lo") =!= col("hi")).distinct())
-    val deg = e.select(col("lo").as("v")).union(e.select(col("hi").as("v")))
+    // one cache scan for the degree count (explode, not a two-branch union —
+    // r12, guide §2.3 project/scan less), and BOTH anti-joins probe the SAME
+    // hubs plan with no per-side rename so the two broadcast exchanges are
+    // structurally identical and ReuseExchange builds hubs once (r12)
+    val deg = e.select(explode(array(col("lo"), col("hi"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n"))
     val hubs = deg.filter(col("n") > maxDegree).select("v")
-    val kept = e.join(hubs.withColumnRenamed("v", "lo"), Seq("lo"), "left_anti")
-      .join(hubs.withColumnRenamed("v", "hi"), Seq("hi"), "left_anti")
+    val kept = e.join(hubs, col("lo") === col("v"), "left_anti")
+      .join(hubs, col("hi") === col("v"), "left_anti")
       .select(col("lo"), col("hi"))
     // `kept` is already canonical (lo < hi, distinct — anti-joins only drop
     // rows from the canonicalized `e`), so skip dedupClusters' re-canonical
-    // distinct — one redundant full-edge-list shuffle (ADVICE r10)
+    // distinct — one redundant full-edge-list shuffle (ADVICE r10).
+    // cutInput stays TRUE: the r12 A/B (CcProbe, warm) measured the no-cut
+    // variant at round-0 9.3 s vs 1.4 s and 57 vs 33 jobs — AQE re-plans
+    // the kept subtree (cache scan + anti-joins) per stage reference
+    // instead of reusing it, so the eager cut's one job is the cheaper shape
     assignClusters(docs, idCol,
       connectedComponentsPrecanonical(kept, checkpointDir = checkpointDir))
   }
@@ -242,9 +283,16 @@ object Components {
       .join(cc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("cluster_id"))
-    val sizes = assigned.groupBy("cluster_id")
-      .agg(count(lit(1)).as("cluster_size"))
-    assigned.join(sizes, Seq("cluster_id"))
-      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+    // cluster_size as a count window over cluster_id instead of a
+    // groupBy + join-back: same rows, ONE exchange by cluster_id and no
+    // second join/broadcast (r12, guide §2.4 — a window partitioned like
+    // the aggregation it replaces shares the shuffle). Scale-safe: window
+    // partitions are near-dup cluster sizes, which the pair generators'
+    // caps / the degree guard bound far below partition scale (same
+    // argument as keepBestQuality's rank window).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    assigned
+      .select(col(idCol), col("cluster_id"),
+        count(lit(1)).over(w).as("cluster_size"))
   }
 }

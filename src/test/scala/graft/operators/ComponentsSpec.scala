@@ -142,6 +142,26 @@ class ComponentsSpec extends SparkSpecBase {
     assert(unguarded == 5L)
   }
 
+  test("r12: cluster_size comes from a count window, not a second join (one exchange)") {
+    // the r12 assign shape: docs left-join components, then cluster_size as
+    // count() OVER (PARTITION BY cluster_id) — the old groupBy + join-back
+    // paid a second shuffle/broadcast for the same rows (guide §2.4)
+    val docs = (0L to 9L).toDF("doc_id")
+    val pairs = Seq[(Long, Long)]((1, 3), (3, 5), (7, 8)).toDF("id_a", "id_b")
+    val df = Components.dedupClusters(docs, "doc_id", pairs)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(2000))
+    // exactly ONE join remains in the assign tail (the left assignment join)
+    assert("Join|BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(plan).size <= 2, plan.take(2000))
+    // and the rows are unchanged vs the aggregate definition of size
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (0L, 0L, 1L), (1L, 1L, 3L), (3L, 1L, 3L), (5L, 1L, 3L),
+      (2L, 2L, 1L), (4L, 4L, 1L), (6L, 6L, 1L),
+      (7L, 7L, 2L), (8L, 7L, 2L), (9L, 9L, 1L)))
+  }
+
   test("dedupClustersGuarded degree counts DISTINCT neighbors (dup pairs don't inflate)") {
     val docs = (0L to 3L).toDF("doc_id")
     // (0,1) listed 3 times in both orders: degree of 0 must stay 2
