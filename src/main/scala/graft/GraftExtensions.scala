@@ -13,6 +13,11 @@ import graft.functions.{ArgMaxLastExpr, BigramLogitExpr, BinRead, BinRfind, Bloc
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def intLit(fn: String)(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Int = e match {
+    // ADVICE r11: a null literal must fail at analysis with a clear message,
+    // not NPE in the builder
+    case org.apache.spark.sql.catalyst.expressions.Literal(null, _) =>
+      throw new IllegalArgumentException(
+        s"$fn expects a non-null literal integer parameter")
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
     case other => throw new IllegalArgumentException(
       s"$fn expects literal integer parameters, got $other")
@@ -207,8 +212,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_rows"),
       new ExpressionInfo(classOf[TopKRowsAgg].getName, "topk_rows"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // ADVICE r11: validate arity here (analysis time) instead of failing
+        // lazily on executors; the struct field-count check lives in
+        // TopKRowsAgg.checkInputDataTypes
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"topk_rows expects 3 arguments (struct, k, first_desc), got ${children.length}")
         val k = intLit("topk_rows")(children(1))
         val firstDesc = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(null, _) =>
+            throw new IllegalArgumentException(
+              "topk_rows expects a non-null literal boolean direction")
           case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
             v.toString.toBoolean
           case other => throw new IllegalArgumentException(

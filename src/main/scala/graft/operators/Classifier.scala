@@ -77,7 +77,13 @@ object Classifier {
     * stream starts ([[graft.streaming.StreamingDedup.classifierScoreStream]]),
     * and what a real pipeline persists as "the quality model". Identical
     * loop to [[trainScoreLr]] (same feature table, same integer math, same
-    * iteration count → bit-identical weights). */
+    * iteration count → bit-identical weights).
+    *
+    * CACHE-GROWTH NOTE (ADVICE r11): in the default scope the per-corpus
+    * feature table stays persisted for the session (see the body comment) —
+    * every DISTINCT input plan pins its own MEMORY_AND_DISK entry. A
+    * long-lived session training over many different corpora must wrap each
+    * call in [[CacheScope.releasing]] or the cache grows without bound. */
   def trainWeights(df: DataFrame, idCol: String, textCol: String,
                    labelCol: Column, buckets: Int = 256, iters: Int = 5,
                    etaScaled: Long = 500L): Array[Long] = {
@@ -125,7 +131,10 @@ object Classifier {
     * (doc_id, z_sum BIGINT, prob, label, predicted, correct) — `predicted`
     * is integer-armed (z_sum >= 0 ⇔ prob >= 0.5). `etaScaled` is the
     * learning rate in 1e-9 weight units per 1e-6 error unit (500 ⇔ η=0.5).
-    */
+    *
+    * CACHE-GROWTH NOTE (ADVICE r11): same contract as [[trainWeights]] —
+    * each distinct input plan pins a session-lifetime feature-table cache
+    * entry unless the call is wrapped in [[CacheScope.releasing]]. */
   def trainScoreLr(df: DataFrame, idCol: String, textCol: String,
                    labelCol: Column, buckets: Int = 256, iters: Int = 5,
                    etaScaled: Long = 500L): DataFrame = {

@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   * compounds the plan until planning dominates) — `localCheckpoint` by
   * default, or a reliable checkpoint when `checkpointDir` is given. The cut
   * is LAZY and the round's ONE aggregate (star-fixpoint test) is the action
-  * that materializes it, so each round is exactly one job.
+  * that materializes it, so on the default localCheckpoint path each round
+  * is exactly one job. On the RELIABLE path (`checkpointDir` set) the same
+  * round is two jobs (ADVICE r11): `checkpoint(eager = false)` does not
+  * persist the RDD, so after the fixpoint aggregate's job, `doCheckpoint`
+  * launches a second job that recomputes the round's plan to write the
+  * checkpoint files — the price of the on-storage recovery copy.
   */
 object Components {
 

@@ -544,7 +544,10 @@ object Similarity {
     topKExplode(cells
         .withColumn("ord", call_function("md5_prefix60", col("id").cast("string"))),
       Seq(col("cell")), col("ord"), firstDesc = false, col("id"), Nil,
-      perCell.toInt)
+      // ADVICE r11: fail loudly on a per-cell quota beyond Int range instead
+      // of silently truncating (a negative k would only surface as a
+      // confusing executor-side error)
+      Math.toIntExact(perCell))
       .select(col("id").as(idCol), col("cell"), col("rnk").cast("long").as("rk"))
   }
 
